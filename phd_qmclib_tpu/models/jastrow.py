@@ -1,0 +1,258 @@
+"""Generic Bijl-Jastrow pair-product wavefunction kernels.
+
+The trial wavefunction is ``psi(z) = prod_i f1(z_i) * prod_{i<j}
+f2(|z_ij|)`` for model-supplied one-body (``f1``) and two-body (``f2``)
+functions.  The reference implements these as numba scalar kernels with
+explicit O(N^2) loops (``/root/reference/src/phd_qmclib/qmc_base/jastrow/
+model.py:286-1004``); here every kernel is a pure, batched JAX function
+over position arrays of shape ``(..., N)`` - the pairwise loops become
+broadcasted ``(..., N, N)`` element-wise ops fused by XLA (a Pallas-tiled
+variant of the fused energy/drift kernel lives in
+``phd_qmclib_tpu.ops.pairwise``).
+
+Naming note carried over from the reference: the ``*_log_dz`` callables
+return the log-derivative ``f'/f`` while the ``*_log_dz2`` callables
+return the *bare* second-derivative ratio ``f''/f`` (see e.g. the
+one-body well branch returning ``-e0``, ``mrbp_qmc/model.py:450-464``).
+With that convention the local energy identity used throughout is::
+
+    E_L = sum_t (-f_t''/f_t + (f_t'/f_t)^2) - sum_i drift_i^2 + V
+        = -(laplacian psi)/psi + V
+
+Parameters travel in a ``CFCParams`` pytree of continuous values; static
+structure (particle number, free/ideal flags, defect period) binds at
+function-construction time so XLA sees compile-time constants - the TPU
+analog of the reference's closure-compiled kernel factories
+(``qmc_base/vmc.py:556-648``).
+"""
+import typing as t
+from types import SimpleNamespace
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.pbc import min_image, sign
+
+__all__ = ["CFCParams", "build_core_funcs", "SysConfSlot"]
+
+
+class SysConfSlot:
+    """Slots of a packed ``(2, N)`` system configuration (reference
+    ``qmc_base/jastrow/model.py:30-38``): used at the state/HDF5
+    boundary; kernels operate on flat position arrays."""
+    pos: int = 0
+    drift: int = 1
+
+
+class CFCParams(t.NamedTuple):
+    """Continuous core-function parameters (a JAX pytree).
+
+    Mirrors the reference ``CFCSpec`` NamedTuple-of-NamedTuples
+    (``qmc_base/jastrow/model.py:87-92``); concrete models define the
+    ``model_params`` / ``obf_params`` / ``tbf_params`` leaves.
+    """
+    model_params: t.Any
+    obf_params: t.Any
+    tbf_params: t.Any
+
+
+def build_core_funcs(*,
+                     one_body,
+                     one_body_log_dz,
+                     one_body_log_dz2,
+                     two_body,
+                     two_body_log_dz,
+                     two_body_log_dz2,
+                     potential,
+                     is_free: bool,
+                     is_ideal: bool,
+                     boson_number: int) -> SimpleNamespace:
+    """Build the Jastrow kernel namespace for a concrete model.
+
+    Every model callable has signature ``(x, cfc: CFCParams) -> value``
+    and must be vectorized (jnp) over ``x``.  ``is_free`` / ``is_ideal``
+    are static flags: the corresponding terms are dropped at trace time,
+    matching the reference's runtime guards
+    (``qmc_base/jastrow/model.py:315-329``).
+
+    Returns a namespace with: ``log_psi``, ``energy``, ``drift``,
+    ``energy_and_drift``, ``delta_log_psi_move``, ``one_body_density``,
+    ``fourier_density``, ``fourier_density_parts``.  All functions accept
+    positions of shape ``(..., N)`` and broadcast over leading axes.
+    """
+    nop = boson_number
+
+    def _supercell(cfc):
+        return cfc.model_params.supercell_size
+
+    def _pair_geometry(pos, cfc):
+        """Minimum-image pair displacements, distances and the
+        off-diagonal mask.
+
+        Diagonal distances are replaced by a safe value (L/4) before the
+        two-body functions see them, so masked-out entries never produce
+        inf/NaN values or NaN gradients through ``jnp.where``.
+        """
+        sc = _supercell(cfc)
+        d = pos[..., :, None] - pos[..., None, :]
+        d = min_image(d, sc)
+        off_diag = ~jnp.eye(nop, dtype=bool)
+        r = jnp.where(off_diag, jnp.abs(d), 0.25 * sc)
+        return d, r, off_diag
+
+    # -- log |psi| --------------------------------------------------------
+    def log_psi(pos, cfc: CFCParams):
+        """log|psi| for configurations ``pos`` of shape ``(..., N)``.
+
+        Reference: ``qmc_base/jastrow/model.py:286-368``.
+        """
+        total = jnp.zeros(pos.shape[:-1], dtype=pos.dtype)
+        if not is_free:
+            obv = one_body(pos, cfc)
+            total = total + jnp.log(jnp.abs(obv)).sum(axis=-1)
+        if not is_ideal:
+            _, r, off_diag = _pair_geometry(pos, cfc)
+            tbv = two_body(r, cfc)
+            log_tb = jnp.where(off_diag, jnp.log(jnp.abs(tbv)), 0.0)
+            total = total + 0.5 * log_tb.sum(axis=(-1, -2))
+        return total
+
+    # -- drift ------------------------------------------------------------
+    def drift(pos, cfc: CFCParams):
+        """Drift force ``F_i = d(log|psi|)/dz_i``, shape ``(..., N)``.
+
+        Reference: ``qmc_base/jastrow/model.py:463-566``.
+        """
+        out = jnp.zeros_like(pos)
+        if not is_free:
+            out = out + one_body_log_dz(pos, cfc)
+        if not is_ideal:
+            d, r, off_diag = _pair_geometry(pos, cfc)
+            tb_ldz = two_body_log_dz(r, cfc) * sign(d)
+            out = out + jnp.where(off_diag, tb_ldz, 0.0).sum(axis=-1)
+        return out
+
+    # -- fused local energy + drift ---------------------------------------
+    def energy_and_drift(pos, cfc: CFCParams):
+        """Fused local energy and drift - the DMC hot kernel.
+
+        One pass over pairs computes the ``f'/f`` and ``f''/f``
+        accumulators (reference ``qmc_base/jastrow/model.py:777-856``).
+        Returns ``(energy (...,), drift (..., N))``.
+        """
+        batch_shape = pos.shape[:-1]
+        kin = jnp.zeros(batch_shape, dtype=pos.dtype)
+        pot = jnp.zeros(batch_shape, dtype=pos.dtype)
+        drift_v = jnp.zeros_like(pos)
+
+        if not is_free:
+            ob_ldz = one_body_log_dz(pos, cfc)
+            ob_ldz2 = one_body_log_dz2(pos, cfc)
+            kin = kin + (-ob_ldz2 + ob_ldz ** 2).sum(axis=-1)
+            pot = pot + potential(pos, cfc).sum(axis=-1)
+            drift_v = drift_v + ob_ldz
+
+        if not is_ideal:
+            d, r, off_diag = _pair_geometry(pos, cfc)
+            tb_ldz = two_body_log_dz(r, cfc)
+            tb_ldz2 = two_body_log_dz2(r, cfc)
+            # (sgn * f'/f)^2 == (f'/f)^2: the sign only matters in drift.
+            kin_pair = jnp.where(off_diag, -tb_ldz2 + tb_ldz ** 2, 0.0)
+            kin = kin + kin_pair.sum(axis=(-1, -2))
+            drift_pair = jnp.where(off_diag, tb_ldz * sign(d), 0.0)
+            drift_v = drift_v + drift_pair.sum(axis=-1)
+
+        energy_v = kin - (drift_v ** 2).sum(axis=-1) + pot
+        return energy_v, drift_v
+
+    def energy(pos, cfc: CFCParams):
+        """Local energy ``E_L`` (reference
+        ``qmc_base/jastrow/model.py:664-775``)."""
+        return energy_and_drift(pos, cfc)[0]
+
+    # -- single-particle move delta ---------------------------------------
+    def delta_log_psi_move(k, z_k_delta, pos, cfc: CFCParams):
+        """Change of ``log|psi|`` after displacing particle ``k`` by
+        ``z_k_delta`` (O(N) update; reference
+        ``qmc_base/jastrow/model.py:398-461``).  ``pos`` is a single
+        configuration of shape ``(N,)``.
+        """
+        dtype = pos.dtype
+        delta = jnp.zeros((), dtype=dtype)
+        z_k = pos[k]
+        z_k_upd = z_k + z_k_delta
+        if not is_free:
+            obv = one_body(z_k, cfc)
+            obv_upd = one_body(z_k_upd, cfc)
+            delta = delta + jnp.log(jnp.abs(obv_upd / obv))
+        if not is_ideal:
+            sc = _supercell(cfc)
+            r_ki = jnp.abs(min_image(z_k - pos, sc))
+            r_ki_upd = jnp.abs(min_image(z_k_upd - pos, sc))
+            tbv = two_body(r_ki, cfc)
+            tbv_upd = two_body(r_ki_upd, cfc)
+            log_ratio = jnp.log(jnp.abs(tbv_upd / tbv))
+            mask = jnp.arange(nop) != k
+            delta = delta + jnp.where(mask, log_ratio, 0.0).sum()
+        return delta
+
+    # -- one-body density matrix ------------------------------------------
+    def one_body_density(sz, pos, cfc: CFCParams):
+        """One-body density matrix estimator ``n1(sz)``: the average over
+        particles of the wavefunction ratio with particle ``i`` displaced
+        by ``sz`` (reference ``qmc_base/jastrow/model.py:858-965``).
+
+        ``pos``: ``(..., N)``; ``sz``: scalar; returns ``(...)``.
+        """
+        log_ratio = jnp.zeros(pos.shape, dtype=pos.dtype)  # per particle i
+        if not is_free:
+            ob = one_body(pos, cfc)
+            ob_sft = one_body(pos + sz, cfc)
+            log_ratio = log_ratio + (jnp.log(ob_sft) - jnp.log(ob))
+        if not is_ideal:
+            sc = _supercell(cfc)
+            d = min_image(pos[..., :, None] - pos[..., None, :], sc)
+            d_sft = min_image((pos + sz)[..., :, None] - pos[..., None, :],
+                              sc)
+            tb = two_body(jnp.abs(d), cfc)
+            tb_sft = two_body(jnp.abs(d_sft), cfc)
+            off_diag = ~jnp.eye(nop, dtype=bool)
+            pair_log = jnp.where(off_diag,
+                                 jnp.log(tb_sft) - jnp.log(tb), 0.0)
+            log_ratio = log_ratio + pair_log.sum(axis=-1)
+        return jnp.exp(log_ratio).sum(axis=-1) / nop
+
+    # -- Fourier density ---------------------------------------------------
+    def fourier_density(kz, pos, cfc: CFCParams):
+        """Fourier component of the density, ``rho_k = sum_i e^{i k z_i}``
+        (reference ``qmc_base/jastrow/model.py:967-1004``).
+
+        ``kz``: ``(M,)`` momenta; ``pos``: ``(..., N)``.  Returns complex
+        ``(..., M)``.
+        """
+        phase = pos[..., :, None] * kz  # (..., N, M)
+        return (jnp.cos(phase).sum(axis=-2)
+                + 1j * jnp.sin(phase).sum(axis=-2))
+
+    def fourier_density_parts(kz, pos, cfc: CFCParams):
+        """``(|rho_k|^2, Re rho_k, Im rho_k)`` stacked on the last axis,
+        shape ``(..., M, 3)`` - the three S(k) accumulator slots
+        (reference ``qmc_base/vmc.py:62-74``)."""
+        phase = pos[..., :, None] * kz
+        re = jnp.cos(phase).sum(axis=-2)
+        im = jnp.sin(phase).sum(axis=-2)
+        return jnp.stack([re ** 2 + im ** 2, re, im], axis=-1)
+
+    return SimpleNamespace(
+        log_psi=log_psi,
+        energy=energy,
+        drift=drift,
+        energy_and_drift=energy_and_drift,
+        delta_log_psi_move=delta_log_psi_move,
+        one_body_density=one_body_density,
+        fourier_density=fourier_density,
+        fourier_density_parts=fourier_density_parts,
+        is_free=is_free,
+        is_ideal=is_ideal,
+        boson_number=boson_number,
+    )

@@ -1,0 +1,492 @@
+"""Multi-rod Bloch-phonon (mrbp) QMC model.
+
+A 1D Bose gas with repulsive contact interactions in a multi-rod
+(Kronig-Penney) optical lattice, with a Bijl-Jastrow trial wavefunction:
+
+* one-body factor: the exact single-particle KP band-bottom orbital
+  (piecewise cos in the wells / cosh in the barriers),
+* two-body factor: the phonon-like pair function ``am*cos(k2(r-r_off))``
+  inside a variational cutoff ``rm`` matched to ``sin(pi r/L)^beta``
+  outside.
+
+TPU-native re-design of the reference model
+(``/root/reference/src/phd_qmclib/mrbp_qmc/model.py``): the spec is a
+frozen host-side dataclass whose derived parameters (ideal-gas band
+energy, two-body matching constants solved with ``brentq``) are computed
+once on CPU; the kernels are pure batched JAX functions produced by
+:func:`phd_qmclib_tpu.models.jastrow.build_core_funcs`.
+"""
+import math
+import typing as t
+from dataclasses import dataclass, field, replace
+from enum import Enum
+from functools import cached_property
+
+import jax.numpy as jnp
+import numpy as np
+from scipy.optimize import brentq
+
+from .. import ideal
+from ..ops.pbc import recast_to_supercell
+from . import jastrow
+from .jastrow import CFCParams, SysConfSlot
+
+__all__ = [
+    "CFCParams",
+    "ModelParams",
+    "OBFParams",
+    "Spec",
+    "StaticSpec",
+    "SysConfDistType",
+    "SysConfSlot",
+    "TBFParams",
+    "core_funcs",
+    "DIST_RAND",
+    "DIST_REGULAR",
+]
+
+
+class SysConfDistType(Enum):
+    """Initial-configuration arrangements (reference
+    ``qmc_base/jastrow/model.py:41-45``)."""
+    RANDOM = "random"
+    REGULAR = "regular"
+
+
+DIST_RAND = SysConfDistType.RANDOM
+DIST_REGULAR = SysConfDistType.REGULAR
+
+
+class ModelParams(t.NamedTuple):
+    """Continuous model parameters (pytree leaf group).
+
+    Mirrors the reference ``Params`` (``mrbp_qmc/model.py:40-54``) minus
+    the static fields (``boson_number``, ``defects_sep``, ``is_free``,
+    ``is_ideal``) which live in :class:`StaticSpec`.
+    """
+    lattice_depth: float
+    lattice_ratio: float
+    interaction_strength: float
+    supercell_size: float
+    tbf_contact_cutoff: float
+    defect_magnitude: float
+    well_width: float
+    barrier_width: float
+
+
+class OBFParams(t.NamedTuple):
+    """One-body function parameters (``mrbp_qmc/model.py:57-65``)."""
+    lattice_depth: float
+    lattice_ratio: float
+    well_width: float
+    barrier_width: float
+    param_e0: float
+    param_k1: float
+    param_kp1: float
+
+
+class TBFParams(t.NamedTuple):
+    """Two-body function parameters (``mrbp_qmc/model.py:68-75``)."""
+    supercell_size: float
+    tbf_contact_cutoff: float
+    param_k2: float
+    param_beta: float
+    param_r_off: float
+    param_am: float
+
+
+class StaticSpec(t.NamedTuple):
+    """Compile-time model structure: baked into the traced kernels."""
+    boson_number: int
+    defects_sep: int
+    is_free: bool
+    is_ideal: bool
+
+
+@dataclass(frozen=True)
+class Spec:
+    """The parameters of the Bloch-Phonon QMC model.
+
+    Field-for-field equivalent of the reference attrs spec
+    (``mrbp_qmc/model.py:134-196``), including the defect handling in the
+    post-init stage and the domain validators.
+    """
+    #: The lattice depth of the potential.
+    lattice_depth: float
+    #: The ratio of the barriers width between the wells width.
+    lattice_ratio: float
+    #: The magnitude of the interaction strength between two bosons.
+    interaction_strength: float
+    #: The number of bosons.
+    boson_number: int
+    #: The size of the QMC simulation box.
+    supercell_size: float
+    #: The variational parameter of the two-body functions.
+    tbf_contact_cutoff: float
+    #: Number of defects, evenly spaced.
+    num_defects: t.Optional[int] = None
+    #: Magnitude for all the defects.
+    defect_magnitude: t.Optional[float] = None
+
+    def __post_init__(self):
+        object.__setattr__(self, "lattice_depth", float(self.lattice_depth))
+        object.__setattr__(self, "lattice_ratio", float(self.lattice_ratio))
+        object.__setattr__(self, "interaction_strength",
+                           float(self.interaction_strength))
+        object.__setattr__(self, "boson_number", int(self.boson_number))
+        object.__setattr__(self, "supercell_size",
+                           float(self.supercell_size))
+        object.__setattr__(self, "tbf_contact_cutoff",
+                           float(self.tbf_contact_cutoff))
+
+        if not abs(self.tbf_contact_cutoff) <= abs(self.supercell_size / 2):
+            raise ValueError("parameter value 'rm' out of domain")
+
+        # Defect handling: reference ``mrbp_qmc/model.py:174-196``.
+        lattice_depth = self.lattice_depth
+        num_defects = self.num_defects
+        defect_magnitude = self.defect_magnitude
+        if defect_magnitude is None and num_defects is None:
+            object.__setattr__(self, "defect_magnitude", lattice_depth)
+            object.__setattr__(self, "num_defects", 0)
+        else:
+            if num_defects is None:
+                num_defects = 0
+                defect_magnitude = lattice_depth
+            else:
+                num_defects = int(num_defects)
+                defect_magnitude = (float(defect_magnitude)
+                                    if num_defects and
+                                    defect_magnitude is not None
+                                    else lattice_depth)
+            if num_defects < 0:
+                raise ValueError("number of defects can't be negative")
+            num_sites = int(math.ceil(self.supercell_size))
+            if num_defects and (num_sites % num_defects):
+                raise ValueError(
+                    f"the specified number of defects ({num_defects:d}) "
+                    f"can't be evenly distributed in the lattice")
+            if defect_magnitude > lattice_depth:
+                raise ValueError("Defect magnitude can't be greater than "
+                                 "the lattice depth.")
+            object.__setattr__(self, "defect_magnitude", defect_magnitude)
+            object.__setattr__(self, "num_defects", num_defects)
+
+    # -- derived geometry ---------------------------------------------------
+
+    @property
+    def boundaries(self) -> t.Tuple[float, float]:
+        return 0.0, 1.0 * self.supercell_size
+
+    @property
+    def well_width(self) -> float:
+        r = self.lattice_ratio
+        return 1 / (1 + r)
+
+    @property
+    def barrier_width(self) -> float:
+        r = self.lattice_ratio
+        return r / (1 + r)
+
+    @property
+    def is_free(self) -> bool:
+        """Free system: vanishing lattice (``mrbp_qmc/model.py:217-227``)."""
+        return self.lattice_depth <= 1e-10 or self.lattice_ratio <= 1e-10
+
+    @property
+    def is_ideal(self) -> bool:
+        """Ideal system: vanishing interaction
+        (``mrbp_qmc/model.py:229-235``)."""
+        return self.interaction_strength <= 1e-10
+
+    @property
+    def defects_sep(self) -> int:
+        num_sites = int(math.ceil(self.supercell_size))
+        num_defects = self.num_defects
+        return 1 if not num_defects else int(num_sites // num_defects)
+
+    @property
+    def sys_conf_shape(self) -> t.Tuple[int, int]:
+        """Shape of a packed (pos, drift) configuration buffer."""
+        return 2, self.boson_number
+
+    def get_sys_conf_buffer(self) -> np.ndarray:
+        return np.zeros(self.sys_conf_shape, dtype=np.float64)
+
+    def init_get_sys_conf(self, dist_type=DIST_RAND, offset=None,
+                          rng: t.Optional[np.random.Generator] = None) \
+            -> np.ndarray:
+        """Initial particle configuration, random or regular.
+
+        Reference: ``mrbp_qmc/model.py:248-273`` (adds an optional
+        explicit ``rng`` for reproducibility).
+        """
+        nop = self.boson_number
+        sc_size = self.supercell_size
+        z_min, _ = self.boundaries
+        sys_conf = self.get_sys_conf_buffer()
+        offset = offset or 0.0
+
+        if dist_type is DIST_RAND:
+            rng = rng if rng is not None else np.random.default_rng()
+            spread = sc_size * rng.random(nop)
+        elif dist_type is DIST_REGULAR:
+            spread = np.linspace(0, sc_size, nop, endpoint=False)
+        else:
+            raise ValueError(f"unrecognized '{dist_type}' dist_type")
+
+        sys_conf[SysConfSlot.pos, :] = z_min + (offset + spread) % sc_size
+        return sys_conf
+
+    # -- derived parameters ---------------------------------------------------
+
+    @property
+    def static_spec(self) -> StaticSpec:
+        return StaticSpec(self.boson_number, self.defects_sep,
+                          self.is_free, self.is_ideal)
+
+    @property
+    def params(self) -> ModelParams:
+        return ModelParams(self.lattice_depth,
+                           self.lattice_ratio,
+                           self.interaction_strength,
+                           self.supercell_size,
+                           self.tbf_contact_cutoff,
+                           self.defect_magnitude,
+                           self.well_width,
+                           self.barrier_width)
+
+    @cached_property
+    def obf_params(self) -> OBFParams:
+        """One-body orbital parameters: solves the ideal KP band problem
+        (``mrbp_qmc/model.py:297-315``)."""
+        v0 = self.lattice_depth
+        r = self.lattice_ratio
+        if self.is_free:
+            e0 = 0.0
+            k1, kp1 = 0.0, 0.0
+        else:
+            e0 = float(ideal.eigen_energy(v0, r))
+            k1, kp1 = math.sqrt(e0), math.sqrt(v0 - e0)
+        return OBFParams(self.lattice_depth,
+                         self.lattice_ratio,
+                         self.well_width,
+                         self.barrier_width,
+                         param_e0=e0,
+                         param_k1=k1,
+                         param_kp1=kp1)
+
+    @cached_property
+    def tbf_params(self) -> TBFParams:
+        """Two-body function parameters.
+
+        Maps the interaction strength to the Lieb-Liniger gamma, solves
+        the transcendental local-energy matching condition at the cutoff
+        ``rm`` with ``brentq``, and derives ``k2, beta, r_off, am``.
+        Reference: ``mrbp_qmc/model.py:317-393``.
+        """
+        gn = self.interaction_strength
+        nop = self.boson_number
+        sc_size = self.supercell_size
+        rm = self.tbf_contact_cutoff
+
+        if not abs(rm) <= abs(sc_size / 2):
+            raise ValueError("parameter value 'rm' out of domain")
+
+        if gn == 0:
+            return TBFParams(sc_size, rm, param_k2=0.0, param_beta=0.0,
+                             param_r_off=0.5 * sc_size, param_am=1.0)
+
+        # Interaction energy -> Lieb gamma.
+        lgm = 0.5 * (sc_size / nop) ** 2 * gn
+        # Following equations use rm in simulation-box units.
+        rm = rm / sc_size
+        # One-dimensional scattering length (the factor 2 keeps
+        # consistency with Lieb-Liniger theory).
+        a1d = 2.0 / (lgm * nop)
+
+        tan, sin, cos, pi = math.tan, math.sin, math.cos, math.pi
+
+        def _nonlinear_equation(k2rm: float) -> float:
+            if k2rm == 0:
+                beta_rm = tan(pi * rm) / pi
+            else:
+                beta_rm = (k2rm / pi * (rm - k2rm * a1d * tan(k2rm))
+                           * tan(pi * rm)
+                           / (k2rm * a1d + rm * tan(k2rm)))
+            # Equality of the local energy at ``rm``.
+            return ((k2rm * sin(pi * rm)) ** 2
+                    + (pi * beta_rm * cos(pi * rm)) ** 2
+                    - pi ** 2 * beta_rm * rm)
+
+        k2rm: float = brentq(_nonlinear_equation, 0, pi / 2)
+
+        beta_rm = (k2rm / pi * (rm - k2rm * a1d * tan(k2rm)) * tan(pi * rm)
+                   / (k2rm * a1d + rm * tan(k2rm)))
+
+        k2 = k2rm / rm
+        k2r_off = math.atan(1 / (k2 * a1d))
+        beta = beta_rm / rm
+        r_off = k2r_off / k2
+        am = sin(pi * rm) ** beta / cos(k2rm - k2r_off)
+
+        # Momentum and length returned in lattice-period units.
+        return TBFParams(sc_size,
+                         self.tbf_contact_cutoff,
+                         param_k2=k2 / sc_size,
+                         param_beta=beta,
+                         param_r_off=r_off * sc_size,
+                         param_am=am)
+
+    @property
+    def cfc_params(self) -> CFCParams:
+        return CFCParams(self.params, self.obf_params, self.tbf_params)
+
+    # Alias kept for reference-API familiarity.
+    cfc_spec = cfc_params
+
+    def evolve(self, **changes) -> "Spec":
+        """A new spec with the given fields replaced (attrs.evolve
+        analog used by the wavefunction optimizer,
+        ``mrbp_qmc/model.py:852-861``)."""
+        return replace(self, **changes)
+
+
+# ---------------------------------------------------------------------------
+# Analytic kernel functions.  All are vectorized over ``z``/``rz`` and take
+# the full CFCParams pytree (reference scalar versions:
+# ``mrbp_qmc/model.py:403-562``).
+# ---------------------------------------------------------------------------
+
+def _cell_geometry(z, cfc: CFCParams):
+    obf = cfc.obf_params
+    z_cell = jnp.mod(z, 1.0)
+    z_a = obf.well_width
+    z_b = obf.barrier_width
+    return z_cell, z_a, z_b
+
+
+def _one_body(z, cfc: CFCParams):
+    """Piecewise KP band-bottom orbital (``mrbp_qmc/model.py:403-425``)."""
+    obf = cfc.obf_params
+    v0, e0 = obf.lattice_depth, obf.param_e0
+    k1, kp1 = obf.param_k1, obf.param_kp1
+    z_cell, z_a, z_b = _cell_geometry(z, cfc)
+    barrier = jnp.cosh(kp1 * (z_cell - 1.0 + 0.5 * z_b))
+    cf = jnp.sqrt(1 + v0 / e0 * jnp.sinh(0.5 * jnp.sqrt(v0 - e0) * z_b) ** 2)
+    well = cf * jnp.cos(k1 * (z_cell - 0.5 * z_a))
+    return jnp.where(z_a < z_cell, barrier, well)
+
+
+def _one_body_log_dz(z, cfc: CFCParams):
+    """``f1'/f1`` (``mrbp_qmc/model.py:428-447``)."""
+    obf = cfc.obf_params
+    k1, kp1 = obf.param_k1, obf.param_kp1
+    z_cell, z_a, z_b = _cell_geometry(z, cfc)
+    barrier = kp1 * jnp.tanh(kp1 * (z_cell - 1.0 + 0.5 * z_b))
+    well = -k1 * jnp.tan(k1 * (z_cell - 0.5 * z_a))
+    return jnp.where(z_a < z_cell, barrier, well)
+
+
+def _one_body_log_dz2(z, cfc: CFCParams):
+    """``f1''/f1``: ``v0 - e0`` in barriers, ``-e0`` in wells
+    (``mrbp_qmc/model.py:450-464``)."""
+    obf = cfc.obf_params
+    v0, e0 = obf.lattice_depth, obf.param_e0
+    z_cell, z_a, _ = _cell_geometry(z, cfc)
+    return jnp.where(z_a < z_cell, v0 - e0, -e0)
+
+
+def _two_body(rz, cfc: CFCParams):
+    """Phonon-like pair function (``mrbp_qmc/model.py:467-486``)."""
+    tbf = cfc.tbf_params
+    sc_size, rm = tbf.supercell_size, tbf.tbf_contact_cutoff
+    k2, beta = tbf.param_k2, tbf.param_beta
+    r_off, am = tbf.param_r_off, tbf.param_am
+    in_cutoff = rz < jnp.abs(rm)
+    # Guard the unselected branch argument (safe-where): keeps values and
+    # gradients finite where the branch is masked out.
+    rz_out = jnp.where(in_cutoff, jnp.abs(rm), rz)
+    inside = am * jnp.cos(k2 * (rz - r_off))
+    outside = jnp.sin(jnp.pi * rz_out / sc_size) ** beta
+    return jnp.where(in_cutoff, inside, outside)
+
+
+def _two_body_log_dz(rz, cfc: CFCParams):
+    """``f2'/f2`` (``mrbp_qmc/model.py:489-507``)."""
+    tbf = cfc.tbf_params
+    sc_size, rm = tbf.supercell_size, tbf.tbf_contact_cutoff
+    k2, beta, r_off = tbf.param_k2, tbf.param_beta, tbf.param_r_off
+    in_cutoff = rz < jnp.abs(rm)
+    rz_out = jnp.where(in_cutoff, jnp.abs(rm), rz)
+    inside = -k2 * jnp.tan(k2 * (rz - r_off))
+    outside = (jnp.pi / sc_size) * beta / jnp.tan(jnp.pi * rz_out / sc_size)
+    return jnp.where(in_cutoff, inside, outside)
+
+
+def _two_body_log_dz2(rz, cfc: CFCParams):
+    """``f2''/f2`` (``mrbp_qmc/model.py:510-529``)."""
+    tbf = cfc.tbf_params
+    sc_size, rm = tbf.supercell_size, tbf.tbf_contact_cutoff
+    k2, beta = tbf.param_k2, tbf.param_beta
+    in_cutoff = rz < jnp.abs(rm)
+    rz_out = jnp.where(in_cutoff, jnp.abs(rm), rz)
+    inside = -k2 * k2 * jnp.ones_like(rz)
+    tan_term = jnp.tan(jnp.pi * rz_out / sc_size)
+    outside = ((jnp.pi / sc_size) ** 2 * beta
+               * ((beta - 1) / tan_term ** 2 - 1))
+    return jnp.where(in_cutoff, inside, outside)
+
+
+def _make_potential(defects_sep: int):
+    def _potential(z, cfc: CFCParams):
+        """External KP potential with periodic defects
+        (``mrbp_qmc/model.py:532-551``)."""
+        mp = cfc.model_params
+        v0 = mp.lattice_depth
+        v0d = mp.defect_magnitude
+        z_a = mp.well_width
+        n_cell = jnp.floor(z)
+        z_cell = z - n_cell
+        in_barrier = z_a < z_cell
+        if defects_sep == 1:
+            # Every site is a "defect" (regular lattice has v0d == v0).
+            barrier_v = v0d * jnp.ones_like(z)
+        else:
+            on_defect = jnp.mod(n_cell, defects_sep) == 0
+            barrier_v = jnp.where(on_defect, v0d, v0)
+        return jnp.where(in_barrier, barrier_v, jnp.zeros_like(z))
+
+    return _potential
+
+
+def core_funcs(spec_or_static) -> "jastrow.SimpleNamespace":
+    """Build the mrbp kernel namespace for a spec (or a StaticSpec).
+
+    The returned functions take ``(pos, cfc_params)`` with ``pos`` of
+    shape ``(..., N)`` and the continuous parameters as a pytree, so a
+    wavefunction optimizer can vary ``rm`` without retracing.
+    """
+    static = (spec_or_static.static_spec
+              if isinstance(spec_or_static, Spec) else spec_or_static)
+    funcs = jastrow.build_core_funcs(
+        one_body=_one_body,
+        one_body_log_dz=_one_body_log_dz,
+        one_body_log_dz2=_one_body_log_dz2,
+        two_body=_two_body,
+        two_body_log_dz=_two_body_log_dz,
+        two_body_log_dz2=_two_body_log_dz2,
+        potential=_make_potential(static.defects_sep),
+        is_free=static.is_free,
+        is_ideal=static.is_ideal,
+        boson_number=static.boson_number,
+    )
+    funcs.static_spec = static
+    return funcs
+
+
+def recast(z, cfc: CFCParams):
+    """Wrap positions into the supercell ``[0, L)``
+    (``mrbp_qmc/vmc.py:187-203``)."""
+    sc_size = cfc.model_params.supercell_size
+    return recast_to_supercell(z, 0.0, sc_size)

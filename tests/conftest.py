@@ -6,7 +6,10 @@ TPU runs use float32 (the kernels are dtype-polymorphic).
 """
 import os
 
-# Must be set before JAX initializes its backends.
+# Must be set before JAX initializes its backends.  NOTE: the axon TPU
+# environment pre-registers its backend via sitecustomize and pins
+# JAX_PLATFORMS=axon, so the env var alone is not enough - the config
+# update below is what actually forces CPU.
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
@@ -15,4 +18,5 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
