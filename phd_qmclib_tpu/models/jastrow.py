@@ -170,6 +170,43 @@ def build_core_funcs(*,
         ``qmc_base/jastrow/model.py:664-775``)."""
         return energy_and_drift(pos, cfc)[0]
 
+    def log_psi_and_energy(pos, cfc: CFCParams):
+        """Fused ``(log|psi|, E_L)`` - the VMC hot kernel.
+
+        One pass over pairs computes the wavefunction log-sum and all
+        derivative accumulators together (the reference evaluates them in
+        separate numba kernels, ``qmc_base/jastrow/vmc.py:72-93,228-264``).
+        """
+        batch_shape = pos.shape[:-1]
+        lp = jnp.zeros(batch_shape, dtype=pos.dtype)
+        kin = jnp.zeros(batch_shape, dtype=pos.dtype)
+        pot = jnp.zeros(batch_shape, dtype=pos.dtype)
+        drift_v = jnp.zeros_like(pos)
+
+        if not is_free:
+            obv = one_body(pos, cfc)
+            lp = lp + jnp.log(jnp.abs(obv)).sum(axis=-1)
+            ob_ldz = one_body_log_dz(pos, cfc)
+            ob_ldz2 = one_body_log_dz2(pos, cfc)
+            kin = kin + (-ob_ldz2 + ob_ldz ** 2).sum(axis=-1)
+            pot = pot + potential(pos, cfc).sum(axis=-1)
+            drift_v = drift_v + ob_ldz
+
+        if not is_ideal:
+            d, r, off_diag = _pair_geometry(pos, cfc)
+            tbv = two_body(r, cfc)
+            lp = lp + 0.5 * jnp.where(off_diag, jnp.log(jnp.abs(tbv)),
+                                      0.0).sum(axis=(-1, -2))
+            tb_ldz = two_body_log_dz(r, cfc)
+            tb_ldz2 = two_body_log_dz2(r, cfc)
+            kin_pair = jnp.where(off_diag, -tb_ldz2 + tb_ldz ** 2, 0.0)
+            kin = kin + kin_pair.sum(axis=(-1, -2))
+            drift_pair = jnp.where(off_diag, tb_ldz * sign(d), 0.0)
+            drift_v = drift_v + drift_pair.sum(axis=-1)
+
+        energy_v = kin - (drift_v ** 2).sum(axis=-1) + pot
+        return lp, energy_v
+
     # -- single-particle move delta ---------------------------------------
     def delta_log_psi_move(k, z_k_delta, pos, cfc: CFCParams):
         """Change of ``log|psi|`` after displacing particle ``k`` by
@@ -245,6 +282,7 @@ def build_core_funcs(*,
 
     return SimpleNamespace(
         log_psi=log_psi,
+        log_psi_and_energy=log_psi_and_energy,
         energy=energy,
         drift=drift,
         energy_and_drift=energy_and_drift,

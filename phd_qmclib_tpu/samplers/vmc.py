@@ -1,0 +1,254 @@
+"""Variational Monte Carlo: Metropolis-Hastings sampling of ``|psi|^2``.
+
+TPU-native re-design of the reference VMC machine
+(``/root/reference/src/phd_qmclib/qmc_base/vmc.py:418-902`` and its
+Jastrow/mrbp bindings).  Differences by design:
+
+* The reference runs ONE Markov chain through an infinite numba
+  generator; here ``num_walkers`` independent chains advance in lockstep
+  as a batched array, and a whole block of steps is a single
+  ``lax.scan`` compiled once (the reference's "block" maps exactly to one
+  scan).  With ``num_walkers=1`` the algorithm reduces to the
+  reference's.
+* RNG is ``jax.random`` with keys split per (block, step) - reproducible
+  regardless of device count.
+* The Metropolis acceptance rule is the reference's
+  (``qmc_base/vmc.py:636``): accept when
+  ``log|psi_prop| > 0.5*log(u) + log|psi|``.
+* The proposal moves every particle with a uniform displacement of
+  spread ``move_spread`` (``qmc_base/vmc.py:400-415``), recast into the
+  supercell (``mrbp_qmc/vmc.py:216-233``); the Gaussian-proposal variant
+  (reference ``vmc_ndf``) uses ``sigma = sqrt(time_step)``
+  (``mrbp_qmc/vmc_ndf.py:38-45``).
+* The local energy and S(k) parts are evaluated in the same fused pass
+  as the wavefunction of the *proposal* and carried through rejections
+  with a ``select`` - equivalent to the reference's
+  evaluate-on-accept/copy-on-reject (``qmc_base/jastrow/vmc.py:228-351``)
+  but branch-free.
+"""
+import typing as t
+from dataclasses import dataclass
+from functools import cached_property
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import utils
+from ..models import mrbp
+
+__all__ = [
+    "PropsData",
+    "Sampling",
+    "SamplingBlock",
+    "SSFEstSpec",
+    "State",
+]
+
+
+class State(t.NamedTuple):
+    """The walker-ensemble state of a VMC sampling (a pytree).
+
+    ``pos`` has shape ``(W, N)``; scalar chain properties have shape
+    ``(W,)``.  Mirrors the reference ``State(sys_conf, wf_abs_log,
+    move_stat)`` (``qmc_base/vmc.py:128-132``) batched over walkers, and
+    additionally carries the fused local energy and S(k) parts so
+    rejected steps reuse them.
+    """
+    pos: jnp.ndarray
+    wf_abs_log: jnp.ndarray
+    energy: jnp.ndarray
+    move_stat: jnp.ndarray
+    ssf_parts: t.Optional[jnp.ndarray] = None  # (W, M, 3)
+
+
+class PropsData(t.NamedTuple):
+    """Per-step, per-walker properties of a block
+    (``qmc_base/vmc.py:135-139``)."""
+    wf_abs_log: jnp.ndarray  # (nts, W)
+    energy: jnp.ndarray      # (nts, W)
+    move_stat: jnp.ndarray   # (nts, W) bool
+
+
+class SamplingBlock(t.NamedTuple):
+    """The data yielded per block (``qmc_base/vmc.py:142-147``)."""
+    iter_props: PropsData
+    #: S(k) accumulators summed over walkers, shape ``(nts, M, 3)``
+    #: (slots: |rho_k|^2, Re rho_k, Im rho_k); ``None`` when disabled.
+    iter_ssf: t.Optional[jnp.ndarray]
+    accept_rate: float
+    last_state: State
+
+
+@dataclass(frozen=True)
+class SSFEstSpec:
+    """Static structure factor estimator spec
+    (``mrbp_qmc/vmc.py:62-67``)."""
+    num_modes: int
+
+
+@dataclass(frozen=True)
+class Sampling:
+    """VMC sampling spec bound to an mrbp model.
+
+    Reference: ``mrbp_qmc/vmc.py:70-171`` plus the walker-batch axis.
+    """
+    model_spec: mrbp.Spec
+    move_spread: float
+    rng_seed: t.Optional[int] = None
+    ssf_est_spec: t.Optional[SSFEstSpec] = None
+    #: Number of independent Markov chains advanced in lockstep.
+    num_walkers: int = 1
+    #: Use Gaussian proposals of width ``move_spread`` (the reference's
+    #: ``vmc_ndf`` sampling with ``sigma = sqrt(time_step)``).
+    gaussian: bool = False
+
+    def __post_init__(self):
+        if self.rng_seed is None:
+            object.__setattr__(self, "rng_seed",
+                               int(utils.get_random_rng_seed()))
+
+    # -- derived ---------------------------------------------------------
+
+    @property
+    def cfc_params(self) -> mrbp.CFCParams:
+        return self.model_spec.cfc_params
+
+    @cached_property
+    def core_funcs(self):
+        return mrbp.core_funcs(self.model_spec)
+
+    @property
+    def ssf_momenta(self) -> np.ndarray:
+        """Momenta ``k_j = 2 pi j / L`` (``mrbp_qmc/vmc.py:129-143``)."""
+        if self.ssf_est_spec is None:
+            raise TypeError("the static structure factor spec has not "
+                            "been specified")
+        num_modes = self.ssf_est_spec.num_modes
+        sc_size = self.model_spec.supercell_size
+        return np.arange(num_modes) * 2 * np.pi / sc_size
+
+    # -- state construction ------------------------------------------------
+
+    def build_state(self, sys_conf: np.ndarray) -> State:
+        """Build the initial ensemble state from one configuration of
+        shape ``(2, N)``/``(N,)`` or a batch ``(W, ..., N)``.
+
+        Computes the initial ``log|psi|``, energy and S(k) parts
+        (``mrbp_qmc/vmc.py:145-165``).
+        """
+        sys_conf = np.asarray(sys_conf)
+        nop = self.model_spec.boson_number
+        # Accept packed (2, N) buffers or bare (N,) position arrays.
+        if sys_conf.ndim >= 2 and sys_conf.shape[-2] == 2 \
+                and sys_conf.shape[-1] == nop:
+            pos = sys_conf[..., mrbp.SysConfSlot.pos, :]
+        elif sys_conf.shape[-1] == nop:
+            pos = sys_conf
+        else:
+            raise ValueError("sys_conf is not a valid configuration of "
+                             "the model spec")
+        if pos.ndim == 1:
+            pos = np.broadcast_to(pos, (self.num_walkers, nop))
+        if pos.shape[0] != self.num_walkers:
+            raise ValueError(f"need {self.num_walkers} walker "
+                             f"configurations, got {pos.shape[0]}")
+
+        pos = jnp.asarray(pos)
+        cfc = self._cast_params(pos.dtype)
+        funcs = self.core_funcs
+        wf_abs_log, energy = funcs.log_psi_and_energy(pos, cfc)
+        if self.ssf_est_spec is not None:
+            momenta = jnp.asarray(self.ssf_momenta, dtype=pos.dtype)
+            ssf_parts = funcs.fourier_density_parts(momenta, pos, cfc)
+        else:
+            ssf_parts = None
+        move_stat = jnp.ones(pos.shape[0], dtype=bool)
+        return State(pos, wf_abs_log, energy, move_stat, ssf_parts)
+
+    def _cast_params(self, dtype) -> mrbp.CFCParams:
+        return jax.tree.map(lambda x: jnp.asarray(x, dtype=dtype),
+                            self.cfc_params)
+
+    # -- the compiled block kernel ------------------------------------------
+
+    @cached_property
+    def _block_fn(self):
+        funcs = self.core_funcs
+        gaussian = self.gaussian
+        use_ssf = self.ssf_est_spec is not None
+        momenta_np = self.ssf_momenta if use_ssf else None
+
+        def step(carry: State, key, cfc, move_spread):
+            k_move, k_acc = jax.random.split(key)
+            pos = carry.pos
+            if gaussian:
+                disp = move_spread * jax.random.normal(
+                    k_move, pos.shape, dtype=pos.dtype)
+            else:
+                disp = move_spread * (jax.random.uniform(
+                    k_move, pos.shape, dtype=pos.dtype) - 0.5)
+            prop = mrbp.recast(pos + disp, cfc)
+
+            lp_prop, e_prop = funcs.log_psi_and_energy(prop, cfc)
+            u = jax.random.uniform(k_acc, carry.wf_abs_log.shape,
+                                   dtype=pos.dtype)
+            # Metropolis condition, reference qmc_base/vmc.py:636.
+            accept = lp_prop > 0.5 * jnp.log(u) + carry.wf_abs_log
+
+            new_pos = jnp.where(accept[:, None], prop, pos)
+            new_lp = jnp.where(accept, lp_prop, carry.wf_abs_log)
+            new_e = jnp.where(accept, e_prop, carry.energy)
+            if use_ssf:
+                momenta = jnp.asarray(momenta_np, dtype=pos.dtype)
+                parts_prop = funcs.fourier_density_parts(momenta, prop, cfc)
+                new_parts = jnp.where(accept[:, None, None], parts_prop,
+                                      carry.ssf_parts)
+            else:
+                new_parts = None
+            new_state = State(new_pos, new_lp, new_e, accept, new_parts)
+            out = (new_lp, new_e, accept,
+                   new_parts.sum(axis=0) if use_ssf else 0.0)
+            return new_state, out
+
+        def run_block(state: State, block_key, cfc, move_spread,
+                      num_steps_block: int):
+            keys = jax.random.split(block_key, num_steps_block)
+            final_state, (lps, es, accepts, ssf) = jax.lax.scan(
+                lambda c, k: step(c, k, cfc, move_spread), state, keys)
+            accept_rate = accepts.mean()
+            return final_state, PropsData(lps, es, accepts), ssf, accept_rate
+
+        return jax.jit(run_block, static_argnames=("num_steps_block",))
+
+    # -- public sampling APIs -------------------------------------------------
+
+    def blocks(self, num_steps_block: int,
+               ini_state: State) -> t.Iterator[SamplingBlock]:
+        """Yield :class:`SamplingBlock` objects indefinitely.
+
+        Reference: ``qmc_base/vmc.py:669-770``; here one block is one
+        compiled ``lax.scan`` dispatch.
+        """
+        if num_steps_block < 1:
+            raise ValueError("num_steps_block must be nonzero and positive")
+        base_key = jax.random.PRNGKey(self.rng_seed)
+        state = ini_state
+        cfc = self._cast_params(ini_state.pos.dtype)
+        move_spread = jnp.asarray(self.move_spread,
+                                  dtype=ini_state.pos.dtype)
+        block_idx = 0
+        while True:
+            block_key = jax.random.fold_in(base_key, block_idx)
+            state, props, ssf, accept_rate = self._block_fn(
+                state, block_key, cfc, move_spread, num_steps_block)
+            yield SamplingBlock(props, ssf if self.ssf_est_spec else None,
+                                float(accept_rate), state)
+            block_idx += 1
+
+    def as_chain(self, num_steps: int, ini_state: State) -> SamplingBlock:
+        """The VMC sampling as a single block of ``num_steps`` steps
+        (``qmc_base/vmc.py:772-806``)."""
+        if num_steps < 1:
+            raise ValueError("num_steps must be nonzero and positive")
+        return next(self.blocks(num_steps, ini_state))
