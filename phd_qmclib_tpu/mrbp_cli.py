@@ -1,0 +1,99 @@
+"""Command-line interfaces for mrbp QMC calculations.
+
+Console scripts ``mrbp-dmc`` / ``mrbp-vmc`` (reference:
+``/root/reference/src/phd_qmclib/mrbp_qmc/{dmc,vmc}_cli.py``), each with
+two commands:
+
+* ``proc-template TEMPLATE [-o OUT] [-r]`` - render a Jinja2 template
+  (with the unit constants ``LKP/UE/ER/K_OPT`` in context) into a YAML
+  config with a dated, hostname-tagged filename.
+* ``start CONFIG`` - load a YAML/TOML config and execute its
+  ``app_spec`` procedures.
+"""
+import os
+import pathlib
+import socket
+from math import pi
+
+import click
+
+from .qmc_exec import cli_app, config
+from .utils import now
+
+__all__ = ["dmc_cli", "vmc_cli"]
+
+#: Template context variables (``mrbp_qmc/config.py:15-28``).
+TEMPLATE_VARS = {
+    "LKP": 1.0,
+    "UE": 1.0,
+    "ER": pi ** 2,
+    "K_OPT": pi,
+}
+
+config_path_type = click.Path(exists=True)
+output_path_type = click.Path(exists=False)
+
+#: Module-level loader singleton (``mrbp_qmc/dmc_exec/config.py:1-10``).
+loader = config.Loader()
+
+
+def gen_filename(prefix: str, ext: str = "yml") -> str:
+    """Dated, hostname-tagged config filename
+    (``mrbp_qmc/dmc_cli.py:67-81``)."""
+    now_ = now()
+    date_id = now_.strftime("%Y-%m-%d")
+    time_id = now_.strftime("%H-%M-%S.%fus")
+    hostname = socket.gethostname()
+    return f"{prefix}-conf_{date_id}_{time_id}@{hostname}.{ext}"
+
+
+def _make_cli(sampling_type: str, prefix: str):
+    @click.group()
+    def cli():
+        """CLI to execute a QMC calculation for a 1D Bose gas in a
+        multi-rod lattice (TPU-native)."""
+
+    @cli.command(name="proc-template")
+    @click.argument("template", type=config_path_type)
+    @click.option("-o", "--output", type=output_path_type, default=None)
+    @click.option("-r", "--replace", is_flag=True, default=False)
+    def proc_template(template: str, output: str = None,
+                      replace: bool = False):
+        """Process a template and generate a configuration file."""
+        tpl_path = pathlib.Path(template).absolute()
+        assert tpl_path.is_file()
+        output_path = pathlib.Path(output).absolute() if output \
+            else pathlib.Path(".").absolute()
+        if output_path.is_dir():
+            output_path /= gen_filename(prefix)
+        click.echo("Template path:")
+        click.echo(f"    {tpl_path}")
+        click.echo("Path to output configuration file:")
+        click.echo(f"    {output_path}")
+        if output_path.exists() and not replace:
+            raise IOError(f"file {output_path} exists")
+        os.makedirs(output_path.parent, exist_ok=True)
+        config_template = config.Template(tpl_path, vars=TEMPLATE_VARS)
+        config_template.save(output_path)
+        click.echo("Output file successfully saved")
+
+    @cli.command(name="start")
+    @click.argument("config_path", type=config_path_type)
+    def start(config_path: str):
+        """Start the QMC calculation from a configuration file."""
+        config_data = loader.load(config_path)
+        app = cli_app.CLIApp.from_config(config_data, sampling_type)
+        app.exec()
+
+    return cli
+
+
+dmc_cli = _make_cli("dmc", "mrbp-dmc")
+vmc_cli = _make_cli("vmc", "mrbp-vmc")
+
+if __name__ == "__main__":  # pragma: no cover
+    import sys
+
+    which = sys.argv[1] if len(sys.argv) > 1 else "dmc"
+    sys.argv = [sys.argv[0]] + sys.argv[2:]
+    (dmc_cli if which == "dmc" else vmc_cli)()

@@ -1,0 +1,146 @@
+"""Application layer: app specs, IO-handler dispatch, multi-procedure
+CLI runner.
+
+Reference: ``/root/reference/src/phd_qmclib/mrbp_qmc/dmc_exec/cli_app.py``
+and ``qmc_exec/cli_app.py``.  One config file holds ``meta`` plus one or
+more ``app_spec`` stanzas executed serially; each stanza wires a ``proc``
+to an input handler (fresh model configurations or an HDF5 restart) and
+an HDF5 output handler.
+"""
+import typing as t
+from dataclasses import dataclass
+
+from . import dmc as dmc_proc, io as io_mod, vmc as vmc_proc
+from .logging import exec_logger
+from .proc import MODEL_SYS_CONF_TYPE, ModelSysConfSpec
+
+__all__ = ["AppMeta", "AppSpec", "CLIApp", "get_io_handler"]
+
+
+def proc_cli_tags_converter(tag_or_tags) -> str:
+    """(``mrbp_qmc/dmc_exec/cli_app.py:124-134``)."""
+    if isinstance(tag_or_tags, str):
+        return tag_or_tags
+    return " - ".join("#" + str(tag) for tag in tag_or_tags)
+
+
+@dataclass(frozen=True)
+class AppMeta:
+    """Metadata of the application
+    (``mrbp_qmc/dmc_exec/cli_app.py:140-164``)."""
+    name: str = ""
+    description: str = ""
+    author: str = ""
+    author_email: str = ""
+    institution: str = ""
+    category: str = ""
+    tags: str = ""
+
+    @classmethod
+    def from_config(cls, config: t.Mapping):
+        config = dict(config)
+        if "tags" in config:
+            config["tags"] = proc_cli_tags_converter(config["tags"])
+        return cls(**config)
+
+
+def get_io_handler(config: t.Mapping, sampling_type: str):
+    """Dispatch an IO handler on the ``type`` tag
+    (``mrbp_qmc/dmc_exec/cli_app.py:233-249``)."""
+    handler_config = dict(config)
+    handler_type = handler_config["type"]
+    if handler_type == MODEL_SYS_CONF_TYPE:
+        handler_config.pop("type", None)
+        return ModelSysConfSpec(**handler_config)
+    if handler_type == io_mod.HDF5_FILE_TYPE:
+        cls = (io_mod.DmcHDF5FileHandler if sampling_type == "dmc"
+               else io_mod.VmcHDF5FileHandler)
+        return cls.from_config(handler_config)
+    raise TypeError(f"unknown handler type {handler_type}")
+
+
+@dataclass(frozen=True)
+class AppSpec:
+    """One procedure + its input and output handlers
+    (``mrbp_qmc/dmc_exec/cli_app.py:33-121``)."""
+    proc: t.Any
+    proc_input: t.Any
+    proc_output: io_mod.HDF5FileHandler
+    proc_id: t.Optional[int] = None
+    sampling_type: str = "dmc"
+
+    @classmethod
+    def from_config(cls, config: t.Mapping, sampling_type: str):
+        self_config = dict(config)
+        if "input" in self_config:
+            self_config["proc_input"] = self_config.pop("input")
+        if "output" in self_config:
+            self_config["proc_output"] = self_config.pop("output")
+
+        proc_cls = dmc_proc.Proc if sampling_type == "dmc" \
+            else vmc_proc.Proc
+        proc = proc_cls.from_config(self_config["proc"])
+        proc_id = self_config.get("proc_id", 0)
+        input_handler = get_io_handler(self_config["proc_input"],
+                                       sampling_type)
+        output_handler = get_io_handler(self_config["proc_output"],
+                                        sampling_type)
+        if not isinstance(output_handler, io_mod.HDF5FileHandler):
+            raise TypeError("only the HDF5_FILE is supported as output "
+                            "handler")
+        return cls(proc=proc, proc_input=input_handler,
+                   proc_output=output_handler, proc_id=proc_id,
+                   sampling_type=sampling_type)
+
+    def build_input(self):
+        proc_input_cls = dmc_proc.ProcInput \
+            if self.sampling_type == "dmc" else vmc_proc.ProcInput
+        if isinstance(self.proc_input, ModelSysConfSpec):
+            return proc_input_cls.from_model_sys_conf_spec(
+                self.proc_input, self.proc)
+        if isinstance(self.proc_input, io_mod.HDF5FileHandler):
+            proc_result = self.proc_input.load()
+            return proc_input_cls.from_result(proc_result, self.proc)
+        raise TypeError(f"invalid proc_input {self.proc_input!r}")
+
+    def exec(self, dump_output: bool = True):
+        proc_input = self.build_input()
+        proc_result = self.proc.exec(proc_input)
+        if dump_output:
+            self.proc_output.dump(proc_result)
+        return proc_result
+
+
+@dataclass(frozen=True)
+class CLIApp:
+    """Entry point executing a sequence of procedures
+    (``mrbp_qmc/dmc_exec/cli_app.py:167-230``)."""
+    meta: AppMeta
+    app_spec: t.Sequence[AppSpec]
+
+    @classmethod
+    def from_config(cls, config: t.Mapping, sampling_type: str):
+        self_config = dict(config.items())
+        app_meta = AppMeta.from_config(self_config.get("meta", {}))
+        app_spec_data = self_config.pop("app_spec")
+        app_spec_set = []
+        for proc_num, app_spec_config in enumerate(app_spec_data):
+            app_spec_config = dict(app_spec_config)
+            if app_spec_config.get("proc_id") is None:
+                app_spec_config["proc_id"] = proc_num
+            app_spec_set.append(
+                AppSpec.from_config(app_spec_config, sampling_type))
+        return cls(meta=app_meta, app_spec=app_spec_set)
+
+    def exec(self):
+        app_spec_set = self.app_spec
+        exec_logger.info("Starting the QMC calculations...")
+        exec_logger.info(f"Starting the execution of a set of "
+                         f"{len(app_spec_set)} QMC calculations...")
+        results = []
+        for proc_num, app_spec in enumerate(app_spec_set, 1):
+            exec_logger.info(f"Starting procedure ID{proc_num}...")
+            results.append(app_spec.exec())
+            exec_logger.info(f"Procedure ID{proc_num} completed.")
+        exec_logger.info("All the QMC calculations have completed.")
+        return results

@@ -1,0 +1,478 @@
+"""DMC results data model: weighted block statistics.
+
+Mirrors the reference data layer (``/root/reference/src/phd_qmclib/
+qmc_exec/data/dmc.py``): block totals feed mergeable reblocking tables;
+weighted means are ratios of reblocked totals with full covariance
+ratio-of-means error propagation; everything round-trips through HDF5
+groups with the reference's dataset layout.
+"""
+import typing as t
+from collections.abc import Mapping
+from dataclasses import dataclass
+
+import h5py
+import numpy as np
+
+from ...stats import reblock
+
+__all__ = [
+    "DensityBlocks",
+    "EnergyBlocks",
+    "NumWalkersBlocks",
+    "PropBlock",
+    "PropBlocks",
+    "PropsData",
+    "PropsDataBlocks",
+    "PropsDataSeries",
+    "SamplingData",
+    "SSFBlocks",
+    "SSFPartBlocks",
+    "UnWeightedPropBlocks",
+    "WeightBlocks",
+]
+
+#: S(k) accumulator slots (reference ``qmc_base/dmc.py:77-88``).
+FDK_SQR_ABS, FDK_REAL, FDK_IMAG = 0, 1, 2
+
+
+class PropsData(t.NamedTuple):
+    """Per-block (or per-step) DMC properties, host-side arrays."""
+    energy: np.ndarray
+    weight: np.ndarray
+    num_walkers: np.ndarray
+    ref_energy: np.ndarray
+    accum_energy: np.ndarray
+
+
+@dataclass(frozen=True)
+class PropBlock:
+    """A single block of data."""
+    total: float
+    weight: t.Optional[float] = None
+
+
+@dataclass(frozen=True)
+class PropBlocks(Mapping):
+    """A series of weighted data blocks.
+
+    ``mean = <O> / <W>`` over reblocked totals; the error uses the full
+    ratio-of-means covariance propagation (reference
+    ``qmc_exec/data/dmc.py:41-75``).
+    """
+    totals: np.ndarray
+    weight_totals: t.Optional[np.ndarray]
+
+    @property
+    def mean(self):
+        if self.weight_reblock is None:
+            return self.reblock.mean
+        return self.reblock.mean / self.weight_reblock.mean
+
+    @property
+    def mean_error(self):
+        ow_rbc = self.reblock
+        ow_mean = ow_rbc.mean
+        ow_var = ow_rbc.var
+        ow_eff_size = ow_rbc.eff_size
+        mean = self.mean
+
+        if self.weight_reblock is None:
+            w_mean, w_var = 1.0, 0.0
+            oww_mean = ow_mean
+            w_eff_size = 0.5
+            oww_eff_size = 0.5
+        else:
+            w_rbc = self.weight_reblock
+            oww_rbc = self.cross_weight_reblock
+            w_mean = w_rbc.mean
+            w_var = w_rbc.var
+            oww_mean = oww_rbc.mean
+            w_eff_size = w_rbc.eff_size
+            oww_eff_size = oww_rbc.eff_size
+
+        err_ow = ow_var / ow_mean ** 2
+        err_w = w_var / w_mean ** 2
+        err_oww = (oww_mean - ow_mean * w_mean) / (ow_mean * w_mean)
+        return np.abs(mean) * np.sqrt(err_ow / ow_eff_size
+                                      + err_w / w_eff_size
+                                      - 2 * err_oww / oww_eff_size)
+
+    @property
+    def reblock(self):
+        return reblock.OTFObject.from_non_obj_data(self.totals)
+
+    @property
+    def weight_reblock(self):
+        if self.weight_totals is None:
+            return None
+        return reblock.OTFObject.from_non_obj_data(self.weight_totals)
+
+    @property
+    def cross_weight_reblock(self):
+        if self.weight_totals is None:
+            return None
+        return reblock.OTFObject.from_non_obj_data(
+            self.totals * self.weight_totals)
+
+    def hdf5_export(self, group: h5py.Group):
+        group.create_dataset("totals", data=self.totals)
+        group.create_dataset("weight_totals", data=self.weight_totals)
+
+    @classmethod
+    def from_hdf5_data(cls, group: h5py.Group):
+        return cls(totals=group.get("totals")[()],
+                   weight_totals=group.get("weight_totals")[()])
+
+    def __getitem__(self, index):
+        if isinstance(index, tuple):
+            if len(index) > 1:
+                raise TypeError("only one-element tuples are allowed")
+        if isinstance(index, int):
+            return PropBlock(self.totals[index],
+                             weight=self.weight_totals[index])
+        return PropBlocks(self.totals[index], self.weight_totals[index])
+
+    def __len__(self) -> int:
+        return len(self.totals)
+
+    def __iter__(self):
+        for index, total in enumerate(self.totals):
+            yield PropBlock(total, weight=self.weight_totals[index])
+
+    def __add__(self, other):
+        """Concatenate with blocks from another (restarted) run."""
+        if not isinstance(other, PropBlocks):
+            return NotImplemented
+        try:
+            totals = np.concatenate([self.totals, other.totals], axis=0)
+        except ValueError as e:
+            raise ValueError("'totals' are incompatible between "
+                             "instances") from e
+        try:
+            weight_totals = np.concatenate(
+                [self.weight_totals, other.weight_totals], axis=0)
+        except ValueError as e:
+            raise ValueError("'weight_totals' are incompatible between "
+                             "instances") from e
+        return type(self)(totals, weight_totals)
+
+
+@dataclass(frozen=True)
+class UnWeightedPropBlocks(Mapping):
+    """A series of unweighted data blocks
+    (``qmc_exec/data/dmc.py:171-245``)."""
+    totals: np.ndarray
+
+    @property
+    def mean(self):
+        return self.reblock.mean
+
+    @property
+    def mean_error(self):
+        return self.reblock.mean_eff_error
+
+    @property
+    def reblock(self):
+        return reblock.OTFObject.from_non_obj_data(self.totals)
+
+    def hdf5_export(self, group: h5py.Group):
+        group.create_dataset("totals", data=self.totals)
+
+    @classmethod
+    def from_hdf5_data(cls, group: h5py.Group):
+        return cls(totals=group.get("totals")[()])
+
+    def __getitem__(self, index):
+        if isinstance(index, tuple):
+            if len(index) > 1:
+                raise TypeError("only one-element tuples are allowed")
+        if isinstance(index, int):
+            return PropBlock(self.totals[index])
+        return UnWeightedPropBlocks(self.totals[index])
+
+    def __len__(self) -> int:
+        return len(self.totals)
+
+    def __iter__(self):
+        for total in self.totals:
+            yield PropBlock(total)
+
+    def __add__(self, other):
+        if not isinstance(other, UnWeightedPropBlocks):
+            return NotImplemented
+        try:
+            totals = np.concatenate([self.totals, other.totals], axis=0)
+        except ValueError as e:
+            raise ValueError("'totals' are incompatible between "
+                             "instances") from e
+        return type(self)(totals)
+
+
+@dataclass(frozen=True)
+class NumWalkersBlocks(UnWeightedPropBlocks):
+    """Number-of-walkers data in blocks."""
+    totals: np.ndarray
+
+    @classmethod
+    def from_data(cls, data: PropsData, reduce_data: bool = True):
+        num_walkers = np.asarray(data.num_walkers)
+        totals = num_walkers.sum(axis=1) if reduce_data else num_walkers
+        return cls(totals)
+
+
+@dataclass(frozen=True)
+class WeightBlocks(UnWeightedPropBlocks):
+    """Weight data in blocks."""
+    totals: np.ndarray
+
+    @classmethod
+    def from_data(cls, data: PropsData, reduce_data: bool = True):
+        weight = np.asarray(data.weight)
+        totals = weight.sum(axis=1) if reduce_data else weight
+        return cls(totals)
+
+
+@dataclass(frozen=True)
+class EnergyBlocks(PropBlocks):
+    """Energy data in blocks (weighted by ensemble weights)."""
+    totals: np.ndarray
+    weight_totals: np.ndarray
+
+    @classmethod
+    def from_data(cls, data: PropsData, reduce_data: bool = True):
+        energy = np.asarray(data.energy)
+        weight = np.asarray(data.weight)
+        if reduce_data:
+            return cls(energy.sum(axis=1), weight.sum(axis=1))
+        return cls(energy, weight)
+
+
+def _pure_aware_totals(num_time_steps_block: int, est_data: np.ndarray,
+                       props_data: PropsData, reduce_data: bool,
+                       as_pure_est: bool,
+                       pure_est_reduce_factor: t.Optional[np.ndarray]):
+    """Shared estimator-totals logic (``qmc_exec/data/dmc.py:329-374``)."""
+    nts_block = num_time_steps_block
+    weight_data = np.asarray(props_data.weight)
+    est_data = np.asarray(est_data)
+    if not as_pure_est:
+        if reduce_data:
+            totals = est_data.sum(axis=1)
+            weight_totals = weight_data.sum(axis=1)
+        else:
+            totals = est_data
+            weight_totals = weight_data
+    else:
+        if reduce_data:
+            # Pure estimators are not reduced: take the final
+            # (fully-forward-walked) step of each block.
+            totals = est_data[:, nts_block - 1]
+            weight_totals = weight_data[:, nts_block - 1]
+        else:
+            totals = est_data
+            weight_totals = weight_data * pure_est_reduce_factor
+    return totals, weight_totals[..., np.newaxis]
+
+
+@dataclass(frozen=True)
+class DensityBlocks(PropBlocks):
+    """Density-profile data in blocks; one reblocking per bin."""
+    totals: np.ndarray
+    weight_totals: np.ndarray
+
+    @classmethod
+    def from_data(cls, num_time_steps_block: int, density_data: np.ndarray,
+                  props_data: PropsData, reduce_data: bool = True,
+                  as_pure_est: bool = True,
+                  pure_est_reduce_factor: np.ndarray = None):
+        totals, weight_totals = _pure_aware_totals(
+            num_time_steps_block, density_data, props_data, reduce_data,
+            as_pure_est, pure_est_reduce_factor)
+        return cls(totals, weight_totals)
+
+    @property
+    def reblock(self):
+        return reblock.OTFSet.from_non_obj_data(self.totals)
+
+    @property
+    def weight_reblock(self):
+        if self.weight_totals is None:
+            return None
+        return reblock.OTFSet.from_non_obj_data(self.weight_totals)
+
+    @property
+    def cross_weight_reblock(self):
+        if self.weight_totals is None:
+            return None
+        return reblock.OTFSet.from_non_obj_data(
+            self.totals * self.weight_totals)
+
+
+@dataclass(frozen=True)
+class SSFPartBlocks(DensityBlocks):
+    """One part (|rho_k|^2, Re, Im) of the S(k) data in blocks."""
+
+    @classmethod
+    def from_data(cls, num_time_steps_block: int, ssf_data: np.ndarray,
+                  props_data: PropsData, reduce_data: bool = True,
+                  as_pure_est: bool = True,
+                  pure_est_reduce_factor: np.ndarray = None):
+        totals, weight_totals = _pure_aware_totals(
+            num_time_steps_block, ssf_data, props_data, reduce_data,
+            as_pure_est, pure_est_reduce_factor)
+        return cls(totals, weight_totals)
+
+
+@dataclass(frozen=True)
+class SSFBlocks:
+    """Static structure factor blocks:
+    ``S(k) = <|rho_k|^2> - <Re rho_k>^2 - <Im rho_k>^2``
+    (``qmc_exec/data/dmc.py:477-621``)."""
+
+    fdk_sqr_abs_part: SSFPartBlocks
+    fdk_real_part: SSFPartBlocks
+    fdk_imag_part: SSFPartBlocks
+
+    @classmethod
+    def from_data(cls, num_time_steps_block: int, ssf_data: np.ndarray,
+                  props_data: PropsData, reduce_data: bool = True,
+                  as_pure_est: bool = True,
+                  pure_est_reduce_factor: np.ndarray = None):
+        totals, weight_totals = _pure_aware_totals(
+            num_time_steps_block, ssf_data, props_data, reduce_data,
+            as_pure_est, pure_est_reduce_factor)
+        return cls(
+            SSFPartBlocks(totals[..., FDK_SQR_ABS], weight_totals),
+            SSFPartBlocks(totals[..., FDK_REAL], weight_totals),
+            SSFPartBlocks(totals[..., FDK_IMAG], weight_totals))
+
+    @property
+    def mean(self):
+        return (self.fdk_sqr_abs_part.mean
+                - self.fdk_real_part.mean ** 2
+                - self.fdk_imag_part.mean ** 2)
+
+    @property
+    def mean_error(self):
+        return (self.fdk_sqr_abs_part.mean_error
+                + 2 * (np.abs(self.fdk_real_part.mean)
+                       * self.fdk_real_part.mean_error
+                       + np.abs(self.fdk_imag_part.mean)
+                       * self.fdk_imag_part.mean_error))
+
+    def hdf5_export(self, group: h5py.Group):
+        self.fdk_sqr_abs_part.hdf5_export(
+            group.require_group("fdk_sqr_abs"))
+        self.fdk_real_part.hdf5_export(group.require_group("fdk_real"))
+        self.fdk_imag_part.hdf5_export(group.require_group("fdk_imag"))
+
+    @classmethod
+    def from_hdf5_data(cls, group: h5py.Group):
+        return cls(
+            SSFPartBlocks.from_hdf5_data(group.get("fdk_sqr_abs")),
+            SSFPartBlocks.from_hdf5_data(group.get("fdk_real")),
+            SSFPartBlocks.from_hdf5_data(group.get("fdk_imag")))
+
+    def __add__(self, other):
+        if not isinstance(other, SSFBlocks):
+            return NotImplemented
+        return SSFBlocks(self.fdk_sqr_abs_part + other.fdk_sqr_abs_part,
+                         self.fdk_real_part + other.fdk_real_part,
+                         self.fdk_imag_part + other.fdk_imag_part)
+
+
+@dataclass(frozen=True)
+class PropsDataSeries:
+    """Full per-step data series (``keep_iter_data`` mode)."""
+    iter_props: PropsData  # arrays of shape (num_blocks, nts)
+    ssf: t.Optional[np.ndarray] = None
+    density: t.Optional[np.ndarray] = None
+
+    @property
+    def energy(self):
+        return np.asarray(self.iter_props.energy).reshape(-1)
+
+    @property
+    def weight(self):
+        return np.asarray(self.iter_props.weight).reshape(-1)
+
+    @property
+    def num_walkers(self):
+        return np.asarray(self.iter_props.num_walkers).reshape(-1)
+
+    @property
+    def ref_energy(self):
+        return np.asarray(self.iter_props.ref_energy).reshape(-1)
+
+    @property
+    def accum_energy(self):
+        return np.asarray(self.iter_props.accum_energy).reshape(-1)
+
+
+@dataclass(frozen=True)
+class PropsDataBlocks:
+    """Results of a DMC sampling grouped in block totals
+    (``qmc_exec/data/dmc.py:673-757``)."""
+    energy: EnergyBlocks
+    weight: WeightBlocks
+    num_walkers: NumWalkersBlocks
+    density: t.Optional[DensityBlocks] = None
+    ss_factor: t.Optional[SSFBlocks] = None
+
+    def hdf5_export(self, group: h5py.Group):
+        self.energy.hdf5_export(group.require_group("energy"))
+        self.weight.hdf5_export(group.require_group("weight"))
+        self.num_walkers.hdf5_export(group.require_group("num_walkers"))
+        if self.density is not None:
+            self.density.hdf5_export(group.require_group("density"))
+        if self.ss_factor is not None:
+            self.ss_factor.hdf5_export(group.require_group("ss_factor"))
+
+    @classmethod
+    def from_hdf5_data(cls, group: h5py.Group):
+        energy = EnergyBlocks.from_hdf5_data(group.get("energy"))
+        weight = WeightBlocks.from_hdf5_data(group.get("weight"))
+        num_walkers = NumWalkersBlocks.from_hdf5_data(
+            group.get("num_walkers"))
+        density_group = group.get("density")
+        density = DensityBlocks.from_hdf5_data(density_group) \
+            if density_group is not None else None
+        ssf_group = group.get("ss_factor")
+        ss_factor = SSFBlocks.from_hdf5_data(ssf_group) \
+            if ssf_group is not None else None
+        return cls(energy, weight, num_walkers, density, ss_factor)
+
+    def merge(self, other: "PropsDataBlocks") -> "PropsDataBlocks":
+        """Concatenate block data from a continuation run."""
+        if not isinstance(other, PropsDataBlocks):
+            raise TypeError("'other' must be an instance of "
+                            "'PropsDataBlocks'")
+        density = self.density
+        if density is None:
+            density = other.density
+        elif other.density is not None:
+            density = density + other.density
+        ssf = self.ss_factor
+        if ssf is None:
+            ssf = other.ss_factor
+        elif other.ss_factor is not None:
+            ssf = ssf + other.ss_factor
+        return PropsDataBlocks(self.energy + other.energy,
+                               self.weight + other.weight,
+                               self.num_walkers + other.num_walkers,
+                               density, ssf)
+
+
+@dataclass(frozen=True)
+class SamplingData:
+    """The data from a DMC sampling."""
+    blocks: PropsDataBlocks
+    series: t.Optional[PropsDataSeries] = None
+
+    def hdf5_export(self, group: h5py.Group):
+        self.blocks.hdf5_export(group.require_group("blocks"))
+
+    @classmethod
+    def from_hdf5_data(cls, group: h5py.Group):
+        return cls(PropsDataBlocks.from_hdf5_data(group.get("blocks")),
+                   series=None)

@@ -1,0 +1,233 @@
+"""VMC results data model: unweighted block statistics.
+
+Mirrors the reference (``/root/reference/src/phd_qmclib/qmc_exec/data/
+vmc.py``): VMC blocks carry unweighted means, S(k) uses the three-part
+decomposition ``S(k) = <|rho_k|^2> - <Re>^2 - <Im>^2``.
+"""
+import typing as t
+from collections.abc import Mapping
+from dataclasses import dataclass
+
+import h5py
+import numpy as np
+
+from ...stats import reblock
+
+__all__ = [
+    "EnergyBlocks",
+    "PropBlock",
+    "PropBlocks",
+    "PropsData",
+    "PropsDataBlocks",
+    "PropsDataSeries",
+    "SamplingData",
+    "SSFBlocks",
+    "SSFPartBlocks",
+]
+
+FDK_SQR_ABS, FDK_REAL, FDK_IMAG = 0, 1, 2
+
+
+class PropsData(t.NamedTuple):
+    """Per-block (or per-step) VMC properties, host-side arrays."""
+    wf_abs_log: np.ndarray
+    energy: np.ndarray
+    move_stat: np.ndarray
+
+
+@dataclass(frozen=True)
+class PropBlock:
+    total: float
+
+
+@dataclass(frozen=True)
+class PropBlocks(Mapping):
+    """A series of unweighted data blocks
+    (``qmc_exec/data/vmc.py:23-99``)."""
+    totals: np.ndarray
+
+    @property
+    def mean(self):
+        return self.reblock.mean
+
+    @property
+    def mean_error(self):
+        return self.reblock.mean_eff_error
+
+    @property
+    def reblock(self):
+        return reblock.OTFObject.from_non_obj_data(self.totals)
+
+    def hdf5_export(self, group: h5py.Group):
+        group.create_dataset("totals", data=self.totals)
+
+    @classmethod
+    def from_hdf5_data(cls, group: h5py.Group):
+        return cls(totals=group.get("totals")[()])
+
+    def __getitem__(self, index):
+        if isinstance(index, tuple):
+            if len(index) > 1:
+                raise TypeError("only one-element tuples are allowed")
+        if isinstance(index, int):
+            return PropBlock(self.totals[index])
+        return PropBlocks(self.totals[index])
+
+    def __len__(self):
+        return len(self.totals)
+
+    def __iter__(self):
+        for total in self.totals:
+            yield PropBlock(total)
+
+    def __add__(self, other):
+        if not isinstance(other, PropBlocks):
+            return NotImplemented
+        try:
+            totals = np.concatenate([self.totals, other.totals], axis=0)
+        except ValueError as e:
+            raise ValueError("'totals' are incompatible between "
+                             "instances") from e
+        return type(self)(totals)
+
+
+@dataclass(frozen=True)
+class EnergyBlocks(PropBlocks):
+    """Energy data in blocks (block means of step/walker means)."""
+    totals: np.ndarray
+
+    @classmethod
+    def from_data(cls, data: PropsData, reduce_data: bool = True):
+        energy = np.asarray(data.energy)
+        totals = energy.mean(axis=1) if reduce_data else energy
+        return cls(totals)
+
+
+@dataclass(frozen=True)
+class SSFPartBlocks(PropBlocks):
+    """One part of the S(k) data in blocks; one reblocking per mode."""
+    totals: np.ndarray
+
+    @classmethod
+    def from_data(cls, ssf_data: np.ndarray, reduce_data: bool = True):
+        ssf_data = np.asarray(ssf_data)
+        totals = ssf_data.mean(axis=1) if reduce_data else ssf_data
+        return cls(totals)
+
+    @property
+    def reblock(self):
+        return reblock.OTFSet.from_non_obj_data(self.totals)
+
+
+@dataclass(frozen=True)
+class SSFBlocks:
+    """Static structure factor blocks
+    (``qmc_exec/data/vmc.py:173-289``)."""
+    fdk_sqr_abs_part: SSFPartBlocks
+    fdk_real_part: SSFPartBlocks
+    fdk_imag_part: SSFPartBlocks
+
+    @classmethod
+    def from_data(cls, ssf_data: np.ndarray, reduce_data: bool = True):
+        ssf_data = np.asarray(ssf_data)
+        totals = ssf_data.mean(axis=1) if reduce_data else ssf_data
+        return cls(SSFPartBlocks(totals[..., FDK_SQR_ABS]),
+                   SSFPartBlocks(totals[..., FDK_REAL]),
+                   SSFPartBlocks(totals[..., FDK_IMAG]))
+
+    @property
+    def mean(self):
+        return (self.fdk_sqr_abs_part.mean
+                - self.fdk_real_part.mean ** 2
+                - self.fdk_imag_part.mean ** 2)
+
+    @property
+    def mean_error(self):
+        return (self.fdk_sqr_abs_part.mean_error
+                + 2 * (np.abs(self.fdk_real_part.mean)
+                       * self.fdk_real_part.mean_error
+                       + np.abs(self.fdk_imag_part.mean)
+                       * self.fdk_imag_part.mean_error))
+
+    def hdf5_export(self, group: h5py.Group):
+        self.fdk_sqr_abs_part.hdf5_export(
+            group.require_group("fdk_sqr_abs"))
+        self.fdk_real_part.hdf5_export(group.require_group("fdk_real"))
+        self.fdk_imag_part.hdf5_export(group.require_group("fdk_imag"))
+
+    @classmethod
+    def from_hdf5_data(cls, group: h5py.Group):
+        return cls(
+            SSFPartBlocks.from_hdf5_data(group.get("fdk_sqr_abs")),
+            SSFPartBlocks.from_hdf5_data(group.get("fdk_real")),
+            SSFPartBlocks.from_hdf5_data(group.get("fdk_imag")))
+
+    def __add__(self, other):
+        if not isinstance(other, SSFBlocks):
+            return NotImplemented
+        return SSFBlocks(self.fdk_sqr_abs_part + other.fdk_sqr_abs_part,
+                         self.fdk_real_part + other.fdk_real_part,
+                         self.fdk_imag_part + other.fdk_imag_part)
+
+
+@dataclass(frozen=True)
+class PropsDataSeries:
+    """Full per-step data series (``keep_iter_data`` mode)."""
+    iter_props: PropsData
+    ssf: t.Optional[np.ndarray] = None
+
+    @property
+    def energy(self):
+        return np.asarray(self.iter_props.energy).reshape(
+            -1, *np.asarray(self.iter_props.energy).shape[2:])
+
+    @property
+    def wf_abs_log(self):
+        return np.asarray(self.iter_props.wf_abs_log).reshape(
+            -1, *np.asarray(self.iter_props.wf_abs_log).shape[2:])
+
+
+@dataclass(frozen=True)
+class PropsDataBlocks:
+    """Results of a VMC sampling grouped in block totals."""
+    energy: EnergyBlocks
+    ss_factor: t.Optional[SSFBlocks] = None
+
+    def hdf5_export(self, group: h5py.Group):
+        self.energy.hdf5_export(group.require_group("energy"))
+        if self.ss_factor is not None:
+            self.ss_factor.hdf5_export(group.require_group("ss_factor"))
+
+    @classmethod
+    def from_hdf5_data(cls, group: h5py.Group):
+        energy = EnergyBlocks.from_hdf5_data(group.get("energy"))
+        ssf_group = group.get("ss_factor")
+        ss_factor = SSFBlocks.from_hdf5_data(ssf_group) \
+            if ssf_group is not None else None
+        return cls(energy, ss_factor)
+
+    def merge(self, other: "PropsDataBlocks") -> "PropsDataBlocks":
+        if not isinstance(other, PropsDataBlocks):
+            raise TypeError("'other' must be an instance of "
+                            "'PropsDataBlocks'")
+        ssf = self.ss_factor
+        if ssf is None:
+            ssf = other.ss_factor
+        elif other.ss_factor is not None:
+            ssf = ssf + other.ss_factor
+        return PropsDataBlocks(self.energy + other.energy, ssf)
+
+
+@dataclass(frozen=True)
+class SamplingData:
+    """The data from a VMC sampling."""
+    blocks: PropsDataBlocks
+    series: t.Optional[PropsDataSeries] = None
+
+    def hdf5_export(self, group: h5py.Group):
+        self.blocks.hdf5_export(group.require_group("blocks"))
+
+    @classmethod
+    def from_hdf5_data(cls, group: h5py.Group):
+        return cls(PropsDataBlocks.from_hdf5_data(group.get("blocks")),
+                   series=None)

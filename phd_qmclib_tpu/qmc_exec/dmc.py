@@ -1,0 +1,377 @@
+"""DMC procedure: the production driver loop.
+
+Combines the reference's model-agnostic driver
+(``/root/reference/src/phd_qmclib/qmc_exec/dmc/proc.py``) with its
+concrete mrbp binding (``mrbp_qmc/dmc_exec/proc.py``): burn-in stage,
+per-block accumulation (full series or reduced totals), pure-estimator
+reduction factors, and packaging into the block-statistics data model.
+"""
+import typing as t
+import warnings
+from dataclasses import dataclass, replace
+from functools import cached_property
+
+import numpy as np
+
+from ..models import mrbp
+from ..samplers import dmc as dmc_sampler
+from . import proc as proc_base
+from .data import dmc as dmc_data
+from .logging import exec_logger
+from ..constants import ER
+
+__all__ = [
+    "DensityEstSpec",
+    "ModelSysConfSpec",
+    "Proc",
+    "ProcInput",
+    "ProcResult",
+    "SSFEstSpec",
+]
+
+DensityEstSpec = proc_base.DensityEstSpec
+SSFEstSpec = proc_base.SSFEstSpec
+ModelSysConfSpec = proc_base.ModelSysConfSpec
+
+
+@dataclass(frozen=True)
+class ProcInput(proc_base.ProcInput):
+    """Input for the DMC procedure: an initial DMC state."""
+    state: dmc_sampler.State
+
+    @classmethod
+    def from_model_sys_conf_spec(cls, sys_conf_spec: ModelSysConfSpec,
+                                 proc: "Proc"):
+        """Fresh input from model-generated configurations
+        (``mrbp_qmc/dmc_exec/proc.py:107-129``)."""
+        model_spec = proc.model_spec
+        dist_type = mrbp.SysConfDistType[sys_conf_spec.dist_type]
+        num_sys_conf = sys_conf_spec.num_sys_conf or proc.target_num_walkers
+        rng = np.random.default_rng(proc.rng_seed)
+        sys_conf_set = np.stack([
+            model_spec.init_get_sys_conf(dist_type=dist_type, rng=rng)
+            for _ in range(num_sys_conf)])
+        state = proc.sampling.build_state(sys_conf_set,
+                                          dtype=np.dtype(proc.dtype))
+        return cls(state)
+
+    @classmethod
+    def from_result(cls, proc_result: "ProcResult", proc: "Proc"):
+        return cls(proc_result.state)
+
+
+@dataclass(frozen=True)
+class ProcResult(proc_base.ProcResult):
+    """Result of the DMC procedure."""
+    state: dmc_sampler.State
+    proc: "Proc"
+    data: t.Optional[dmc_data.SamplingData] = None
+
+
+@dataclass(frozen=True)
+class Proc(proc_base.Proc):
+    """DMC sampling procedure (defaults follow
+    ``mrbp_qmc/dmc_exec/proc.py:161-217``)."""
+
+    model_spec: mrbp.Spec
+    time_step: float
+    max_num_walkers: int = 512
+    target_num_walkers: int = 480
+    num_walkers_control_factor: t.Optional[float] = 0.5
+    rng_seed: t.Optional[int] = None
+    num_blocks: int = 512
+    num_time_steps_block: int = 512
+    burn_in_blocks: t.Optional[int] = None
+    keep_iter_data: bool = False
+    density_spec: t.Optional[DensityEstSpec] = None
+    ssf_spec: t.Optional[SSFEstSpec] = None
+    #: Compute dtype on device ("float32" for TPU, "float64" on CPU).
+    dtype: str = "float32"
+    verbose: bool = False
+
+    def __post_init__(self):
+        # Field converters (the reference uses attrs converters,
+        # ``mrbp_qmc/dmc_exec/proc.py:164-196``; they also absorb YAML
+        # 1.1 scalars like "1e-3" parsed as strings).
+        _set = object.__setattr__
+        _set(self, "time_step", float(self.time_step))
+        _set(self, "max_num_walkers", int(self.max_num_walkers))
+        _set(self, "target_num_walkers", int(self.target_num_walkers))
+        if self.num_walkers_control_factor is not None:
+            _set(self, "num_walkers_control_factor",
+                 float(self.num_walkers_control_factor))
+        if self.rng_seed is not None:
+            _set(self, "rng_seed", int(self.rng_seed))
+        _set(self, "num_blocks", int(self.num_blocks))
+        _set(self, "num_time_steps_block", int(self.num_time_steps_block))
+        _set(self, "keep_iter_data", bool(self.keep_iter_data))
+        if self.burn_in_blocks is None:
+            object.__setattr__(self, "burn_in_blocks",
+                               max(1, self.num_blocks // 8))
+        else:
+            _set(self, "burn_in_blocks", int(self.burn_in_blocks))
+
+    # -- config plumbing -----------------------------------------------------
+
+    @classmethod
+    def from_config(cls, config: t.Mapping) -> "Proc":
+        """Build from a config mapping, honoring the reference's
+        deprecated aliases (``mrbp_qmc/dmc_exec/proc.py:223-293``)."""
+        self_config = dict(config)
+        for old, new in (("num_batches", "num_blocks"),
+                         ("num_time_steps_batch", "num_time_steps_block"),
+                         ("burn_in_batches", "burn_in_blocks")):
+            if old in self_config:
+                warnings.warn(f"{old} attribute is deprecated, use {new} "
+                              f"instead", DeprecationWarning)
+                self_config[new] = self_config.pop(old)
+        # numba-specific knobs accepted and ignored for config compat.
+        for numba_only in ("jit_parallel", "jit_fastmath", "parallel",
+                           "fastmath"):
+            self_config.pop(numba_only, None)
+
+        model_spec = mrbp.Spec(**self_config.pop("model_spec"))
+        density_config = self_config.pop("density_spec", None)
+        density_spec = DensityEstSpec(**density_config) \
+            if density_config is not None else None
+        ssf_config = self_config.pop("ssf_spec", None)
+        if ssf_config is not None:
+            ssf_config = dict(ssf_config)
+            ssf_config.pop("pfw_num_time_steps", None)
+            ssf_spec = SSFEstSpec(**ssf_config)
+        else:
+            ssf_spec = None
+        return cls(model_spec=model_spec, density_spec=density_spec,
+                   ssf_spec=ssf_spec, **self_config)
+
+    def as_config(self) -> dict:
+        config = {
+            "model_spec": {
+                "lattice_depth": self.model_spec.lattice_depth,
+                "lattice_ratio": self.model_spec.lattice_ratio,
+                "interaction_strength":
+                    self.model_spec.interaction_strength,
+                "boson_number": self.model_spec.boson_number,
+                "supercell_size": self.model_spec.supercell_size,
+                "tbf_contact_cutoff": self.model_spec.tbf_contact_cutoff,
+                "num_defects": self.model_spec.num_defects,
+                "defect_magnitude": self.model_spec.defect_magnitude,
+            },
+            "time_step": self.time_step,
+            "max_num_walkers": self.max_num_walkers,
+            "target_num_walkers": self.target_num_walkers,
+            "num_walkers_control_factor": self.num_walkers_control_factor,
+            "rng_seed": self.rng_seed,
+            "num_blocks": self.num_blocks,
+            "num_time_steps_block": self.num_time_steps_block,
+            "burn_in_blocks": self.burn_in_blocks,
+            "keep_iter_data": self.keep_iter_data,
+            "dtype": self.dtype,
+        }
+        if self.density_spec is not None:
+            config["density_spec"] = {
+                "num_bins": self.density_spec.num_bins,
+                "as_pure_est": self.density_spec.as_pure_est,
+            }
+        if self.ssf_spec is not None:
+            config["ssf_spec"] = {
+                "num_modes": self.ssf_spec.num_modes,
+                "as_pure_est": self.ssf_spec.as_pure_est,
+            }
+        return {k: v for k, v in config.items() if v is not None}
+
+    def evolve(self, config: t.Mapping) -> "Proc":
+        """A new Proc with updated fields - for continuation runs
+        (``mrbp_qmc/dmc_exec/proc.py:302-329``)."""
+        self_config = dict(config)
+        model_spec = self.model_spec
+        model_spec_config = self_config.pop("model_spec", None)
+        if model_spec_config is not None:
+            model_spec = model_spec.evolve(**model_spec_config)
+        ssf_spec = self.ssf_spec
+        ssf_config = self_config.pop("ssf_spec", None)
+        if ssf_config is not None:
+            ssf_spec = SSFEstSpec(**ssf_config) if ssf_spec is None \
+                else replace(ssf_spec, **ssf_config)
+        return replace(self, model_spec=model_spec, ssf_spec=ssf_spec,
+                       **self_config)
+
+    # -- sampling ------------------------------------------------------------
+
+    @cached_property
+    def sampling(self) -> dmc_sampler.Sampling:
+        """The bound sampler; the pure-estimator forward-walking window
+        is one block (``mrbp_qmc/dmc_exec/proc.py:331-365``)."""
+        pfw_num_time_steps = self.num_time_steps_block
+        density_est_spec = dmc_sampler.DensityEstSpec(
+            self.density_spec.num_bins, self.density_spec.as_pure_est,
+            pfw_num_time_steps) if self.should_eval_density else None
+        ssf_est_spec = dmc_sampler.SSFEstSpec(
+            self.ssf_spec.num_modes, self.ssf_spec.as_pure_est,
+            pfw_num_time_steps) if self.should_eval_ssf else None
+        return dmc_sampler.Sampling(
+            self.model_spec, self.time_step, self.max_num_walkers,
+            self.target_num_walkers, self.num_walkers_control_factor,
+            self.rng_seed, density_est_spec=density_est_spec,
+            ssf_est_spec=ssf_est_spec)
+
+    def describe_model_spec(self):
+        spec = self.model_spec
+        exec_logger.info("Multi-Rods system parameters:")
+        exec_logger.info(f"* Lattice depth: {spec.lattice_depth / ER:.3G} ER")
+        exec_logger.info(f"* Lattice ratio: {spec.lattice_ratio:.3G}")
+        exec_logger.info(
+            f"* Interaction strength: "
+            f"{spec.interaction_strength / ER:.3G} ER")
+        exec_logger.info(f"* Number of bosons: {spec.boson_number:d}")
+        exec_logger.info(f"* Supercell size: {spec.supercell_size:.3G} LKP")
+        exec_logger.info("* Variational parameters:")
+        exec_logger.info(f"  * RM: {spec.tbf_contact_cutoff:.3G} LKP")
+
+    def describe_sampling(self):
+        exec_logger.info(
+            f"Using an imaginary time step of {self.time_step}...")
+        exec_logger.info(f"Sampling {self.num_blocks} blocks of steps...")
+        exec_logger.info(
+            f"Sampling {self.num_time_steps_block} steps per block...")
+        exec_logger.info(
+            f"The first {self.burn_in_blocks} blocks of the sampling "
+            f"will be discarded for statistics...")
+        exec_logger.info(
+            f"Targeting an average of {self.target_num_walkers} random "
+            f"walkers, with a maximum number of "
+            f"{self.max_num_walkers} walkers...")
+
+    def build_result(self, state: dmc_sampler.State,
+                     sampling_data: dmc_data.SamplingData) -> ProcResult:
+        return ProcResult(state, self, sampling_data)
+
+    # -- the driver loop -------------------------------------------------------
+
+    def exec(self, proc_input: ProcInput) -> ProcResult:
+        """Run the DMC sampling (reference driver:
+        ``qmc_exec/dmc/proc.py:136-415``)."""
+        num_blocks = self.num_blocks
+        nts_block = self.num_time_steps_block
+        burn_in_blocks = self.burn_in_blocks
+        keep_iter_data = self.keep_iter_data
+        should_eval_density = self.should_eval_density
+        should_eval_ssf = self.should_eval_ssf
+
+        if not isinstance(proc_input, ProcInput):
+            raise proc_base.ProcInputError(
+                "the input data for the DMC procedure is not valid")
+
+        exec_logger.info("Starting DMC sampling...")
+        self.describe_model_spec()
+        self.describe_sampling()
+
+        sampling = self.sampling
+        blocks_iter = sampling.blocks(proc_input.state, nts_block,
+                                      burn_in_blocks)
+
+        if burn_in_blocks:
+            exec_logger.info("Computing DMC burn-in stage...")
+            for _ in range(burn_in_blocks):
+                next(blocks_iter)
+            exec_logger.info("Burn-in stage completed.")
+        else:
+            exec_logger.info("No burn-in blocks requested.")
+
+        # Accumulators shaped by keep_iter_data
+        # (``qmc_exec/dmc/proc.py:202-255``).
+        shape = (num_blocks, nts_block) if keep_iter_data else (num_blocks,)
+        props = {name: np.zeros(shape) for name in
+                 ("energy", "weight", "num_walkers", "ref_energy",
+                  "accum_energy")}
+        density_blocks_data = None
+        ssf_blocks_data = None
+        if should_eval_density:
+            num_bins = self.density_spec.num_bins
+            density_shape = shape + (num_bins,)
+            density_blocks_data = np.zeros(density_shape)
+        if should_eval_ssf:
+            num_modes = self.ssf_spec.num_modes
+            ssf_shape = shape + (num_modes, 3)
+            ssf_blocks_data = np.zeros(ssf_shape)
+        pure_est_reduce_factor = np.ones(num_blocks)
+
+        exec_logger.info("Starting the evaluation of estimators...")
+        block_data = None
+        for block_idx in range(num_blocks):
+            block_data = next(blocks_iter)
+            bp = block_data.iter_props
+            energy = np.asarray(bp.energy, dtype=np.float64)
+            weight = np.asarray(bp.weight, dtype=np.float64)
+            num_walkers = np.asarray(bp.num_walkers, dtype=np.float64)
+            ref_energy = np.asarray(bp.ref_energy, dtype=np.float64)
+            accum_energy = np.asarray(bp.accum_energy, dtype=np.float64)
+
+            if keep_iter_data:
+                props["energy"][block_idx] = energy
+                props["weight"][block_idx] = weight
+                props["num_walkers"][block_idx] = num_walkers
+                props["ref_energy"][block_idx] = ref_energy
+                props["accum_energy"][block_idx] = accum_energy
+                if should_eval_density:
+                    density_blocks_data[block_idx] = np.asarray(
+                        block_data.iter_density)
+                if should_eval_ssf:
+                    ssf_blocks_data[block_idx] = np.asarray(
+                        block_data.iter_ssf)
+            else:
+                weight_sum = weight.sum()
+                props["energy"][block_idx] = energy.sum()
+                props["weight"][block_idx] = weight_sum
+                props["num_walkers"][block_idx] = num_walkers.sum()
+                props["ref_energy"][block_idx] = ref_energy[-1]
+                props["accum_energy"][block_idx] = accum_energy[-1]
+                pure_est_reduce_factor[block_idx] = \
+                    num_walkers[nts_block - 1] / weight_sum
+                if should_eval_density:
+                    iter_density = np.asarray(block_data.iter_density,
+                                              dtype=np.float64)
+                    density_blocks_data[block_idx] = (
+                        iter_density[nts_block - 1]
+                        if self.density_spec.as_pure_est
+                        else iter_density.sum(axis=0))
+                if should_eval_ssf:
+                    iter_ssf = np.asarray(block_data.iter_ssf,
+                                          dtype=np.float64)
+                    ssf_blocks_data[block_idx] = (
+                        iter_ssf[nts_block - 1]
+                        if self.ssf_spec.as_pure_est
+                        else iter_ssf.sum(axis=0))
+
+        exec_logger.info("Evaluation of estimators completed.")
+        exec_logger.info("DMC sampling completed.")
+
+        last_state = block_data.last_state if block_data is not None \
+            else proc_input.state
+
+        props_data = dmc_data.PropsData(**props)
+        reduce_data = bool(keep_iter_data)
+
+        energy_blocks = dmc_data.EnergyBlocks.from_data(props_data,
+                                                        reduce_data)
+        weight_blocks = dmc_data.WeightBlocks.from_data(props_data,
+                                                        reduce_data)
+        num_walkers_blocks = dmc_data.NumWalkersBlocks.from_data(
+            props_data, reduce_data)
+        density_blocks = dmc_data.DensityBlocks.from_data(
+            nts_block, density_blocks_data, props_data, reduce_data,
+            self.density_spec.as_pure_est, pure_est_reduce_factor) \
+            if should_eval_density else None
+        ssf_blocks = dmc_data.SSFBlocks.from_data(
+            nts_block, ssf_blocks_data, props_data, reduce_data,
+            self.ssf_spec.as_pure_est, pure_est_reduce_factor) \
+            if should_eval_ssf else None
+
+        data_blocks = dmc_data.PropsDataBlocks(
+            energy_blocks, weight_blocks, num_walkers_blocks,
+            density_blocks, ssf_blocks)
+        data_series = dmc_data.PropsDataSeries(
+            props_data, ssf_blocks_data, density_blocks_data) \
+            if keep_iter_data else None
+        sampling_data = dmc_data.SamplingData(data_blocks, data_series)
+        return self.build_result(last_state, sampling_data)

@@ -1,0 +1,119 @@
+"""Abstract QMC procedure lifecycle.
+
+Mirrors the reference L4 driver contracts
+(``/root/reference/src/phd_qmclib/qmc_exec/proc.py``).  The reference
+splits a model-agnostic layer (L4) from concrete mrbp bindings (L5,
+``mrbp_qmc/{vmc,dmc}_exec``); here both collapse into
+``qmc_exec.{vmc,dmc}`` because the genericity already lives in the
+model-kernel factory (``models/jastrow.py``) - there is no numba
+indirection to hide behind an extra layer.
+"""
+import typing as t
+from abc import ABCMeta, abstractmethod
+from dataclasses import dataclass
+
+__all__ = [
+    "DensityEstSpec",
+    "ModelSysConfSpec",
+    "Proc",
+    "ProcInput",
+    "ProcInputError",
+    "ProcResult",
+    "SSFEstSpec",
+]
+
+#: Type tag for model-generated inputs (reference
+#: ``mrbp_qmc/dmc_exec/proc.py:20``).
+MODEL_SYS_CONF_TYPE = "MODEL_SYS_CONF"
+
+
+@dataclass(frozen=True)
+class ModelSysConfSpec:
+    """Spec to build fresh inputs from model configurations
+    (``qmc_exec/proc.py:17-24``)."""
+    dist_type: str = "RANDOM"
+    num_sys_conf: t.Optional[int] = None
+    type: str = MODEL_SYS_CONF_TYPE
+
+    @classmethod
+    def from_config(cls, config: t.Mapping):
+        return cls(**dict(config))
+
+
+@dataclass(frozen=True)
+class DensityEstSpec:
+    """Density estimator config (``mrbp_qmc/dmc_exec/proc.py:70-79``)."""
+    num_bins: int
+    as_pure_est: bool = True
+
+
+@dataclass(frozen=True)
+class SSFEstSpec:
+    """S(k) estimator config (``mrbp_qmc/dmc_exec/proc.py:82-91``)."""
+    num_modes: int
+    as_pure_est: bool = True
+
+
+class ProcInputError(ValueError):
+    """Flags an invalid input for a QMC procedure."""
+
+
+class ProcInput(metaclass=ABCMeta):
+    """Input of a QMC procedure: a sampler state."""
+    state: t.Any
+
+    @classmethod
+    @abstractmethod
+    def from_model_sys_conf_spec(cls, sys_conf_spec: ModelSysConfSpec,
+                                 proc: "Proc"):
+        ...
+
+    @classmethod
+    @abstractmethod
+    def from_result(cls, proc_result: "ProcResult", proc: "Proc"):
+        ...
+
+
+class ProcResult(metaclass=ABCMeta):
+    """Result of a QMC procedure: last state + proc + data."""
+    state: t.Any
+    proc: "Proc"
+    data: t.Any
+
+
+class Proc(metaclass=ABCMeta):
+    """QMC procedure spec and driver (``qmc_exec/proc.py:70-139``)."""
+
+    @classmethod
+    @abstractmethod
+    def from_config(cls, config: t.Mapping):
+        ...
+
+    @abstractmethod
+    def as_config(self) -> dict:
+        """The procedure as a plain config mapping."""
+        ...
+
+    @property
+    def should_eval_density(self) -> bool:
+        return getattr(self, "density_spec", None) is not None
+
+    @property
+    def should_eval_ssf(self) -> bool:
+        return getattr(self, "ssf_spec", None) is not None
+
+    @abstractmethod
+    def describe_model_spec(self):
+        ...
+
+    @abstractmethod
+    def build_result(self, state, sampling_data) -> ProcResult:
+        ...
+
+    def checkpoint(self):
+        """Mid-procedure checkpoint hook (stub in the reference,
+        ``qmc_exec/proc.py:127-129``)."""
+
+    @abstractmethod
+    def exec(self, proc_input: ProcInput) -> ProcResult:
+        ...

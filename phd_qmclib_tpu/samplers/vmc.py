@@ -234,6 +234,13 @@ class Sampling:
             raise ValueError("num_steps_block must be nonzero and positive")
         base_key = jax.random.PRNGKey(self.rng_seed)
         state = ini_state
+        if self.ssf_est_spec is not None and state.ssf_parts is None:
+            # A state built/loaded without S(k) data: compute the parts.
+            cfc0 = self._cast_params(state.pos.dtype)
+            momenta = jnp.asarray(self.ssf_momenta, dtype=state.pos.dtype)
+            parts = self.core_funcs.fourier_density_parts(
+                momenta, state.pos, cfc0)
+            state = state._replace(ssf_parts=parts)
         cfc = self._cast_params(ini_state.pos.dtype)
         move_spread = jnp.asarray(self.move_spread,
                                   dtype=ini_state.pos.dtype)

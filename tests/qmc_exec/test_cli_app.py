@@ -1,0 +1,163 @@
+"""Config/CLI tests: YAML+TOML app specs parsed and executed, template
+rendering, CLI invocation (reference pattern:
+``/root/reference/tests/mrbp_qmc/test_dmc_exec_cli_app.py``).
+"""
+import pathlib
+import shutil
+
+import h5py
+import pytest
+import yaml
+from click.testing import CliRunner
+
+from phd_qmclib_tpu import mrbp_cli
+from phd_qmclib_tpu.qmc_exec import cli_app
+from phd_qmclib_tpu.qmc_exec.config import Loader, Template
+
+FIXTURES = pathlib.Path(__file__).parent / "fixtures"
+
+
+@pytest.fixture()
+def workdir(tmp_path):
+    shutil.copy(FIXTURES / "dmc-cli-app-spec.yml", tmp_path)
+    shutil.copy(FIXTURES / "dmc-template.yml.j2", tmp_path)
+    return tmp_path
+
+
+class TestLoader:
+
+    def test_yaml_load_and_path_fixing(self, workdir):
+        config = Loader().load(workdir / "dmc-cli-app-spec.yml")
+        app_spec = config["app_spec"][0]
+        # Relative output location resolved against the config dir.
+        assert app_spec["proc_output"]["location"].startswith(str(workdir))
+
+    def test_toml_load(self, workdir):
+        # The same schema as TOML.
+        config = Loader().load(workdir / "dmc-cli-app-spec.yml")
+        app = config["app_spec"][0]
+        toml_text = f"""
+[meta]
+name = "toml test"
+description = "d"
+author = "a"
+author_email = "e"
+institution = "i"
+category = "c"
+tags = ["t"]
+
+[[app_spec]]
+proc_id = 7
+
+[app_spec.proc]
+time_step = 1e-3
+num_blocks = 2
+num_time_steps_block = 8
+burn_in_blocks = 0
+max_num_walkers = 32
+target_num_walkers = 24
+dtype = "float64"
+
+[app_spec.proc.model_spec]
+lattice_depth = 10
+lattice_ratio = 1
+interaction_strength = 1.0
+boson_number = 5
+supercell_size = 5.0
+tbf_contact_cutoff = 0.3
+
+[app_spec.proc_input]
+type = "MODEL_SYS_CONF"
+dist_type = "RANDOM"
+
+[app_spec.proc_output]
+type = "HDF5_FILE"
+location = "./toml-out.h5"
+group = "dmc"
+"""
+        toml_path = workdir / "spec.toml"
+        toml_path.write_text(toml_text)
+        config = Loader().load(toml_path)
+        assert config["app_spec"][0]["proc_id"] == 7
+        app = cli_app.CLIApp.from_config(config, "dmc")
+        assert app.app_spec[0].proc.num_blocks == 2
+
+    def test_legacy_main_proc_set_key(self, workdir):
+        raw = yaml.safe_load((workdir / "dmc-cli-app-spec.yml").read_text())
+        raw["main_proc_set"] = raw.pop("app_spec")
+        legacy = workdir / "legacy.yml"
+        legacy.write_text(yaml.safe_dump(raw))
+        config = Loader().load(legacy)
+        assert "app_spec" in config
+
+
+class TestCLIApp:
+
+    def test_from_config_and_exec(self, workdir):
+        config = Loader().load(workdir / "dmc-cli-app-spec.yml")
+        with pytest.warns(DeprecationWarning):
+            app = cli_app.CLIApp.from_config(config, "dmc")
+        assert app.meta.tags == "#qmc - #dmc - #multi-rods"
+        spec = app.app_spec[0]
+        assert spec.proc_id == 101
+        assert spec.proc.num_blocks == 4
+
+        results = app.exec()
+        out_file = workdir / "test-out-file.h5"
+        assert out_file.exists()
+        with h5py.File(out_file, "r") as fp:
+            assert "dmc-proc-ID0/dmc/state" in fp
+            assert "dmc-proc-ID0/dmc/data/blocks/energy/totals" in fp
+        assert len(results) == 1
+
+    def test_restart_from_hdf5_input(self, workdir):
+        config = Loader().load(workdir / "dmc-cli-app-spec.yml")
+        with pytest.warns(DeprecationWarning):
+            app = cli_app.CLIApp.from_config(config, "dmc")
+        app.exec()
+        # Second app: input from the produced HDF5 file.
+        raw = yaml.safe_load((workdir / "dmc-cli-app-spec.yml").read_text())
+        stanza = raw["app_spec"][0]
+        stanza["proc_input"] = {
+            "type": "HDF5_FILE",
+            "location": "./test-out-file.h5",
+            "group": "dmc-proc-ID0",
+        }
+        stanza["proc_output"]["location"] = "./restart-out.h5"
+        restart_yml = workdir / "restart.yml"
+        restart_yml.write_text(yaml.safe_dump(raw))
+        config2 = Loader().load(restart_yml)
+        with pytest.warns(DeprecationWarning):
+            app2 = cli_app.CLIApp.from_config(config2, "dmc")
+        app2.exec()
+        assert (workdir / "restart-out.h5").exists()
+
+
+class TestCLI:
+
+    def test_proc_template_and_start(self, workdir, monkeypatch):
+        monkeypatch.chdir(workdir)
+        runner = CliRunner()
+        result = runner.invoke(
+            mrbp_cli.dmc_cli,
+            ["proc-template", "dmc-template.yml.j2", "-o", "run.yml"])
+        assert result.exit_code == 0, result.output
+        rendered = yaml.safe_load((workdir / "run.yml").read_text())
+        # Unit constants were substituted.
+        assert rendered["app_spec"][0]["proc"]["model_spec"][
+            "lattice_depth"] == pytest.approx(9.8696, rel=1e-4)
+
+        result = runner.invoke(mrbp_cli.dmc_cli, ["start", "run.yml"])
+        assert result.exit_code == 0, result.output
+        assert (workdir / "run.h5").exists()
+
+
+class TestTemplate:
+
+    def test_render_context(self, workdir):
+        tpl = Template(workdir / "dmc-template.yml.j2",
+                       vars=mrbp_cli.TEMPLATE_VARS)
+        text = tpl.render(dict(mrbp_cli.TEMPLATE_VARS,
+                               template_name="t", config_filename="c"))
+        data = yaml.safe_load(text)
+        assert data["app_spec"][0]["proc_output"]["location"] == "./c.h5"
