@@ -1,0 +1,106 @@
+"""Headline benchmark: DMC walker-steps/sec/chip, mrbp model, N=128.
+
+Prints ONE JSON line:
+``{"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}``.
+
+Baseline: the reference (oarodriguez/PhD-QMCLib) publishes no numbers
+and its numba stack is unavailable in this image, so the baseline is the
+measured CPU reference proxy (``benchmarks/cpu_reference_proxy.py``,
+same algorithm in vectorized NumPy: 79.7 walker-steps/s/core at N=128 on
+the host Xeon) scaled by a generous 32-core workstation:
+``32 * 79.66 = 2549 walker-steps/s``.  See BASELINE.md.
+"""
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+#: Reference CPU estimate (walker-steps/s, N=128): measured proxy
+#: 79.66 ws/s/core (this host) x 32 assumed cores.  See BASELINE.md.
+REFERENCE_CPU_WALKER_STEPS_PER_SEC = 32 * 79.66
+
+
+def run_bench(nop: int, target: int, max_w: int, nts: int,
+              timed_blocks: int, burn_blocks: int = 1,
+              check_energy: bool = False):
+    import jax
+
+    from phd_qmclib_tpu.models import mrbp
+    from phd_qmclib_tpu.samplers import dmc
+
+    spec = mrbp.Spec(lattice_depth=20.0, lattice_ratio=1.0,
+                     interaction_strength=1.0, boson_number=nop,
+                     supercell_size=float(nop), tbf_contact_cutoff=0.4)
+    sampling = dmc.Sampling(spec, time_step=1e-3, max_num_walkers=max_w,
+                            target_num_walkers=target, rng_seed=1)
+    rng = np.random.default_rng(0)
+    confs = np.stack([spec.init_get_sys_conf(rng=rng)
+                      for _ in range(target)]).astype(np.float32)
+    state = sampling.build_state(confs, dtype=np.float32)
+
+    blocks = sampling.blocks(state, num_time_steps_block=nts,
+                             burn_in_blocks=0)
+    # Warm-up/burn-in blocks (includes compilation).
+    for _ in range(burn_blocks):
+        block = next(blocks)
+    jax.block_until_ready(block.last_state.pos)
+
+    t0 = time.perf_counter()
+    total_wsteps = 0.0
+    e_over_w = []
+    for _ in range(timed_blocks):
+        block = next(blocks)
+        nw = np.asarray(block.iter_props.num_walkers, dtype=np.float64)
+        total_wsteps += float(nw.sum())
+        if check_energy:
+            e_over_w.append(
+                float(np.asarray(block.iter_props.energy,
+                                 dtype=np.float64).sum())
+                / float(np.asarray(block.iter_props.weight,
+                                   dtype=np.float64).sum()))
+    jax.block_until_ready(block.last_state.pos)
+    elapsed = time.perf_counter() - t0
+    rate = total_wsteps / elapsed
+
+    extras = {}
+    if check_energy:
+        extras["energy_per_boson"] = float(np.mean(e_over_w)) / nop
+    return rate, extras
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--quick", action="store_true",
+                        help="small/fast configuration")
+    parser.add_argument("--nop", type=int, default=128)
+    parser.add_argument("--target", type=int, default=16384)
+    parser.add_argument("--max-walkers", type=int, default=20480)
+    parser.add_argument("--nts", type=int, default=64)
+    parser.add_argument("--blocks", type=int, default=4)
+    args = parser.parse_args()
+
+    if args.quick:
+        rate, extras = run_bench(nop=32, target=2048, max_w=2560,
+                                 nts=32, timed_blocks=2,
+                                 check_energy=True)
+    else:
+        rate, extras = run_bench(nop=args.nop, target=args.target,
+                                 max_w=args.max_walkers, nts=args.nts,
+                                 timed_blocks=args.blocks,
+                                 check_energy=True)
+
+    result = {
+        "metric": "dmc_walker_steps_per_sec_per_chip",
+        "value": rate,
+        "unit": "walker-steps/s/chip",
+        "vs_baseline": rate / REFERENCE_CPU_WALKER_STEPS_PER_SEC,
+    }
+    result.update(extras)
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

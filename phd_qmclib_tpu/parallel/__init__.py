@@ -1,0 +1,2 @@
+"""Multi-chip scaling: device meshes and sharded walker ensembles."""
+from .mesh import make_walker_mesh  # noqa: F401

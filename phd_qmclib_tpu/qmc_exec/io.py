@@ -221,11 +221,16 @@ class DmcHDF5FileHandler(HDF5FileHandler):
         group.attrs.update({
             "energy": float(state.energy),
             "weight": float(state.weight),
-            "num_walkers": int(state.num_walkers),
+            "num_walkers": int(np.asarray(state.num_walkers).sum()),
             "ref_energy": float(state.ref_energy),
             "accum_energy": float(state.accum_energy),
             "max_num_walkers": int(state.max_num_walkers),
         })
+        # Per-shard walker counts (extra dataset; single-shard states
+        # have one entry equal to the num_walkers attr).
+        group.create_dataset("shard_num_walkers",
+                             data=np.atleast_1d(
+                                 np.asarray(state.num_walkers)))
 
     def load_state(self, group: h5py.Group) -> dmc_sampler.State:
         confs = group.get("confs")[()]
@@ -236,6 +241,9 @@ class DmcHDF5FileHandler(HDF5FileHandler):
         attrs = dict(group.attrs.items())
         totals_ds = group.get("controller_totals")
         totals = totals_ds[()] if totals_ds is not None else (0.0, 0.0)
+        shard_nw_ds = group.get("shard_num_walkers")
+        shard_nw = shard_nw_ds[()] if shard_nw_ds is not None \
+            else np.asarray([attrs["num_walkers"]])
         pos = confs[:, mrbp.SysConfSlot.pos, :]
         drift = confs[:, mrbp.SysConfSlot.drift, :]
         dtype = pos.dtype
@@ -246,8 +254,7 @@ class DmcHDF5FileHandler(HDF5FileHandler):
             masks=jnp.asarray(masks),
             energy=jnp.asarray(attrs["energy"], dtype=dtype),
             weight=jnp.asarray(attrs["weight"], dtype=dtype),
-            num_walkers=jnp.asarray(attrs["num_walkers"],
-                                    dtype=jnp.int32),
+            num_walkers=jnp.asarray(shard_nw, dtype=jnp.int32),
             ref_energy=jnp.asarray(attrs["ref_energy"], dtype=dtype),
             accum_energy=jnp.asarray(attrs["accum_energy"], dtype=dtype),
             total_energy=jnp.asarray(totals[0], dtype=dtype),

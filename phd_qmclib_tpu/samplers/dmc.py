@@ -170,6 +170,11 @@ class Sampling:
     rng_seed: t.Optional[int] = None
     density_est_spec: t.Optional[DensityEstSpec] = None
     ssf_est_spec: t.Optional[SSFEstSpec] = None
+    #: Device mesh for multi-chip runs: the walker axis shards over
+    #: ``mesh_axis``; branching is per-shard, population control global
+    #: (psum over ICI).  ``None`` = single device.
+    mesh: t.Optional[jax.sharding.Mesh] = None
+    mesh_axis: str = "walkers"
 
     def __post_init__(self):
         if self.rng_seed is None:
@@ -178,6 +183,18 @@ class Sampling:
         if self.num_walkers_control_factor is None:
             # Reference default (``mrbp_qmc/dmc.py:168-170``).
             object.__setattr__(self, "num_walkers_control_factor", 0.125)
+        if self.mesh is not None:
+            n = self.mesh.shape[self.mesh_axis]
+            if self.max_num_walkers % n or self.target_num_walkers % n:
+                raise ValueError(
+                    f"max_num_walkers and target_num_walkers must be "
+                    f"divisible by the mesh '{self.mesh_axis}' axis "
+                    f"size ({n})")
+
+    @property
+    def num_shards(self) -> int:
+        return 1 if self.mesh is None \
+            else self.mesh.shape[self.mesh_axis]
 
     # -- derived -----------------------------------------------------------
 
@@ -244,19 +261,29 @@ class Sampling:
         pos_set = pos_set[-self.target_num_walkers:]
         num = pos_set.shape[0]
         max_w = self.max_num_walkers
+        num_shards = self.num_shards
         if dtype is None:
             dtype = pos_set.dtype if np.issubdtype(
                 pos_set.dtype, np.floating) else np.float64
 
+        # Distribute walkers so the valid entries are a prefix of every
+        # shard's slice of the buffer.
+        shard_size = max_w // num_shards
+        per_shard = -(-num // num_shards)  # ceil
         pos = np.zeros((max_w, nop), dtype=dtype)
-        pos[:num] = pos_set
+        valid = np.zeros(max_w, dtype=bool)
+        shard_counts = np.zeros(num_shards, dtype=np.int32)
+        for s in range(num_shards):
+            chunk = pos_set[s * per_shard:(s + 1) * per_shard]
+            pos[s * shard_size:s * shard_size + len(chunk)] = chunk
+            valid[s * shard_size:s * shard_size + len(chunk)] = True
+            shard_counts[s] = len(chunk)
+
         pos = jnp.asarray(pos)
         cfc = self._cast_params(pos.dtype)
         funcs = self.core_funcs
         energies, drift = funcs.energy_and_drift(pos, cfc)
 
-        slots = np.arange(max_w)
-        valid = slots < num
         weights = jnp.asarray(valid, dtype=pos.dtype)
         energies = jnp.where(jnp.asarray(valid), energies, 0.0)
         drift = jnp.where(jnp.asarray(valid)[:, None], drift, 0.0)
@@ -272,7 +299,7 @@ class Sampling:
             pos=pos, drift=drift, energies=energies, weights=weights,
             masks=jnp.asarray(~valid),
             energy=f(state_energy), weight=f(state_weight),
-            num_walkers=jnp.asarray(num, dtype=jnp.int32),
+            num_walkers=jnp.asarray(shard_counts, dtype=jnp.int32),
             ref_energy=f(ref_energy), accum_energy=f(energy_mean),
             total_energy=f(0.0), total_weight=f(0.0))
 
@@ -390,7 +417,8 @@ class Sampling:
                 pos=npos, drift=ndrift, energies=nenergy, weights=nweight,
                 masks=~valid,
                 energy=state_energy, weight=state_weight,
-                num_walkers=nw.astype(jnp.int32),
+                num_walkers=jnp.reshape(nw, state.num_walkers.shape)
+                .astype(jnp.int32),
                 ref_energy=new_ref, accum_energy=accum_energy,
                 total_energy=total_energy, total_weight=total_weight)
             props = (state_energy, state_weight,
@@ -399,14 +427,18 @@ class Sampling:
 
         return step
 
-    def _make_block_fn(self, measure: bool,
-                       axis_name: t.Optional[str] = None):
+    def _make_block_fn(self, measure: bool):
+        axis_name = self.mesh_axis if self.mesh is not None else None
         step = self.make_step_fn(axis_name=axis_name, measure=measure)
         density_spec = self.density_est_spec if measure else None
         ssf_spec = self.ssf_est_spec if measure else None
 
         def run_block(state: State, block_key, scalars, cfc,
                       num_time_steps_block: int):
+            if axis_name is not None:
+                # Decorrelate the per-shard random streams.
+                block_key = jax.random.fold_in(
+                    block_key, jax.lax.axis_index(axis_name))
             max_w = state.pos.shape[0]
             dtype = state.pos.dtype
             extra0 = {}
@@ -416,6 +448,12 @@ class Sampling:
             if ssf_spec is not None and ssf_spec.as_pure_est:
                 extra0["aux_ssf"] = jnp.zeros(
                     (max_w, ssf_spec.num_modes, 3), dtype=dtype)
+            if axis_name is not None and extra0:
+                # Mark the shard-local accumulators as varying over the
+                # mesh axis so the scan carry types line up.
+                extra0 = jax.tree.map(
+                    lambda x: jax.lax.pcast(x, (axis_name,), to="varying"),
+                    extra0)
 
             keys = jax.random.split(block_key, num_time_steps_block)
             steps = jnp.arange(num_time_steps_block)
@@ -432,7 +470,31 @@ class Sampling:
             props_data = PropsData(*props)
             return final_state, props_data, est
 
-        return jax.jit(run_block,
+        if self.mesh is None:
+            return jax.jit(run_block,
+                           static_argnames=("num_time_steps_block",))
+
+        # Multi-chip: walker axis sharded over the mesh; ensemble
+        # reductions ride the ICI as psums inside the step.
+        P = jax.sharding.PartitionSpec
+        ax = self.mesh_axis
+        state_spec = State(
+            pos=P(ax), drift=P(ax), energies=P(ax), weights=P(ax),
+            masks=P(ax), energy=P(), weight=P(), num_walkers=P(ax),
+            ref_energy=P(), accum_energy=P(), total_energy=P(),
+            total_weight=P())
+
+        def sharded_block(state, block_key, scalars, cfc,
+                          num_time_steps_block: int):
+            fn = jax.shard_map(
+                lambda st, k, sc, cf: run_block(
+                    st, k, sc, cf, num_time_steps_block),
+                mesh=self.mesh,
+                in_specs=(state_spec, P(), P(), P()),
+                out_specs=(state_spec, P(), P()))
+            return fn(state, block_key, scalars, cfc)
+
+        return jax.jit(sharded_block,
                        static_argnames=("num_time_steps_block",))
 
     @cached_property

@@ -1,0 +1,154 @@
+"""Trial-wavefunction optimization by correlated-sampling variance
+minimization.
+
+Re-design of the reference optimizer (``/root/reference/src/phd_qmclib/
+qmc_base/jastrow/model.py:1125-1211`` and ``mrbp_qmc/model.py:817-942``):
+a fixed set of configurations sampled from the initial trial wavefunction
+is reweighted by ``exp(2 (ln psi_new - ln psi_ini))`` for each candidate
+variational parameter, and the weighted variance of the local energy is
+minimized with ``scipy.optimize.differential_evolution``.
+
+The reference evaluates configurations through a ``dask.bag`` thread/
+process pool (``mrbp_qmc/model.py:886-925``); on TPU the whole
+configuration set evaluates in ONE fused, batched device call, and -
+because the variational parameter travels in the params pytree - the
+kernel compiles exactly once for the entire optimization.
+"""
+import typing as t
+from dataclasses import dataclass
+from functools import cached_property
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.optimize import differential_evolution
+
+from .models import mrbp
+from .qmc_exec.logging import exec_logger
+
+__all__ = ["CSWFOptimizer", "WFOptProc"]
+
+
+def weighed_variance(weights_log_set: np.ndarray,
+                     energy_set: np.ndarray) -> float:
+    """Weighted variance of the local energy
+    (``qmc_base/jastrow/model.py:1146-1164``)."""
+    rel_weights = np.exp(weights_log_set - weights_log_set.max())
+    weight_sum = rel_weights.sum()
+    ref_energy = (rel_weights * energy_set).sum() / weight_sum
+    e_diff = rel_weights * (energy_set - ref_energy) ** 2
+    return float(e_diff.sum() / weight_sum)
+
+
+@dataclass(frozen=True)
+class CSWFOptimizer:
+    """Correlated-sampling optimizer of ``tbf_contact_cutoff``
+    (``mrbp_qmc/model.py:817-942``)."""
+
+    #: The spec of the model.
+    spec: mrbp.Spec
+    #: The system configurations used for the minimization process.
+    sys_conf_set: np.ndarray
+    #: The initial wavefunction values (to calculate the weights).
+    ini_wf_abs_log_set: np.ndarray
+    #: Reference energy (unused by the variance functional, kept for
+    #: API parity with the reference).
+    ref_energy: t.Optional[float] = None
+    #: Display log messages.
+    verbose: bool = False
+
+    def __post_init__(self):
+        sys_conf_set = np.asarray(self.sys_conf_set)
+        nop = self.spec.boson_number
+        if sys_conf_set.ndim == 3 and sys_conf_set.shape[-2] == 2:
+            sys_conf_set = sys_conf_set[:, mrbp.SysConfSlot.pos, :]
+        if sys_conf_set.shape[-1] != nop:
+            raise ValueError("sys_conf_set is not a valid set of "
+                             "configurations of the model spec")
+        object.__setattr__(self, "sys_conf_set", sys_conf_set)
+        object.__setattr__(self, "ini_wf_abs_log_set",
+                           np.asarray(self.ini_wf_abs_log_set))
+
+    @cached_property
+    def _eval_fn(self):
+        """Jitted batched ``(log_psi, E_L)`` over the config set.
+
+        Compiled once: the variational parameter flows through the
+        params pytree (the TPU analog of the reference's dask-pooled
+        ``_threaded_func``, ``mrbp_qmc/model.py:863-900``).
+        """
+        funcs = mrbp.core_funcs(self.spec)
+        return jax.jit(funcs.log_psi_and_energy)
+
+    @cached_property
+    def _pos_set(self):
+        return jnp.asarray(self.sys_conf_set)
+
+    def update_spec(self, tbf_contact_cutoff: float) -> mrbp.Spec:
+        """The model spec with an updated variational parameter."""
+        return self.spec.evolve(
+            tbf_contact_cutoff=float(tbf_contact_cutoff))
+
+    def wf_abs_log_and_energy_set(self, cfc_params: mrbp.CFCParams):
+        """Evaluate wavefunction and energy for all configurations."""
+        pos = self._pos_set
+        cfc = jax.tree.map(lambda x: jnp.asarray(x, dtype=pos.dtype),
+                           cfc_params)
+        lp, e = self._eval_fn(pos, cfc)
+        return np.asarray(lp, dtype=np.float64), \
+            np.asarray(e, dtype=np.float64)
+
+    def principal_function(self, tbf_contact_cutoff: float) -> float:
+        """The weighted variance as a function of the variational
+        parameter (``qmc_base/jastrow/model.py:1186-1206``)."""
+        if np.ndim(tbf_contact_cutoff):
+            tbf_contact_cutoff = float(np.asarray(tbf_contact_cutoff)[0])
+        upd_spec = self.update_spec(tbf_contact_cutoff)
+        wf_abs_log_set, energies_set = \
+            self.wf_abs_log_and_energy_set(upd_spec.cfc_params)
+        weights_log_set = 2 * (wf_abs_log_set - self.ini_wf_abs_log_set)
+        return weighed_variance(weights_log_set, energies_set)
+
+    @property
+    def principal_function_bounds(self):
+        """Variational-parameter bounds
+        (``mrbp_qmc/model.py:902-911``)."""
+        sc_size = self.spec.supercell_size
+        return [(5e-2, (0.5 - 5e-3) * sc_size)]
+
+    def exec(self) -> mrbp.Spec:
+        """Run the variance minimization; returns the spec evolved with
+        the optimal ``tbf_contact_cutoff``."""
+        opt_params = differential_evolution(
+            self.principal_function,
+            bounds=self.principal_function_bounds,
+            disp=self.verbose, seed=1)
+        opt_rm, = opt_params.x
+        if self.verbose:
+            exec_logger.info(f"optimal rm = {opt_rm:.6G} "
+                             f"(variance {opt_params.fun:.6G})")
+        return self.update_spec(opt_rm)
+
+
+@dataclass(frozen=True)
+class WFOptProc:
+    """Wavefunction-optimization procedure
+    (``mrbp_qmc/wf_opt/wf_opt.py:13-67``): feeds the last
+    ``num_sys_confs`` configurations of a VMC sampling into the
+    correlated-sampling optimizer."""
+
+    #: Number of configurations from the sampling to use.
+    num_sys_confs: int = 128
+    #: The energy of reference to minimize the variance.
+    ref_energy: t.Optional[float] = None
+    verbose: bool = False
+
+    def exec(self, model_spec: mrbp.Spec, sys_conf_set: np.ndarray,
+             ini_wf_abs_log_set: np.ndarray) -> mrbp.Spec:
+        num = self.num_sys_confs
+        sys_conf_set = np.asarray(sys_conf_set)[-num:]
+        ini_wf_abs_log_set = np.asarray(ini_wf_abs_log_set)[-num:]
+        optimizer = CSWFOptimizer(model_spec, sys_conf_set,
+                                  ini_wf_abs_log_set,
+                                  self.ref_energy, self.verbose)
+        return optimizer.exec()
