@@ -30,10 +30,17 @@ from types import SimpleNamespace
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.pbc import min_image, sign
 
 __all__ = ["CFCParams", "build_core_funcs", "SysConfSlot"]
+
+#: Walker-batch tile for the O(N^2) kernels: batches larger than this
+#: evaluate as a ``lax.map`` over tiles so the pairwise temporaries stay
+#: bounded (a tile of 4096 walkers at N=128 keeps each (B, N, N)
+#: temporary at ~268 MB in f32).
+PAIR_BATCH_TILE = 4096
 
 
 class SysConfSlot:
@@ -66,7 +73,8 @@ def build_core_funcs(*,
                      potential,
                      is_free: bool,
                      is_ideal: bool,
-                     boson_number: int) -> SimpleNamespace:
+                     boson_number: int,
+                     two_body_pair_terms=None) -> SimpleNamespace:
     """Build the Jastrow kernel namespace for a concrete model.
 
     Every model callable has signature ``(x, cfc: CFCParams) -> value``
@@ -82,8 +90,31 @@ def build_core_funcs(*,
     """
     nop = boson_number
 
+    if two_body_pair_terms is None:
+        def two_body_pair_terms(r, cfc):  # noqa: F811 - default impl
+            return (jnp.log(jnp.abs(two_body(r, cfc))),
+                    two_body_log_dz(r, cfc),
+                    two_body_log_dz2(r, cfc))
+
     def _supercell(cfc):
         return cfc.model_params.supercell_size
+
+    def _tiled_over_walkers(fn):
+        """Evaluate ``fn(pos, cfc)`` in walker tiles when the flat batch
+        is large, bounding the O(N^2) temporary footprint."""
+
+        def wrapper(pos, cfc):
+            batch_shape = pos.shape[:-1]
+            total = int(np.prod(batch_shape)) if batch_shape else 1
+            if total <= PAIR_BATCH_TILE or total % PAIR_BATCH_TILE:
+                return fn(pos, cfc)
+            flat = pos.reshape(total // PAIR_BATCH_TILE, PAIR_BATCH_TILE,
+                               pos.shape[-1])
+            out = jax.lax.map(lambda p: fn(p, cfc), flat)
+            return jax.tree.map(
+                lambda x: x.reshape(batch_shape + x.shape[2:]), out)
+
+        return wrapper
 
     def _pair_geometry(pos, cfc):
         """Minimum-image pair displacements, distances and the
@@ -154,8 +185,7 @@ def build_core_funcs(*,
 
         if not is_ideal:
             d, r, off_diag = _pair_geometry(pos, cfc)
-            tb_ldz = two_body_log_dz(r, cfc)
-            tb_ldz2 = two_body_log_dz2(r, cfc)
+            _, tb_ldz, tb_ldz2 = two_body_pair_terms(r, cfc)
             # (sgn * f'/f)^2 == (f'/f)^2: the sign only matters in drift.
             kin_pair = jnp.where(off_diag, -tb_ldz2 + tb_ldz ** 2, 0.0)
             kin = kin + kin_pair.sum(axis=(-1, -2))
@@ -194,11 +224,9 @@ def build_core_funcs(*,
 
         if not is_ideal:
             d, r, off_diag = _pair_geometry(pos, cfc)
-            tbv = two_body(r, cfc)
-            lp = lp + 0.5 * jnp.where(off_diag, jnp.log(jnp.abs(tbv)),
+            log_tb, tb_ldz, tb_ldz2 = two_body_pair_terms(r, cfc)
+            lp = lp + 0.5 * jnp.where(off_diag, log_tb,
                                       0.0).sum(axis=(-1, -2))
-            tb_ldz = two_body_log_dz(r, cfc)
-            tb_ldz2 = two_body_log_dz2(r, cfc)
             kin_pair = jnp.where(off_diag, -tb_ldz2 + tb_ldz ** 2, 0.0)
             kin = kin + kin_pair.sum(axis=(-1, -2))
             drift_pair = jnp.where(off_diag, tb_ldz * sign(d), 0.0)
@@ -281,11 +309,11 @@ def build_core_funcs(*,
         return jnp.stack([re ** 2 + im ** 2, re, im], axis=-1)
 
     return SimpleNamespace(
-        log_psi=log_psi,
-        log_psi_and_energy=log_psi_and_energy,
-        energy=energy,
-        drift=drift,
-        energy_and_drift=energy_and_drift,
+        log_psi=_tiled_over_walkers(log_psi),
+        log_psi_and_energy=_tiled_over_walkers(log_psi_and_energy),
+        energy=_tiled_over_walkers(energy),
+        drift=_tiled_over_walkers(drift),
+        energy_and_drift=_tiled_over_walkers(energy_and_drift),
         delta_log_psi_move=delta_log_psi_move,
         one_body_density=one_body_density,
         fourier_density=fourier_density,

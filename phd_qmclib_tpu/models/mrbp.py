@@ -438,6 +438,54 @@ def _two_body_log_dz2(rz, cfc: CFCParams):
     return jnp.where(in_cutoff, inside, outside)
 
 
+def _two_body_pair_terms(rz, cfc: CFCParams):
+    """Fused ``(log|f2|, f2'/f2, f2''/f2)`` with ONE sincos per pair.
+
+    Both branches of the phonon pair function are trigonometric:
+    ``f2 = am*cos(k2(r - r_off))`` inside the cutoff and
+    ``sin(pi r/L)^beta`` outside.  Evaluating sin/cos of the *selected*
+    argument yields every needed quantity::
+
+        inside : ldz = -k2 s/c,           ldz2 = -k2^2,
+                 log f2 = log|am| + log|c|
+        outside: ldz = (pi/L) beta c/s,   ldz2 = (pi/L)^2 beta
+                 ((beta-1)(c/s)^2 - 1),   log f2 = beta log(s)
+
+    versus two tan's, one cos and one pow for the separate reference
+    kernels (``mrbp_qmc/model.py:467-529``) - a ~2-3x cut of the
+    transcendental work that dominates the O(N^2) DMC/VMC hot loop.
+    The outside branch is singularity-free for minimum-image distances
+    (``theta = pi r/L`` stays in ``(0, pi/2]``); unselected branches are
+    neutralized for value and gradient safety.
+    """
+    tbf = cfc.tbf_params
+    sc_size, rm = tbf.supercell_size, tbf.tbf_contact_cutoff
+    k2, beta = tbf.param_k2, tbf.param_beta
+    r_off, am = tbf.param_r_off, tbf.param_am
+
+    in_cut = rz < jnp.abs(rm)
+    arg = jnp.where(in_cut, k2 * (rz - r_off), jnp.pi * rz / sc_size)
+    s = jnp.sin(arg)
+    c = jnp.cos(arg)
+    one = jnp.ones_like(rz)
+    # Branch-local safe views (guard values AND gradients of the
+    # unselected branch).
+    s_o = jnp.where(in_cut, one, s)
+    c_o = jnp.where(in_cut, one, c)
+    s_i = jnp.where(in_cut, s, jnp.zeros_like(rz))
+    c_i = jnp.where(in_cut, c, one)
+
+    cot = c_o / s_o
+    pref = jnp.pi / sc_size
+    ldz = jnp.where(in_cut, -k2 * s_i / c_i, pref * beta * cot)
+    ldz2 = jnp.where(in_cut, -k2 * k2 * one,
+                     pref ** 2 * beta * ((beta - 1) * cot ** 2 - 1))
+    log_f2 = jnp.where(in_cut,
+                       jnp.log(jnp.abs(am * c_i)),
+                       beta * jnp.log(s_o))
+    return log_f2, ldz, ldz2
+
+
 def _make_potential(defects_sep: int):
     def _potential(z, cfc: CFCParams):
         """External KP potential with periodic defects
@@ -476,6 +524,7 @@ def core_funcs(spec_or_static) -> "jastrow.SimpleNamespace":
         two_body=_two_body,
         two_body_log_dz=_two_body_log_dz,
         two_body_log_dz2=_two_body_log_dz2,
+        two_body_pair_terms=_two_body_pair_terms,
         potential=_make_potential(static.defects_sep),
         is_free=static.is_free,
         is_ideal=static.is_ideal,
