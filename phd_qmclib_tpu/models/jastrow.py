@@ -91,10 +91,12 @@ def build_core_funcs(*,
     nop = boson_number
 
     if two_body_pair_terms is None:
-        def two_body_pair_terms(r, cfc):  # noqa: F811 - default impl
-            return (jnp.log(jnp.abs(two_body(r, cfc))),
-                    two_body_log_dz(r, cfc),
-                    two_body_log_dz2(r, cfc))
+        def two_body_pair_terms(r, cfc, need_log=True,
+                                need_derivs=True):  # noqa: F811
+            return (jnp.log(jnp.abs(two_body(r, cfc)))
+                    if need_log else None,
+                    two_body_log_dz(r, cfc) if need_derivs else None,
+                    two_body_log_dz2(r, cfc) if need_derivs else None)
 
     def _supercell(cfc):
         return cfc.model_params.supercell_size
@@ -131,6 +133,12 @@ def build_core_funcs(*,
         r = jnp.where(off_diag, jnp.abs(d), 0.25 * sc)
         return d, r, off_diag
 
+    # NOTE (perf): a half-pair formulation (N/2 lane rotations visiting
+    # each unordered pair once) was benchmarked and LOST to the fused
+    # full (N, N) broadcast below on TPU (434k vs 857k walker-steps/s at
+    # N=128): many small sequential ops defeat XLA fusion, while the
+    # full pair block compiles to one fused pass.
+
     # -- log |psi| --------------------------------------------------------
     def log_psi(pos, cfc: CFCParams):
         """log|psi| for configurations ``pos`` of shape ``(..., N)``.
@@ -143,9 +151,10 @@ def build_core_funcs(*,
             total = total + jnp.log(jnp.abs(obv)).sum(axis=-1)
         if not is_ideal:
             _, r, off_diag = _pair_geometry(pos, cfc)
-            tbv = two_body(r, cfc)
-            log_tb = jnp.where(off_diag, jnp.log(jnp.abs(tbv)), 0.0)
-            total = total + 0.5 * log_tb.sum(axis=(-1, -2))
+            log_tb, _, _ = two_body_pair_terms(r, cfc, need_log=True,
+                                               need_derivs=False)
+            total = total + 0.5 * jnp.where(off_diag, log_tb,
+                                            0.0).sum(axis=(-1, -2))
         return total
 
     # -- drift ------------------------------------------------------------
@@ -159,8 +168,10 @@ def build_core_funcs(*,
             out = out + one_body_log_dz(pos, cfc)
         if not is_ideal:
             d, r, off_diag = _pair_geometry(pos, cfc)
-            tb_ldz = two_body_log_dz(r, cfc) * sign(d)
-            out = out + jnp.where(off_diag, tb_ldz, 0.0).sum(axis=-1)
+            _, tb_ldz, _ = two_body_pair_terms(r, cfc, need_log=False,
+                                               need_derivs=True)
+            out = out + jnp.where(off_diag, tb_ldz * sign(d),
+                                  0.0).sum(axis=-1)
         return out
 
     # -- fused local energy + drift ---------------------------------------
@@ -185,7 +196,8 @@ def build_core_funcs(*,
 
         if not is_ideal:
             d, r, off_diag = _pair_geometry(pos, cfc)
-            _, tb_ldz, tb_ldz2 = two_body_pair_terms(r, cfc)
+            _, tb_ldz, tb_ldz2 = two_body_pair_terms(
+                r, cfc, need_log=False, need_derivs=True)
             # (sgn * f'/f)^2 == (f'/f)^2: the sign only matters in drift.
             kin_pair = jnp.where(off_diag, -tb_ldz2 + tb_ldz ** 2, 0.0)
             kin = kin + kin_pair.sum(axis=(-1, -2))
@@ -224,7 +236,8 @@ def build_core_funcs(*,
 
         if not is_ideal:
             d, r, off_diag = _pair_geometry(pos, cfc)
-            log_tb, tb_ldz, tb_ldz2 = two_body_pair_terms(r, cfc)
+            log_tb, tb_ldz, tb_ldz2 = two_body_pair_terms(
+                r, cfc, need_log=True, need_derivs=True)
             lp = lp + 0.5 * jnp.where(off_diag, log_tb,
                                       0.0).sum(axis=(-1, -2))
             kin_pair = jnp.where(off_diag, -tb_ldz2 + tb_ldz ** 2, 0.0)

@@ -438,7 +438,8 @@ def _two_body_log_dz2(rz, cfc: CFCParams):
     return jnp.where(in_cutoff, inside, outside)
 
 
-def _two_body_pair_terms(rz, cfc: CFCParams):
+def _two_body_pair_terms(rz, cfc: CFCParams, need_log: bool = True,
+                         need_derivs: bool = True):
     """Fused ``(log|f2|, f2'/f2, f2''/f2)`` with ONE sincos per pair.
 
     Both branches of the phonon pair function are trigonometric:
@@ -475,14 +476,17 @@ def _two_body_pair_terms(rz, cfc: CFCParams):
     s_i = jnp.where(in_cut, s, jnp.zeros_like(rz))
     c_i = jnp.where(in_cut, c, one)
 
-    cot = c_o / s_o
-    pref = jnp.pi / sc_size
-    ldz = jnp.where(in_cut, -k2 * s_i / c_i, pref * beta * cot)
-    ldz2 = jnp.where(in_cut, -k2 * k2 * one,
-                     pref ** 2 * beta * ((beta - 1) * cot ** 2 - 1))
-    log_f2 = jnp.where(in_cut,
-                       jnp.log(jnp.abs(am * c_i)),
-                       beta * jnp.log(s_o))
+    ldz = ldz2 = log_f2 = None
+    if need_derivs:
+        cot = c_o / s_o
+        pref = jnp.pi / sc_size
+        ldz = jnp.where(in_cut, -k2 * s_i / c_i, pref * beta * cot)
+        ldz2 = jnp.where(in_cut, -k2 * k2 * one,
+                         pref ** 2 * beta * ((beta - 1) * cot ** 2 - 1))
+    if need_log:
+        log_f2 = jnp.where(in_cut,
+                           jnp.log(jnp.abs(am * c_i)),
+                           beta * jnp.log(s_o))
     return log_f2, ldz, ldz2
 
 

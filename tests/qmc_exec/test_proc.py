@@ -76,8 +76,9 @@ class TestDmcProc:
                                    np.asarray(result.state.pos))
         np.testing.assert_allclose(np.asarray(loaded.state.weights),
                                    np.asarray(result.state.weights))
-        assert int(loaded.state.num_walkers) == int(
-            result.state.num_walkers)
+        np.testing.assert_array_equal(
+            np.asarray(loaded.state.num_walkers),
+            np.asarray(result.state.num_walkers))
         # Loaded data reproduces the statistics.
         assert loaded.data.blocks.energy.mean == pytest.approx(
             result.data.blocks.energy.mean)
