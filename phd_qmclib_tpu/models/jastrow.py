@@ -274,6 +274,54 @@ def build_core_funcs(*,
             delta = delta + jnp.where(mask, log_ratio, 0.0).sum()
         return delta
 
+    def wf_abs(pos, cfc: CFCParams):
+        """``|psi|`` (reference ``qmc_base/jastrow/model.py:370-396``)."""
+        return jnp.exp(log_psi(pos, cfc))
+
+    def delta_drift_move(i, k, z_k_delta, pos, cfc: CFCParams):
+        """Change of the i-th drift component after displacing particle
+        ``k`` by ``z_k_delta`` (O(N) update; reference
+        ``qmc_base/jastrow/model.py:568-662``).  ``pos`` is a single
+        configuration of shape ``(N,)``.
+        """
+        sc = _supercell(cfc)
+        z_k = pos[k]
+        z_k_upd = z_k + z_k_delta
+
+        def other_particle():
+            # i != k: only the (i, k) pair term changes; the drift seen
+            # from i uses displacement z_k - z_i with a minus sign.
+            if is_ideal:
+                return jnp.zeros((), dtype=pos.dtype)
+            z_i = pos[i]
+            z_ki = min_image(z_k - z_i, sc)
+            z_ki_upd = min_image(z_k_upd - z_i, sc)
+            ldz = two_body_log_dz(jnp.abs(z_ki), cfc) * sign(z_ki)
+            ldz_upd = two_body_log_dz(jnp.abs(z_ki_upd), cfc) \
+                * sign(z_ki_upd)
+            return -(ldz_upd - ldz)
+
+        def moved_particle():
+            delta = jnp.zeros((), dtype=pos.dtype)
+            if not is_free:
+                delta = delta + (one_body_log_dz(z_k_upd, cfc)
+                                 - one_body_log_dz(z_k, cfc))
+            if not is_ideal:
+                z_kj = min_image(z_k - pos, sc)
+                z_kj_upd = min_image(z_k_upd - pos, sc)
+                ldz = two_body_log_dz(jnp.abs(z_kj), cfc) * sign(z_kj)
+                ldz_upd = two_body_log_dz(jnp.abs(z_kj_upd), cfc) \
+                    * sign(z_kj_upd)
+                mask = jnp.arange(nop) != k
+                delta = delta + jnp.where(mask, ldz_upd - ldz, 0.0).sum()
+            return delta
+
+        # i and k are static Python ints in typical use; support both.
+        if isinstance(i, int) and isinstance(k, int):
+            return moved_particle() if i == k else other_particle()
+        return jax.lax.cond(jnp.asarray(i) == jnp.asarray(k),
+                            moved_particle, other_particle)
+
     # -- one-body density matrix ------------------------------------------
     def one_body_density(sz, pos, cfc: CFCParams):
         """One-body density matrix estimator ``n1(sz)``: the average over
@@ -327,7 +375,9 @@ def build_core_funcs(*,
         energy=_tiled_over_walkers(energy),
         drift=_tiled_over_walkers(drift),
         energy_and_drift=_tiled_over_walkers(energy_and_drift),
+        wf_abs=wf_abs,
         delta_log_psi_move=delta_log_psi_move,
+        delta_drift_move=delta_drift_move,
         one_body_density=one_body_density,
         fourier_density=fourier_density,
         fourier_density_parts=fourier_density_parts,

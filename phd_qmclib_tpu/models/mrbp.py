@@ -538,6 +538,56 @@ def core_funcs(spec_or_static) -> "jastrow.SimpleNamespace":
     return funcs
 
 
+@dataclass(frozen=True)
+class PhysicalFuncs:
+    """Batch evaluation of the main physical properties for a model spec.
+
+    The reference wraps its scalar kernels in ``guvectorize`` batch
+    dispatchers (``qmc_base/jastrow/model.py:1007-1122``); the TPU
+    kernels are natively batched, so this class just binds a spec's
+    parameters and jits.  Inputs may be single configurations ``(N,)``,
+    packed ``(2, N)`` buffers, or batches with leading axes.
+    """
+    spec: Spec
+
+    @classmethod
+    def from_model_spec(cls, model_spec: Spec) -> "PhysicalFuncs":
+        return cls(model_spec)
+
+    @cached_property
+    def _funcs(self):
+        return core_funcs(self.spec)
+
+    @cached_property
+    def _cfc(self):
+        return self.spec.cfc_params
+
+    def _pos(self, sys_conf):
+        sys_conf = jnp.asarray(sys_conf)
+        nop = self.spec.boson_number
+        if sys_conf.ndim >= 2 and sys_conf.shape[-2] == 2 \
+                and sys_conf.shape[-1] == nop:
+            return sys_conf[..., SysConfSlot.pos, :]
+        return sys_conf
+
+    def wf_abs_log(self, sys_conf):
+        return self._funcs.log_psi(self._pos(sys_conf), self._cfc)
+
+    def energy(self, sys_conf):
+        return self._funcs.energy(self._pos(sys_conf), self._cfc)
+
+    def drift(self, sys_conf):
+        return self._funcs.drift(self._pos(sys_conf), self._cfc)
+
+    def one_body_density(self, sz, sys_conf):
+        return self._funcs.one_body_density(sz, self._pos(sys_conf),
+                                            self._cfc)
+
+    def fourier_density(self, kz_set, sys_conf):
+        return self._funcs.fourier_density(jnp.asarray(kz_set),
+                                           self._pos(sys_conf), self._cfc)
+
+
 def recast(z, cfc: CFCParams):
     """Wrap positions into the supercell ``[0, L)``
     (``mrbp_qmc/vmc.py:187-203``)."""

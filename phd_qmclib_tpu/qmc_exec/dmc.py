@@ -87,6 +87,9 @@ class Proc(proc_base.Proc):
     ssf_spec: t.Optional[SSFEstSpec] = None
     #: Compute dtype on device ("float32" for TPU, "float64" on CPU).
     dtype: str = "float32"
+    #: Write a jax.profiler trace of the estimator loop to this
+    #: directory (open with TensorBoard / Perfetto).
+    profile_dir: t.Optional[str] = None
     verbose: bool = False
 
     def __post_init__(self):
@@ -297,6 +300,18 @@ class Proc(proc_base.Proc):
         pure_est_reduce_factor = np.ones(num_blocks)
 
         exec_logger.info("Starting the evaluation of estimators...")
+        import time as _time
+        if self.profile_dir is not None:
+            # Trace one block for TensorBoard/Perfetto inspection.
+            import jax
+            with jax.profiler.trace(self.profile_dir):
+                probe = next(blocks_iter)
+                jax.block_until_ready(probe.last_state.pos)
+            exec_logger.info(f"profiler trace written to "
+                             f"{self.profile_dir}")
+        log_every = max(1, num_blocks // 8)
+        t_start = _time.perf_counter()
+        total_walker_steps = 0.0
         block_data = None
         for block_idx in range(num_blocks):
             block_data = next(blocks_iter)
@@ -342,6 +357,18 @@ class Proc(proc_base.Proc):
                         iter_ssf[nts_block - 1]
                         if self.ssf_spec.as_pure_est
                         else iter_ssf.sum(axis=0))
+
+            # Throughput observability (absent in the reference; see
+            # SURVEY aux-subsystems notes).
+            total_walker_steps += float(num_walkers.sum())
+            if (block_idx + 1) % log_every == 0 or \
+                    block_idx + 1 == num_blocks:
+                elapsed = _time.perf_counter() - t_start
+                exec_logger.info(
+                    f"block {block_idx + 1}/{num_blocks}: "
+                    f"E/N = {accum_energy[-1] / self.model_spec.boson_number:.6G}, "
+                    f"<walkers> = {num_walkers.mean():.0f}, "
+                    f"{total_walker_steps / elapsed:,.0f} walker-steps/s")
 
         exec_logger.info("Evaluation of estimators completed.")
         exec_logger.info("DMC sampling completed.")

@@ -107,6 +107,16 @@ def on_the_fly_obj_create(source_data: np.ndarray) -> np.ndarray:
     max_order = int(floor(log2(n)))
     table = on_the_fly_obj_data_init(max_order, num_cols)
 
+    from . import native
+    if native.native_available() and n * num_cols >= 1 << 14:
+        # Native C++ streaming cascade (csrc/reblock.cpp) - a single
+        # cache-friendly pass; used for large series.
+        ms, msq, nb = native.otf_reblock_native(source_data, max_order)
+        table[MEANS_FIELD][:] = ms
+        table[MEANS_SQR_FIELD][:] = msq
+        table[NUM_BLOCKS_FIELD][:] = nb
+        return table[0] if is_1d else table
+
     data_t = source_data.T  # (num_cols, n)
     for order in range(max_order + 1):
         bsize = 1 << order

@@ -1,0 +1,67 @@
+"""PhysicalFuncs batch API, delta_drift_move, wf_abs, legacy alias."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from phd_qmclib_tpu.models import mrbp
+
+
+@pytest.fixture(scope="module")
+def spec():
+    return mrbp.Spec(lattice_depth=10.0, lattice_ratio=1.0,
+                     interaction_strength=1.0, boson_number=5,
+                     supercell_size=5.0, tbf_contact_cutoff=0.3)
+
+
+@pytest.fixture(scope="module")
+def pos(spec):
+    rng = np.random.default_rng(5)
+    return jnp.asarray(rng.uniform(0, 5.0, size=(5,)))
+
+
+def test_physical_funcs_batch(spec):
+    pf = mrbp.PhysicalFuncs.from_model_spec(spec)
+    rng = np.random.default_rng(2)
+    batch = rng.uniform(0, 5.0, size=(7, 5))
+    lp = pf.wf_abs_log(batch)
+    e = pf.energy(batch)
+    dr = pf.drift(batch)
+    assert lp.shape == (7,) and e.shape == (7,) and dr.shape == (7, 5)
+    # Packed (2, N) buffers accepted; drift slot ignored.
+    packed = np.stack([batch, np.zeros_like(batch)], axis=1)
+    np.testing.assert_allclose(np.asarray(pf.wf_abs_log(packed)),
+                               np.asarray(lp))
+    funcs = mrbp.core_funcs(spec)
+    np.testing.assert_allclose(
+        np.asarray(e),
+        np.asarray(funcs.energy(jnp.asarray(batch), spec.cfc_params)))
+    obd = pf.one_body_density(0.0, batch)
+    np.testing.assert_allclose(np.asarray(obd), 1.0, rtol=1e-12)
+    rho = pf.fourier_density(np.array([0.0]), batch)
+    np.testing.assert_allclose(np.asarray(rho.real), 5.0, rtol=1e-12)
+
+
+def test_wf_abs(spec, pos):
+    funcs = mrbp.core_funcs(spec)
+    cfc = spec.cfc_params
+    assert float(funcs.wf_abs(pos, cfc)) == pytest.approx(
+        float(jnp.exp(funcs.log_psi(pos, cfc))))
+
+
+def test_delta_drift_move(spec, pos):
+    funcs = mrbp.core_funcs(spec)
+    cfc = spec.cfc_params
+    k, dz = 1, 0.23
+    moved = pos.at[k].add(dz)
+    drift0 = funcs.drift(pos, cfc)
+    drift1 = funcs.drift(moved, cfc)
+    for i in range(5):
+        delta = funcs.delta_drift_move(i, k, dz, pos, cfc)
+        expected = float(drift1[i] - drift0[i])
+        assert float(delta) == pytest.approx(expected, rel=1e-9), i
+
+
+def test_legacy_alias_package():
+    from phd_qmclib_tpu.multirods_qmc import bloch_phonon
+    assert bloch_phonon.Spec is mrbp.Spec
+    assert bloch_phonon.core_funcs is mrbp.core_funcs

@@ -105,6 +105,27 @@ class TestMergeAndExtend:
         assert np.allclose(otf_set.mean, data.mean(axis=0))
 
 
+class TestNativeCascade:
+
+    def test_native_matches_numpy(self):
+        from phd_qmclib_tpu.stats import native
+        if not native.native_available():
+            pytest.skip("native library not built (make -C csrc)")
+        rng = np.random.default_rng(8)
+        # 2D data large enough to trigger the native path.
+        data = rng.normal(size=(2 ** 15, 3)) + 1.5
+        t_native = reblock.on_the_fly_obj_create(data)
+        max_order = reblock.on_the_fly_obj_data_order(data)
+        ms, msq, nb = native.otf_reblock_native(data, max_order)
+        # Independent re-computation via explicit reshaping.
+        for col in range(3):
+            explicit = reblock.Object(data[:, col])
+            n = len(explicit.block_sizes)
+            np.testing.assert_allclose(
+                (ms[col] / nb[col])[:n], explicit.means[:n])
+        assert np.all(t_native["NUM_BLOCKS"] == nb)
+
+
 class TestIACTimeFit:
 
     def test_fit_recovers_plateau(self):
