@@ -1,0 +1,88 @@
+"""DMC time-step extrapolation sweep (BASELINE config #3).
+
+Runs the DMC ground-state energy at several imaginary time steps and
+extrapolates ``E(dt) -> E(0)`` linearly.  For a correct drift-diffusion
+implementation the time-step bias is smooth and the extrapolated energy
+must be bracketed by the ideal band bottom and the VMC variational
+energy.
+
+Run: ``python benchmarks/dt_sweep.py [--nop N] [--walkers W]``
+"""
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def run_dmc(spec, dt, target, max_w, blocks, nts, burn, seed=3):
+    from phd_qmclib_tpu.samplers import dmc
+
+    sampling = dmc.Sampling(spec, time_step=dt, max_num_walkers=max_w,
+                            target_num_walkers=target, rng_seed=seed)
+    rng = np.random.default_rng(0)
+    confs = np.stack([spec.init_get_sys_conf(rng=rng)
+                      for _ in range(target)]).astype(np.float32)
+    state = sampling.build_state(confs, dtype=np.float32)
+    it = sampling.blocks(state, num_time_steps_block=nts,
+                         burn_in_blocks=burn)
+    for _ in range(burn):
+        next(it)
+    es = []
+    for _ in range(blocks):
+        b = next(it)
+        es.append(float(np.asarray(b.iter_props.energy,
+                                   dtype=np.float64).sum())
+                  / float(np.asarray(b.iter_props.weight,
+                                     dtype=np.float64).sum()))
+    es = np.array(es)
+    return es.mean(), es.std() / np.sqrt(len(es))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--nop", type=int, default=32)
+    parser.add_argument("--walkers", type=int, default=2048)
+    parser.add_argument("--blocks", type=int, default=10)
+    parser.add_argument("--nts", type=int, default=128)
+    args = parser.parse_args()
+
+    from phd_qmclib_tpu.models import mrbp
+
+    nop = args.nop
+    spec = mrbp.Spec(lattice_depth=20.0, lattice_ratio=1.0,
+                     interaction_strength=1.0, boson_number=nop,
+                     supercell_size=float(nop), tbf_contact_cutoff=0.4)
+    e0 = spec.obf_params.param_e0
+
+    dts = [4e-3, 2e-3, 1e-3, 5e-4]
+    results = []
+    t0 = time.time()
+    for dt in dts:
+        # Burn time ~ fixed imaginary time: more blocks at smaller dt.
+        burn = max(2, int(round(0.4 / (dt * args.nts))))
+        e, err = run_dmc(spec, dt, args.walkers,
+                         int(1.25 * args.walkers), args.blocks,
+                         args.nts, burn)
+        results.append({"dt": dt, "energy_per_boson": e / nop,
+                        "error": err / nop})
+        print(json.dumps(results[-1]), flush=True)
+
+    # Linear fit E(dt) = E0 + a dt.
+    x = np.array([r["dt"] for r in results])
+    y = np.array([r["energy_per_boson"] for r in results])
+    w = 1.0 / np.array([max(r["error"], 1e-12) for r in results])
+    coeffs = np.polyfit(x, y, 1, w=w)
+    e_extrap = coeffs[1]
+    print(json.dumps({
+        "metric": "dmc_energy_dt_extrapolated",
+        "value": e_extrap,
+        "unit": "energy/boson (UE)",
+        "slope": coeffs[0],
+        "ideal_band_bottom": e0,
+        "elapsed_s": time.time() - t0,
+    }))
+
+
+if __name__ == "__main__":
+    main()

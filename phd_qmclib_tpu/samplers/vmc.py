@@ -102,11 +102,22 @@ class Sampling:
     #: Use Gaussian proposals of width ``move_spread`` (the reference's
     #: ``vmc_ndf`` sampling with ``sigma = sqrt(time_step)``).
     gaussian: bool = False
+    #: Device mesh for multi-chip runs: chains shard over ``mesh_axis``
+    #: (no cross-chain coupling; only the acceptance rate and S(k) sums
+    #: reduce over the mesh).  ``None`` = single device.
+    mesh: t.Optional[jax.sharding.Mesh] = None
+    mesh_axis: str = "walkers"
 
     def __post_init__(self):
         if self.rng_seed is None:
             object.__setattr__(self, "rng_seed",
                                int(utils.get_random_rng_seed()))
+        if self.mesh is not None:
+            n = self.mesh.shape[self.mesh_axis]
+            if self.num_walkers % n:
+                raise ValueError(
+                    f"num_walkers must be divisible by the mesh "
+                    f"'{self.mesh_axis}' axis size ({n})")
 
     # -- derived ---------------------------------------------------------
 
@@ -178,6 +189,13 @@ class Sampling:
         gaussian = self.gaussian
         use_ssf = self.ssf_est_spec is not None
         momenta_np = self.ssf_momenta if use_ssf else None
+        axis_name = self.mesh_axis if self.mesh is not None else None
+
+        def _psum(x):
+            return jax.lax.psum(x, axis_name) if axis_name else x
+
+        def _pmean(x):
+            return jax.lax.pmean(x, axis_name) if axis_name else x
 
         def step(carry: State, key, cfc, move_spread):
             k_move, k_acc = jax.random.split(key)
@@ -208,18 +226,43 @@ class Sampling:
                 new_parts = None
             new_state = State(new_pos, new_lp, new_e, accept, new_parts)
             out = (new_lp, new_e, accept,
-                   new_parts.sum(axis=0) if use_ssf else 0.0)
+                   _psum(new_parts.sum(axis=0)) if use_ssf else 0.0)
             return new_state, out
 
         def run_block(state: State, block_key, cfc, move_spread,
                       num_steps_block: int):
+            if axis_name is not None:
+                block_key = jax.random.fold_in(
+                    block_key, jax.lax.axis_index(axis_name))
             keys = jax.random.split(block_key, num_steps_block)
             final_state, (lps, es, accepts, ssf) = jax.lax.scan(
                 lambda c, k: step(c, k, cfc, move_spread), state, keys)
-            accept_rate = accepts.mean()
+            accept_rate = _pmean(accepts.mean())
             return final_state, PropsData(lps, es, accepts), ssf, accept_rate
 
-        return jax.jit(run_block, static_argnames=("num_steps_block",))
+        if self.mesh is None:
+            return jax.jit(run_block,
+                           static_argnames=("num_steps_block",))
+
+        P = jax.sharding.PartitionSpec
+        ax = self.mesh_axis
+        state_spec = State(pos=P(ax), wf_abs_log=P(ax), energy=P(ax),
+                           move_stat=P(ax),
+                           ssf_parts=P(ax) if use_ssf else None)
+        props_spec = PropsData(P(None, ax), P(None, ax), P(None, ax))
+
+        def sharded_block(state, block_key, cfc, move_spread,
+                          num_steps_block: int):
+            fn = jax.shard_map(
+                lambda st, k, cf, ms: run_block(st, k, cf, ms,
+                                                num_steps_block),
+                mesh=self.mesh,
+                in_specs=(state_spec, P(), P(), P()),
+                out_specs=(state_spec, props_spec, P(), P()))
+            return fn(state, block_key, cfc, move_spread)
+
+        return jax.jit(sharded_block,
+                       static_argnames=("num_steps_block",))
 
     # -- public sampling APIs -------------------------------------------------
 
