@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.pbc import min_image, sign
+from ..ops.pbc import min_image, min_image_bounded, sign
 
 __all__ = ["CFCParams", "build_core_funcs", "SysConfSlot"]
 
@@ -128,7 +128,9 @@ def build_core_funcs(*,
         """
         sc = _supercell(cfc)
         d = pos[..., :, None] - pos[..., None, :]
-        d = min_image(d, sc)
+        # Positions live in [0, L): differences are bounded by (-L, L),
+        # so the cheap round-based minimum image applies.
+        d = min_image_bounded(d, sc)
         off_diag = ~jnp.eye(nop, dtype=bool)
         r = jnp.where(off_diag, jnp.abs(d), 0.25 * sc)
         return d, r, off_diag

@@ -469,6 +469,21 @@ def _two_body_pair_terms(rz, cfc: CFCParams, need_log: bool = True,
     s = jnp.sin(arg)
     c = jnp.cos(arg)
     one = jnp.ones_like(rz)
+    pref = jnp.pi / sc_size
+
+    ldz = ldz2 = log_f2 = None
+    if need_derivs and not need_log:
+        # Forward-only fast path (the DMC hot loop): the unselected
+        # branch may produce inf at isolated arguments - jnp.where
+        # discards it; no gradients flow here.
+        t = s / c
+        inv_t = c / s
+        ldz = jnp.where(in_cut, -k2 * t, pref * beta * inv_t)
+        ldz2 = jnp.where(in_cut, -k2 * k2 * one,
+                         pref ** 2 * beta
+                         * ((beta - 1) * inv_t * inv_t - 1))
+        return None, ldz, ldz2
+
     # Branch-local safe views (guard values AND gradients of the
     # unselected branch).
     s_o = jnp.where(in_cut, one, s)
@@ -476,10 +491,8 @@ def _two_body_pair_terms(rz, cfc: CFCParams, need_log: bool = True,
     s_i = jnp.where(in_cut, s, jnp.zeros_like(rz))
     c_i = jnp.where(in_cut, c, one)
 
-    ldz = ldz2 = log_f2 = None
     if need_derivs:
         cot = c_o / s_o
-        pref = jnp.pi / sc_size
         ldz = jnp.where(in_cut, -k2 * s_i / c_i, pref * beta * cot)
         ldz2 = jnp.where(in_cut, -k2 * k2 * one,
                          pref ** 2 * beta * ((beta - 1) * cot ** 2 - 1))

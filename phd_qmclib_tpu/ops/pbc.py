@@ -29,6 +29,18 @@ def min_image(z_ij, sc_size):
     return jnp.where(jnp.abs(z_ij) > sc_half, wrapped, z_ij)
 
 
+def min_image_bounded(z_ij, sc_size):
+    """Minimum image for displacements already bounded to
+    ``(-sc_size, sc_size)`` - differences of positions inside the
+    supercell.  One round + fma instead of compare/mod/select; used in
+    the O(N^2) hot kernels where every per-pair op counts.
+
+    At ``|z_ij| == sc_size/2`` exactly, round-half-to-even may pick the
+    opposite image - the same physical pair distance.
+    """
+    return z_ij - sc_size * jnp.round(z_ij / sc_size)
+
+
 def min_distance(z_i, z_j, sc_size):
     """Signed minimum-image distance between two positions."""
     return min_image(z_i - z_j, sc_size)
