@@ -302,3 +302,55 @@ class Sampling:
         if num_steps < 1:
             raise ValueError("num_steps must be nonzero and positive")
         return next(self.blocks(num_steps, ini_state))
+
+    def state_data_blocks(self, num_steps_block: int, ini_state: State,
+                          thin: int = 1):
+        """Yield blocks that additionally record the chain
+        configurations (reference ``qmc_base/vmc.py:808-902``).
+
+        Yields ``(confs, block)`` where ``confs`` has shape
+        ``(num_steps_block // thin, W, N)`` - every ``thin``-th step's
+        walker positions - and ``block`` is the usual
+        :class:`SamplingBlock`.  Feeds the wavefunction-optimization
+        workflow (configurations + their log-psi values).
+        """
+        if num_steps_block % thin:
+            raise ValueError("num_steps_block must be divisible by thin")
+
+        funcs = self.core_funcs
+        base_fn = self._block_fn
+
+        @jax.jit
+        def collect(state, block_key, cfc, move_spread):
+            # Sub-blocks of `thin` steps; keep each sub-block's final
+            # configuration.
+            def body(carry, key):
+                # Calling the jitted block fn inside jit inlines it.
+                new_state, props, ssf, _ = base_fn(
+                    carry, key, cfc, move_spread, thin)
+                return new_state, (new_state.pos, props, ssf)
+            keys = jax.random.split(block_key, num_steps_block // thin)
+            final_state, (confs, props, ssf) = jax.lax.scan(body, state,
+                                                            keys)
+            return final_state, confs, props, ssf
+
+        base_key = jax.random.PRNGKey(self.rng_seed)
+        state = ini_state
+        cfc = self._cast_params(ini_state.pos.dtype)
+        move_spread = jnp.asarray(self.move_spread,
+                                  dtype=ini_state.pos.dtype)
+        block_idx = 0
+        while True:
+            block_key = jax.random.fold_in(base_key, block_idx)
+            state, confs, props, ssf = collect(state, block_key, cfc,
+                                               move_spread)
+            props_flat = PropsData(
+                *(x.reshape((-1,) + x.shape[2:]) for x in props))
+            accept_rate = float(np.asarray(props_flat.move_stat,
+                                           dtype=np.float64).mean())
+            block = SamplingBlock(props_flat,
+                                  None if self.ssf_est_spec is None
+                                  else ssf.reshape((-1,) + ssf.shape[2:]),
+                                  accept_rate, state)
+            yield confs, block
+            block_idx += 1
