@@ -550,3 +550,50 @@ class Sampling:
         use :meth:`blocks` for production."""
         for block in self.blocks(ini_state, num_time_steps_block=1):
             yield block.last_state
+
+    def state_data_blocks(self, ini_state: State,
+                          num_time_steps_block: int, thin: int = 1):
+        """Yield blocks that additionally record the walker ensembles
+        (reference ``qmc_base/dmc.py:973-1070``).
+
+        Yields ``(ensembles, block)`` where ``ensembles`` is a dict with
+        ``pos (nts//thin, Wm, N)``, ``energies``, ``weights`` - every
+        ``thin``-th step's post-diffusion ensemble - and ``block`` is
+        the usual :class:`SamplingBlock`.
+        """
+        if num_time_steps_block % thin:
+            raise ValueError(
+                "num_time_steps_block must be divisible by thin")
+        # As in the reference, no estimators are evaluated while
+        # recording state data (``qmc_base/dmc.py:987-1068``).
+        block_fn = self._block_fn_burn
+
+        @jax.jit
+        def collect(state, block_key, scalars, cfc):
+            def body(carry, key):
+                new_state, props, _ = block_fn(carry, key, scalars,
+                                               cfc, thin)
+                return new_state, (
+                    {"pos": new_state.pos,
+                     "energies": new_state.energies,
+                     "weights": new_state.weights}, props)
+
+            keys = jax.random.split(block_key,
+                                    num_time_steps_block // thin)
+            final_state, (ens, props) = jax.lax.scan(body, state, keys)
+            return final_state, ens, props
+
+        base_key = jax.random.PRNGKey(self.rng_seed)
+        state = ini_state
+        dtype = ini_state.pos.dtype
+        cfc = self._cast_params(dtype)
+        scalars = self._scalars(dtype)
+        block_idx = 0
+        while True:
+            block_key = jax.random.fold_in(base_key, block_idx)
+            state, ens, props = collect(state, block_key, scalars, cfc)
+            props_flat = PropsData(
+                *(x.reshape((-1,) + x.shape[2:]) for x in props))
+            block = SamplingBlock(props_flat, None, None, state)
+            yield ens, block
+            block_idx += 1

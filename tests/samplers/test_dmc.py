@@ -211,6 +211,21 @@ class TestEstimators:
         b1 = next(blocks)
         assert b1.iter_density is not None and b1.iter_ssf is not None
 
+    def test_state_data_blocks(self, sampling_factory):
+        spec, sampling = sampling_factory(False, False)
+        state = sampling.build_state(make_confs(spec, 64))
+        blocks = sampling.state_data_blocks(state,
+                                            num_time_steps_block=16,
+                                            thin=4)
+        ens, block = next(blocks)
+        assert ens["pos"].shape == (4, 96, NOP)
+        assert ens["energies"].shape == (4, 96)
+        assert block.iter_props.energy.shape == (16,)
+        assert block.iter_density is None
+        # Recorded last ensemble matches the block's final state.
+        np.testing.assert_allclose(np.asarray(ens["pos"][-1]),
+                                   np.asarray(block.last_state.pos))
+
     def test_density_concentrates_in_wells(self, sampling_factory):
         # After equilibration the density in the wells (z_cell < 1/2 for
         # r=1) must exceed the density inside the barriers.
