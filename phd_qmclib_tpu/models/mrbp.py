@@ -466,23 +466,25 @@ def _two_body_pair_terms(rz, cfc: CFCParams, need_log: bool = True,
 
     in_cut = rz < jnp.abs(rm)
     arg = jnp.where(in_cut, k2 * (rz - r_off), jnp.pi * rz / sc_size)
-    s = jnp.sin(arg)
-    c = jnp.cos(arg)
     one = jnp.ones_like(rz)
     pref = jnp.pi / sc_size
 
     ldz = ldz2 = log_f2 = None
     if need_derivs and not need_log:
-        # Forward-only fast path (the DMC hot loop): the unselected
-        # branch may produce inf at isolated arguments - jnp.where
-        # discards it; no gradients flow here.
-        t = s / c
-        inv_t = c / s
+        # Forward-only fast path (the DMC hot loop): ONE tan serves both
+        # branches (inside wants tan, outside wants cot = 1/tan).  The
+        # unselected branch may produce inf at isolated arguments -
+        # jnp.where discards it; no gradients flow here.
+        t = jnp.tan(arg)
+        inv_t = one / t
         ldz = jnp.where(in_cut, -k2 * t, pref * beta * inv_t)
         ldz2 = jnp.where(in_cut, -k2 * k2 * one,
                          pref ** 2 * beta
                          * ((beta - 1) * inv_t * inv_t - 1))
         return None, ldz, ldz2
+
+    s = jnp.sin(arg)
+    c = jnp.cos(arg)
 
     # Branch-local safe views (guard values AND gradients of the
     # unselected branch).
