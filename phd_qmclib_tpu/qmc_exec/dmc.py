@@ -90,6 +90,11 @@ class Proc(proc_base.Proc):
     #: Write a jax.profiler trace of the estimator loop to this
     #: directory (open with TensorBoard / Perfetto).
     profile_dir: t.Optional[str] = None
+    #: Mid-procedure checkpointing: dump the walker state to this HDF5
+    #: file every ``checkpoint_every`` blocks (the reference only stubs
+    #: this hook, ``qmc_exec/proc.py:127-129``).
+    checkpoint_file: t.Optional[str] = None
+    checkpoint_every: int = 16
     verbose: bool = False
 
     def __post_init__(self):
@@ -249,6 +254,42 @@ class Proc(proc_base.Proc):
                      sampling_data: dmc_data.SamplingData) -> ProcResult:
         return ProcResult(state, self, sampling_data)
 
+    def _write_checkpoint(self, state):
+        """Atomic state checkpoint: write to a temp file, then rename."""
+        import os
+
+        import h5py
+
+        from . import io as io_mod
+
+        handler = io_mod.DmcHDF5FileHandler(self.checkpoint_file,
+                                            group="checkpoint",
+                                            dump_replace=True)
+        tmp_path = f"{self.checkpoint_file}.tmp"
+        with h5py.File(tmp_path, "w") as fp:
+            handler.save_state(state, fp.require_group(
+                "checkpoint/dmc/state"))
+            handler.save_proc(self.as_config(), fp.require_group(
+                "checkpoint/dmc/proc_spec"))
+        os.replace(tmp_path, self.checkpoint_file)
+        exec_logger.info(f"checkpoint written to {self.checkpoint_file}")
+
+    @classmethod
+    def restore_checkpoint(cls, checkpoint_file: str) \
+            -> t.Tuple["Proc", ProcInput]:
+        """Load a mid-run checkpoint: ``(proc, proc_input)`` ready for
+        ``proc.exec``."""
+        import h5py
+
+        from . import io as io_mod
+
+        handler = io_mod.DmcHDF5FileHandler(checkpoint_file,
+                                            group="checkpoint")
+        with h5py.File(checkpoint_file, "r") as fp:
+            state = handler.load_state(fp.get("checkpoint/dmc/state"))
+            proc = handler.load_proc(fp.get("checkpoint/dmc/proc_spec"))
+        return proc, ProcInput(state)
+
     # -- the driver loop -------------------------------------------------------
 
     def exec(self, proc_input: ProcInput) -> ProcResult:
@@ -357,6 +398,10 @@ class Proc(proc_base.Proc):
                         iter_ssf[nts_block - 1]
                         if self.ssf_spec.as_pure_est
                         else iter_ssf.sum(axis=0))
+
+            if self.checkpoint_file is not None and \
+                    (block_idx + 1) % self.checkpoint_every == 0:
+                self._write_checkpoint(block_data.last_state)
 
             # Throughput observability (absent in the reference; see
             # SURVEY aux-subsystems notes).
