@@ -20,6 +20,15 @@ import click
 from .qmc_exec import cli_app, config
 from .utils import now
 
+# Load a .env file when python-dotenv is available (reference CLIs do,
+# ``mrbp_qmc/dmc_cli.py:26``); silently optional.
+try:  # pragma: no cover
+    from dotenv import load_dotenv
+
+    load_dotenv()
+except ImportError:  # pragma: no cover
+    pass
+
 __all__ = ["dmc_cli", "vmc_cli"]
 
 #: Template context variables (``mrbp_qmc/config.py:15-28``).

@@ -316,7 +316,11 @@ class Proc(proc_base.Proc):
 
         if burn_in_blocks:
             exec_logger.info("Computing DMC burn-in stage...")
-            for _ in range(burn_in_blocks):
+            burn_iter = range(burn_in_blocks)
+            if self.verbose:
+                import tqdm
+                burn_iter = tqdm.tqdm(burn_iter, dynamic_ncols=True)
+            for _ in burn_iter:
                 next(blocks_iter)
             exec_logger.info("Burn-in stage completed.")
         else:
