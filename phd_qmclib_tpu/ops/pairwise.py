@@ -33,6 +33,20 @@ PARAMS_SIZE = 16
  P_AM, P_V0D) = range(13)
 
 
+def pack_params_traced(cfc):
+    """Traceable packing of the mrbp CFCParams pytree into the kernel's
+    SMEM vector (works under jit with traced parameter leaves)."""
+    mp_, obf, tbf = cfc.model_params, cfc.obf_params, cfc.tbf_params
+    entries = [obf.lattice_depth, obf.param_e0, obf.param_k1,
+               obf.param_kp1, obf.well_width, obf.barrier_width,
+               mp_.supercell_size, jnp.abs(tbf.tbf_contact_cutoff),
+               tbf.param_k2, tbf.param_beta, tbf.param_r_off,
+               tbf.param_am, mp_.defect_magnitude]
+    entries += [0.0] * (PARAMS_SIZE - len(entries))
+    return jnp.asarray(jnp.stack([jnp.float32(e) for e in entries]))[
+        None, :]
+
+
 def pack_params(cfc) -> np.ndarray:
     """Pack the mrbp CFCParams pytree into the kernel's SMEM vector."""
     mp_, obf, tbf = cfc.model_params, cfc.obf_params, cfc.tbf_params
@@ -122,8 +136,8 @@ def _kernel(params_ref, pos_ref, energy_ref, drift_ref, *maybe_logpsi,
         zj = jnp.broadcast_to(tile[:, None, :], (tw, npad, npad)) \
             .reshape(rows, npad)
         d = zi - zj
-        d = jnp.where(jnp.abs(d) > half,
-                      -half + jnp.mod(d + half, L), d)
+        # Round-based minimum image (positions live in [0, L)).
+        d = d - L * jnp.round(d * (1.0 / L))
         i_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, npad), 0) \
             % npad
         j_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, npad), 1)
@@ -132,20 +146,28 @@ def _kernel(params_ref, pos_ref, energy_ref, drift_ref, *maybe_logpsi,
 
         in_cut = r < rm
         arg = jnp.where(in_cut, k2 * (r - r_off), jnp.pi * r / L)
-        s = jnp.sin(arg)
-        c = jnp.cos(arg)
         one = jnp.ones_like(r)
-        s_o = jnp.where(in_cut, one, s)
-        c_o = jnp.where(in_cut, one, c)
-        c_i = jnp.where(in_cut, c, one)
-        s_i = jnp.where(in_cut, s, jnp.zeros_like(r))
-
-        cot = c_o / s_o
         pref = jnp.pi / L
-        ldz = jnp.where(in_cut, -k2 * s_i / c_i, pref * beta * cot)
-        ldz2 = jnp.where(in_cut, -k2 * k2 * one,
-                         pref * pref * beta * ((beta - 1.0) * cot * cot
-                                               - 1.0))
+        if with_log_psi:
+            s = jnp.sin(arg)
+            c = jnp.cos(arg)
+            s_o = jnp.where(in_cut, one, s)
+            c_o = jnp.where(in_cut, one, c)
+            c_i = jnp.where(in_cut, c, one)
+            s_i = jnp.where(in_cut, s, jnp.zeros_like(r))
+            cot = c_o / s_o
+            ldz = jnp.where(in_cut, -k2 * s_i / c_i, pref * beta * cot)
+            ldz2 = jnp.where(in_cut, -k2 * k2 * one,
+                             pref * pref * beta
+                             * ((beta - 1.0) * cot * cot - 1.0))
+        else:
+            # Forward-only fast path: ONE tan per pair.
+            tan_v = jnp.tan(arg)
+            cot = one / tan_v
+            ldz = jnp.where(in_cut, -k2 * tan_v, pref * beta * cot)
+            ldz2 = jnp.where(in_cut, -k2 * k2 * one,
+                             pref * pref * beta
+                             * ((beta - 1.0) * cot * cot - 1.0))
         sgn = jnp.where(d >= 0, one, -one)
 
         drift_pair = jnp.where(off, ldz * sgn, 0.0).sum(

@@ -1,0 +1,62 @@
+"""Pallas pairwise kernel tests (interpreter mode on CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from phd_qmclib_tpu.models import mrbp
+from phd_qmclib_tpu.ops import pairwise
+
+
+@pytest.fixture(scope="module")
+def setup():
+    spec = mrbp.Spec(lattice_depth=20.0, lattice_ratio=1.0,
+                     interaction_strength=1.0, boson_number=64,
+                     supercell_size=64.0, tbf_contact_cutoff=0.4)
+    funcs = mrbp.core_funcs(spec)
+    cfc = jax.tree.map(lambda x: jnp.float32(x), spec.cfc_params)
+    rng = np.random.default_rng(0)
+    pos = jnp.asarray(rng.uniform(0, 64.0, (32, 64)), dtype=jnp.float32)
+    return spec, funcs, cfc, pos
+
+
+def test_kernel_matches_xla(setup):
+    spec, funcs, cfc, pos = setup
+    pv = jnp.asarray(pairwise.pack_params(spec.cfc_params))
+    lp_p, e_p, d_p = pairwise.energy_and_drift_pallas(
+        pos, pv, nop=64, is_free=False, is_ideal=False, defects_sep=1,
+        tw=8, with_log_psi=True, interpret=True)
+    lp_x, e_x = funcs.log_psi_and_energy(pos, cfc)
+    _, d_x = funcs.energy_and_drift(pos, cfc)
+    np.testing.assert_allclose(np.asarray(e_p), np.asarray(e_x),
+                               rtol=2e-6)
+    np.testing.assert_allclose(np.asarray(d_p), np.asarray(d_x),
+                               rtol=1e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(lp_p), np.asarray(lp_x),
+                               rtol=2e-6)
+
+
+def test_traced_param_packing(setup):
+    spec, _, cfc, _ = setup
+    vec_static = pairwise.pack_params(spec.cfc_params)
+    vec_traced = np.asarray(jax.jit(pairwise.pack_params_traced)(cfc))
+    np.testing.assert_allclose(vec_traced, vec_static, rtol=1e-7)
+
+
+def test_core_funcs_pallas_dispatch(setup, monkeypatch):
+    spec, funcs, cfc, pos = setup
+    monkeypatch.setattr(mrbp, "_PALLAS_INTERPRET", True)
+    pfuncs = mrbp.core_funcs(spec, pairwise_impl="pallas")
+    e_p, d_p = pfuncs.energy_and_drift(pos, cfc)
+    e_x, d_x = funcs.energy_and_drift(pos, cfc)
+    np.testing.assert_allclose(np.asarray(e_p), np.asarray(e_x),
+                               rtol=2e-6)
+    # Non-tile-aligned batches fall back to the XLA path.
+    e_f, _ = pfuncs.energy_and_drift(pos[:5], cfc)
+    np.testing.assert_allclose(np.asarray(e_f), np.asarray(e_x[:5]),
+                               rtol=1e-6)
+    # f64 input falls back too (tests run with x64 enabled).
+    pos64 = jnp.asarray(np.asarray(pos), dtype=jnp.float64)
+    cfc64 = jax.tree.map(lambda x: jnp.float64(x), cfc)
+    e64, _ = pfuncs.energy_and_drift(pos64, cfc64)
+    assert e64.dtype == jnp.float64
