@@ -133,6 +133,22 @@ class TestCLIApp:
         assert (workdir / "restart-out.h5").exists()
 
 
+class TestVmcCLI:
+
+    def test_vmc_start(self, tmp_path, monkeypatch):
+        shutil.copy(FIXTURES / "vmc-cli-app-spec.yml", tmp_path)
+        monkeypatch.chdir(tmp_path)
+        runner = CliRunner()
+        result = runner.invoke(mrbp_cli.vmc_cli,
+                               ["start", "vmc-cli-app-spec.yml"])
+        assert result.exit_code == 0, result.output
+        out = tmp_path / "vmc-out.h5"
+        assert out.exists()
+        with h5py.File(out, "r") as fp:
+            assert "vmc-proc-ID0/vmc/state/sys_conf" in fp
+            assert "vmc-proc-ID0/vmc/data/blocks/ss_factor" in fp
+
+
 class TestCLI:
 
     def test_proc_template_and_start(self, workdir, monkeypatch):

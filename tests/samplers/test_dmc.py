@@ -75,6 +75,38 @@ class TestBranchingComb:
         assert np.asarray(parent)[: 3].max() <= 2
 
 
+class TestRobustness:
+
+    def test_build_state_rejects_bad_shapes(self):
+        spec = make_spec()
+        sampling = dmc.Sampling(spec, time_step=TIME_STEP,
+                                max_num_walkers=32,
+                                target_num_walkers=24, rng_seed=1)
+        with pytest.raises(ValueError, match="valid set"):
+            sampling.build_state(np.zeros((8, NOP + 2)))
+
+    def test_more_confs_than_target_are_truncated(self):
+        spec = make_spec()
+        sampling = dmc.Sampling(spec, time_step=TIME_STEP,
+                                max_num_walkers=32,
+                                target_num_walkers=24, rng_seed=1)
+        state = sampling.build_state(make_confs(spec, 30))
+        assert int(np.asarray(state.num_walkers).sum()) == 24
+
+    def test_extreme_interaction_strength_params(self):
+        # The brentq two-body matching must stay solvable across the
+        # coupling range.
+        for gn in (1e-3, 0.1, 10.0, 100.0):
+            spec = make_spec(interaction_strength=gn)
+            tbf = spec.tbf_params
+            assert np.isfinite([tbf.param_k2, tbf.param_beta,
+                                tbf.param_r_off, tbf.param_am]).all()
+            funcs = mrbp.core_funcs(spec)
+            pos = jnp.asarray(np.linspace(0.3, SC_SIZE - 0.7, NOP))
+            e = float(funcs.energy(pos, spec.cfc_params))
+            assert np.isfinite(e)
+
+
 class TestIdealGasExactness:
 
     def test_energy_is_exact_every_step(self):
