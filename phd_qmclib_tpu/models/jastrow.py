@@ -371,6 +371,48 @@ def build_core_funcs(*,
         im = jnp.sin(phase).sum(axis=-2)
         return jnp.stack([re ** 2 + im ** 2, re, im], axis=-1)
 
+    def fourier_density_parts_harmonics(num_modes: int, pos,
+                                        cfc: CFCParams):
+        """S(k) parts for the harmonic momenta ``k_j = j * 2 pi / L``,
+        ``j = 0..num_modes-1`` (the momenta every sampler uses,
+        ``mrbp_qmc/vmc.py:129-143``).
+
+        Uses the Chebyshev recurrence ``cos((j+1)t) = 2 cos t cos(jt) -
+        cos((j-1)t)`` (same for sin): ONE sincos on ``(..., N)`` plus two
+        fmas per extra mode, instead of a sincos on ``(..., N, M)`` -
+        ~M-fold fewer transcendentals in the estimator hot path.
+        Returns ``(..., num_modes, 3)``.
+        """
+        theta = (2 * jnp.pi / _supercell(cfc)) * pos
+        c1 = jnp.cos(theta)
+        s1 = jnp.sin(theta)
+        ones = jnp.ones_like(theta)
+        zeros = jnp.zeros_like(theta)
+
+        def mode_sums(c, s):
+            re = c.sum(axis=-1)
+            im = s.sum(axis=-1)
+            return jnp.stack([re ** 2 + im ** 2, re, im], axis=-1)
+
+        def body(carry, _):
+            c_prev, c_prev2, s_prev, s_prev2 = carry
+            c = 2 * c1 * c_prev - c_prev2
+            s = 2 * c1 * s_prev - s_prev2
+            return (c, c_prev, s, s_prev), mode_sums(c, s)
+
+        parts0 = mode_sums(ones, zeros)
+        if num_modes == 1:
+            return parts0[..., None, :]
+        parts1 = mode_sums(c1, s1)
+        if num_modes == 2:
+            return jnp.stack([parts0, parts1], axis=-2)
+        _, rest = jax.lax.scan(body, (c1, ones, s1, zeros), None,
+                               length=num_modes - 2)
+        # scan stacks on axis 0: move modes next to the parts axis.
+        rest = jnp.moveaxis(rest, 0, -2)
+        return jnp.concatenate(
+            [parts0[..., None, :], parts1[..., None, :], rest], axis=-2)
+
     return SimpleNamespace(
         log_psi=_tiled_over_walkers(log_psi),
         log_psi_and_energy=_tiled_over_walkers(log_psi_and_energy),
@@ -383,6 +425,7 @@ def build_core_funcs(*,
         one_body_density=one_body_density,
         fourier_density=fourier_density,
         fourier_density_parts=fourier_density_parts,
+        fourier_density_parts_harmonics=fourier_density_parts_harmonics,
         is_free=is_free,
         is_ideal=is_ideal,
         boson_number=boson_number,

@@ -390,8 +390,8 @@ class Sampling:
                     est_out["density"] = _psum(jnp.where(
                         valid[:, None], hist, 0.0).sum(axis=0))
             if use_ssf:
-                momenta = scalars["ssf_momenta"]
-                parts = funcs.fourier_density_parts(momenta, cpos, cfc)
+                parts = funcs.fourier_density_parts_harmonics(
+                    ssf_spec.num_modes, cpos, cfc)
                 if ssf_pure:
                     pfw = self._pfw_steps(ssf_spec)
                     aux_prev = extra["aux_ssf"][parent]
@@ -511,15 +511,12 @@ class Sampling:
 
     def _scalars(self, dtype) -> dict:
         f = partial(jnp.asarray, dtype=dtype)
-        scalars = {
+        return {
             "time_step": f(self.time_step),
             "sigma_spread": f(self.sigma_spread),
             "nwc_factor": f(self.num_walkers_control_factor),
             "target_num_walkers": f(self.target_num_walkers),
         }
-        if self.ssf_est_spec is not None:
-            scalars["ssf_momenta"] = f(self.ssf_momenta)
-        return scalars
 
     # -- public sampling APIs -------------------------------------------------
 

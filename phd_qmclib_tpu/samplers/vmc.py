@@ -188,7 +188,7 @@ class Sampling:
         funcs = self.core_funcs
         gaussian = self.gaussian
         use_ssf = self.ssf_est_spec is not None
-        momenta_np = self.ssf_momenta if use_ssf else None
+        num_modes = self.ssf_est_spec.num_modes if use_ssf else 0
         axis_name = self.mesh_axis if self.mesh is not None else None
 
         def _psum(x):
@@ -218,8 +218,8 @@ class Sampling:
             new_lp = jnp.where(accept, lp_prop, carry.wf_abs_log)
             new_e = jnp.where(accept, e_prop, carry.energy)
             if use_ssf:
-                momenta = jnp.asarray(momenta_np, dtype=pos.dtype)
-                parts_prop = funcs.fourier_density_parts(momenta, prop, cfc)
+                parts_prop = funcs.fourier_density_parts_harmonics(
+                    num_modes, prop, cfc)
                 new_parts = jnp.where(accept[:, None, None], parts_prop,
                                       carry.ssf_parts)
             else:

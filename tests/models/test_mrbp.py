@@ -256,6 +256,26 @@ class TestPhysicalLimits:
         assert parts.shape == (2, 3)
         assert float(parts[0, 0]) == pytest.approx(NOP ** 2)
 
+    @pytest.mark.parametrize("num_modes", [1, 2, 3, 9])
+    def test_fourier_harmonics_match_general(self, spec, funcs, pos,
+                                             num_modes):
+        # The Chebyshev-recurrence path must reproduce the direct
+        # evaluation at the harmonic momenta k_j = 2 pi j / L.
+        kz = jnp.asarray(np.arange(num_modes) * 2 * np.pi / SC_SIZE)
+        general = funcs.fourier_density_parts(kz, pos, spec.cfc_params)
+        harmonics = funcs.fourier_density_parts_harmonics(
+            num_modes, pos, spec.cfc_params)
+        np.testing.assert_allclose(np.asarray(harmonics),
+                                   np.asarray(general),
+                                   rtol=1e-9, atol=1e-9)
+        # Batched shapes too.
+        batch = jnp.stack([pos, pos + 0.37])
+        hb = funcs.fourier_density_parts_harmonics(num_modes, batch,
+                                                   spec.cfc_params)
+        gb = funcs.fourier_density_parts(kz, batch, spec.cfc_params)
+        np.testing.assert_allclose(np.asarray(hb), np.asarray(gb),
+                                   rtol=1e-9, atol=1e-9)
+
 
 class TestSpecValidation:
 
