@@ -87,6 +87,9 @@ class Proc(proc_base.Proc):
     ssf_spec: t.Optional[SSFEstSpec] = None
     #: Compute dtype on device ("float32" for TPU, "float64" on CPU).
     dtype: str = "float32"
+    #: Multi-chip: shard walkers over this many local devices (None =
+    #: single device, 0 = all available devices).
+    num_mesh_devices: t.Optional[int] = None
     #: Write a jax.profiler trace of the estimator loop to this
     #: directory (open with TensorBoard / Perfetto).
     profile_dir: t.Optional[str] = None
@@ -175,6 +178,7 @@ class Proc(proc_base.Proc):
             "burn_in_blocks": self.burn_in_blocks,
             "keep_iter_data": self.keep_iter_data,
             "dtype": self.dtype,
+            "num_mesh_devices": self.num_mesh_devices,
         }
         if self.density_spec is not None:
             config["density_spec"] = {
@@ -217,11 +221,15 @@ class Proc(proc_base.Proc):
         ssf_est_spec = dmc_sampler.SSFEstSpec(
             self.ssf_spec.num_modes, self.ssf_spec.as_pure_est,
             pfw_num_time_steps) if self.should_eval_ssf else None
+        mesh = None
+        if self.num_mesh_devices is not None:
+            from ..parallel import make_walker_mesh
+            mesh = make_walker_mesh(self.num_mesh_devices or None)
         return dmc_sampler.Sampling(
             self.model_spec, self.time_step, self.max_num_walkers,
             self.target_num_walkers, self.num_walkers_control_factor,
             self.rng_seed, density_est_spec=density_est_spec,
-            ssf_est_spec=ssf_est_spec)
+            ssf_est_spec=ssf_est_spec, mesh=mesh)
 
     def describe_model_spec(self):
         spec = self.model_spec

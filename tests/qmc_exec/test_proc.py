@@ -117,6 +117,26 @@ class TestDmcProc:
             proc = dmc_exec.Proc.from_config(config)
         assert proc.num_blocks == 6
 
+    def test_multichip_proc(self, tmp_path):
+        # Full production driver over the virtual 8-device mesh,
+        # including estimators and HDF5 output.
+        proc = make_dmc_proc(max_num_walkers=96, target_num_walkers=64,
+                             num_mesh_devices=0, num_blocks=4,
+                             burn_in_blocks=1)
+        proc_input = dmc_exec.ProcInput.from_model_sys_conf_spec(
+            dmc_exec.ModelSysConfSpec(dist_type="RANDOM"), proc)
+        result = proc.exec(proc_input)
+        assert np.isfinite(result.data.blocks.energy.mean)
+        # Sharded state round-trips through HDF5.
+        handler = io_mod.DmcHDF5FileHandler(
+            str(tmp_path / "mesh.h5"), group="g")
+        handler.dump(result)
+        loaded = handler.load()
+        np.testing.assert_array_equal(
+            np.asarray(loaded.state.num_walkers),
+            np.asarray(result.state.num_walkers))
+        assert np.asarray(loaded.state.num_walkers).shape == (8,)
+
     def test_keep_iter_data(self):
         proc = make_dmc_proc(num_blocks=3, keep_iter_data=True,
                              density_spec=None, ssf_spec=None)
