@@ -85,6 +85,9 @@ class Proc(proc_base.Proc):
     #: TPU extension: independent Markov chains advanced in lockstep.
     num_walkers: int = 1
     dtype: str = "float32"
+    #: Multi-chip: shard chains over this many local devices (None =
+    #: single device, 0 = all available devices).
+    num_mesh_devices: t.Optional[int] = None
     verbose: bool = False
 
     # VMC has no density estimator in the reference either.
@@ -142,6 +145,7 @@ class Proc(proc_base.Proc):
             "keep_iter_data": self.keep_iter_data,
             "num_walkers": self.num_walkers,
             "dtype": self.dtype,
+            "num_mesh_devices": self.num_mesh_devices,
         }
         if self.ssf_spec is not None:
             config["ssf_spec"] = {"num_modes": self.ssf_spec.num_modes}
@@ -165,9 +169,14 @@ class Proc(proc_base.Proc):
     def sampling(self) -> vmc_sampler.Sampling:
         ssf_est_spec = vmc_sampler.SSFEstSpec(self.ssf_spec.num_modes) \
             if self.should_eval_ssf else None
+        mesh = None
+        if self.num_mesh_devices is not None:
+            from ..parallel import make_walker_mesh
+            mesh = make_walker_mesh(self.num_mesh_devices or None)
         return vmc_sampler.Sampling(
             self.model_spec, self.move_spread, self.rng_seed,
-            ssf_est_spec=ssf_est_spec, num_walkers=self.num_walkers)
+            ssf_est_spec=ssf_est_spec, num_walkers=self.num_walkers,
+            mesh=mesh)
 
     def describe_model_spec(self):
         spec = self.model_spec
