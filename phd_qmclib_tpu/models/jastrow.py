@@ -36,11 +36,10 @@ from ..ops.pbc import min_image, min_image_bounded, sign
 
 __all__ = ["CFCParams", "build_core_funcs", "SysConfSlot"]
 
-#: Walker-batch tile for the O(N^2) kernels: batches larger than this
-#: evaluate as a ``lax.map`` over tiles so the pairwise temporaries stay
-#: bounded (a tile of 4096 walkers at N=128 keeps each (B, N, N)
-#: temporary at ~268 MB in f32).
-PAIR_BATCH_TILE = 4096
+#: Element budget per pairwise tile: batches whose (B, N, N) pair block
+#: would exceed this evaluate as a ``lax.map`` over walker tiles so the
+#: temporaries stay bounded (67M elements = ~268 MB per f32 temporary).
+PAIR_TILE_ELEMS = 4096 * 128 * 128
 
 
 class SysConfSlot:
@@ -103,15 +102,26 @@ def build_core_funcs(*,
 
     def _tiled_over_walkers(fn):
         """Evaluate ``fn(pos, cfc)`` in walker tiles when the flat batch
-        is large, bounding the O(N^2) temporary footprint."""
+        is large, bounding the O(N^2) temporary footprint.
+
+        The tile size adapts to the particle number (budget
+        ``PAIR_TILE_ELEMS`` elements per (tile, N, N) block) and snaps to
+        the largest divisor of the batch at or below the budget, so any
+        batch size tiles without padding.
+        """
 
         def wrapper(pos, cfc):
             batch_shape = pos.shape[:-1]
             total = int(np.prod(batch_shape)) if batch_shape else 1
-            if total <= PAIR_BATCH_TILE or total % PAIR_BATCH_TILE:
+            budget = max(1, PAIR_TILE_ELEMS // (nop * nop))
+            if total <= budget:
                 return fn(pos, cfc)
-            flat = pos.reshape(total // PAIR_BATCH_TILE, PAIR_BATCH_TILE,
-                               pos.shape[-1])
+            tile = budget
+            while total % tile:
+                tile -= 1
+            if tile <= 1:
+                return fn(pos, cfc)
+            flat = pos.reshape(total // tile, tile, pos.shape[-1])
             out = jax.lax.map(lambda p: fn(p, cfc), flat)
             return jax.tree.map(
                 lambda x: x.reshape(batch_shape + x.shape[2:]), out)
