@@ -19,7 +19,8 @@ reference CPU/numba library ``phd-qmclib`` (oarodriguez/PhD-QMCLib):
 * Walkers shard across chips via ``shard_map`` over a ``jax.sharding``
   Mesh, with ``psum`` ensemble reductions riding the ICI.
 """
-from . import constants, ideal, utils  # noqa: F401
+from . import constants, ideal, models, parallel, qmc_exec, samplers, \
+    utils, wf_opt  # noqa: F401
 from .stats import reblock  # noqa: F401
 
 __version__ = "0.1.0"

@@ -526,6 +526,11 @@ class Sampling:
 
         The first ``burn_in_blocks`` blocks skip estimator evaluation
         (reference ``qmc_base/dmc.py:914-940``).
+
+        NOTE: block keys derive from ``(rng_seed, block_idx)``; a
+        continuation run restarted from a saved state should use a
+        fresh ``rng_seed`` so its random stream is independent of the
+        original run (the reference shares this property).
         """
         base_key = jax.random.PRNGKey(self.rng_seed)
         state = ini_state
