@@ -360,7 +360,10 @@ class Sampling:
             new_ref = accum_energy - nwc * jnp.log(
                 jnp.maximum(state_weight, 1.0) / target) / dt
 
-            # 4) Estimators on the post-branching ensemble.
+            # 4) Estimators on the post-branching ensemble.  Outputs are
+            #    SHARD-LOCAL sums; the per-block runner reduces them over
+            #    the mesh once per block (per-step collectives would put
+            #    nts times more latency on the ICI; cf. SURVEY §5.8).
             est_out = {}
             new_extra = {}
             if use_density:
@@ -383,12 +386,12 @@ class Sampling:
                                     aux_prev)
                     divisor = jnp.minimum(step_idx + 1, pfw).astype(
                         cpos.dtype)
-                    est_out["density"] = _psum(jnp.where(
-                        valid[:, None], aux, 0.0).sum(axis=0)) / divisor
+                    est_out["density"] = jnp.where(
+                        valid[:, None], aux, 0.0).sum(axis=0) / divisor
                     new_extra["aux_density"] = aux
                 else:
-                    est_out["density"] = _psum(jnp.where(
-                        valid[:, None], hist, 0.0).sum(axis=0))
+                    est_out["density"] = jnp.where(
+                        valid[:, None], hist, 0.0).sum(axis=0)
             if use_ssf:
                 parts = funcs.fourier_density_parts_harmonics(
                     ssf_spec.num_modes, cpos, cfc)
@@ -399,13 +402,13 @@ class Sampling:
                                     aux_prev)
                     divisor = jnp.minimum(step_idx + 1, pfw).astype(
                         cpos.dtype)
-                    est_out["ssf"] = _psum(jnp.where(
-                        valid[:, None, None], aux, 0.0).sum(axis=0)) \
+                    est_out["ssf"] = jnp.where(
+                        valid[:, None, None], aux, 0.0).sum(axis=0) \
                         / divisor
                     new_extra["aux_ssf"] = aux
                 else:
-                    est_out["ssf"] = _psum(jnp.where(
-                        valid[:, None, None], parts, 0.0).sum(axis=0))
+                    est_out["ssf"] = jnp.where(
+                        valid[:, None, None], parts, 0.0).sum(axis=0)
 
             # 5) Diffuse children with the PREVIOUS E_ref
             #    (jastrow/dmc.py:742-827).
@@ -471,6 +474,11 @@ class Sampling:
 
             (final_state, _), (props, est) = jax.lax.scan(
                 body, (state, extra0), (keys, steps))
+            if axis_name is not None and est:
+                # Shard-local estimator sums reduce over the mesh ONCE
+                # per block (nts-fold less ICI latency than per-step).
+                est = jax.tree.map(
+                    lambda x: jax.lax.psum(x, axis_name), est)
             props_data = PropsData(*props)
             return final_state, props_data, est
 

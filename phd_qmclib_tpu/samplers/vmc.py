@@ -225,8 +225,10 @@ class Sampling:
             else:
                 new_parts = None
             new_state = State(new_pos, new_lp, new_e, accept, new_parts)
+            # S(k) sums are shard-local; the block runner reduces once
+            # per block.
             out = (new_lp, new_e, accept,
-                   _psum(new_parts.sum(axis=0)) if use_ssf else 0.0)
+                   new_parts.sum(axis=0) if use_ssf else 0.0)
             return new_state, out
 
         def run_block(state: State, block_key, cfc, move_spread,
@@ -237,6 +239,8 @@ class Sampling:
             keys = jax.random.split(block_key, num_steps_block)
             final_state, (lps, es, accepts, ssf) = jax.lax.scan(
                 lambda c, k: step(c, k, cfc, move_spread), state, keys)
+            if axis_name is not None and use_ssf:
+                ssf = _psum(ssf)
             accept_rate = _pmean(accepts.mean())
             return final_state, PropsData(lps, es, accepts), ssf, accept_rate
 
