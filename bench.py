@@ -81,7 +81,7 @@ def main():
     # O(N^2) pair work (validated: E/N identical to the 25%-headroom
     # run, cap never reached).
     parser.add_argument("--max-walkers", type=int, default=17408)
-    parser.add_argument("--nts", type=int, default=64)
+    parser.add_argument("--nts", type=int, default=128)
     parser.add_argument("--blocks", type=int, default=4)
     args = parser.parse_args()
 
