@@ -307,6 +307,13 @@ class Sampling:
             raise ValueError("num_steps must be nonzero and positive")
         return next(self.blocks(num_steps, ini_state))
 
+    def states(self, ini_state: State) -> t.Iterator[State]:
+        """Step-by-step state generator (reference
+        ``qmc_base/vmc.py:244-251``); one device dispatch per step -
+        use :meth:`blocks` for production."""
+        for block in self.blocks(1, ini_state):
+            yield block.last_state
+
     def state_data_blocks(self, num_steps_block: int, ini_state: State,
                           thin: int = 1):
         """Yield blocks that additionally record the chain

@@ -130,6 +130,13 @@ class TestMrbpIntegration:
         np.testing.assert_allclose(np.asarray(block.iter_props.energy),
                                    NOP * e0, rtol=1e-9)
 
+    def test_states_generator_api(self, sampling, ini_state):
+        states_iter = sampling.states(ini_state)
+        s1 = next(states_iter)
+        s2 = next(states_iter)
+        assert s1.pos.shape == s2.pos.shape == ini_state.pos.shape
+        assert not np.allclose(np.asarray(s1.pos), np.asarray(s2.pos))
+
     def test_gaussian_proposal_variant(self):
         spec = make_spec()
         time_step = 0.01
