@@ -192,6 +192,120 @@ def _kernel(params_ref, pos_ref, energy_ref, drift_ref, *maybe_logpsi,
             log_rows.sum(axis=1, keepdims=True), (tw, 128))
 
 
+def _diffuse_kernel(params_ref, dyn_ref, pos_ref, drift_ref, energy_ref,
+                    npos_ref, nenergy_ref, ndrift_ref, nweight_ref, *,
+                    nop: int, is_free: bool, is_ideal: bool,
+                    defects_sep: int, tw: int, npad: int):
+    """Fused DMC diffusion step: in-kernel Gaussian noise (Box-Muller on
+    the TPU hardware PRNG), drift move, supercell recast, pairwise
+    energy+drift of the diffused walkers, and the branching weight -
+    everything the XLA step does between the parent gather and the next
+    comb, in one VMEM-resident pass.
+
+    ``dyn_ref`` (SMEM): [dt, sigma, e_ref, seed_lo, step_salt].
+    """
+    p = params_ref
+    dt = dyn_ref[0, 0]
+    sigma = dyn_ref[0, 1]
+    e_ref = dyn_ref[0, 2]
+    seed = dyn_ref[0, 3]
+    salt = dyn_ref[0, 4]
+    L = p[0, P_L]
+
+    # Per-tile, per-step PRNG stream (single combined seed keeps the
+    # prng_seed call portable across pallas versions).
+    pltpu.prng_seed(seed.astype(jnp.int32)
+                    + salt.astype(jnp.int32) * 7919
+                    + pl.program_id(0) * 104729)
+    def _uniform24(shape):
+        # 24-bit uniforms: unsigned shift, then int32 view for the f32
+        # cast (Mosaic lacks a direct uint32 -> f32 cast; after >> 8 the
+        # value is non-negative in int32).
+        bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+        return pltpu.bitcast(bits >> 8, jnp.int32).astype(jnp.float32) \
+            * (1.0 / (1 << 24))
+
+    # Box-Muller: u1 in (0, 1], u2 in [0, 1).
+    u1 = _uniform24((tw, npad)) + (1.0 / (1 << 24))
+    u2 = _uniform24((tw, npad))
+    radius = jnp.sqrt(-2.0 * jnp.log(u1))
+    xi = radius * jnp.cos((2.0 * jnp.pi) * u2)
+
+    cpos = pos_ref[:]
+    cdrift = drift_ref[:]
+    moved = cpos + 2.0 * cdrift * dt + sigma * xi
+    # recast_to_supercell([0, L)).
+    npos = moved - L * jnp.floor(moved / L)
+    npos_ref[:] = npos
+
+    _kernel(params_ref, npos_ref, nenergy_ref, ndrift_ref, nop=nop,
+            is_free=is_free, is_ideal=is_ideal, defects_sep=defects_sep,
+            tw=tw, npad=npad, with_log_psi=False)
+
+    cenergy = energy_ref[:]  # (tw, 128) col-broadcast parent energies
+    nenergy = nenergy_ref[:]
+    nweight_ref[:] = jnp.exp(-dt * (0.5 * (nenergy + cenergy) - e_ref))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "nop", "is_free", "is_ideal", "defects_sep", "tw", "interpret"))
+def diffuse_energy_drift_pallas(cpos, cdrift, cenergy, params_vec,
+                                dyn_vec, *, nop: int, is_free: bool,
+                                is_ideal: bool, defects_sep: int = 1,
+                                tw: int = 32, interpret: bool = False):
+    """Fused drift-diffusion + energy/drift + branching weight.
+
+    ``cpos, cdrift (W, nop)``, ``cenergy (W,)`` are the cloned parents;
+    ``dyn_vec (1, 8)`` packs [dt, sigma, e_ref, seed, salt, 0...].
+    Returns ``(npos (W, nop), nenergy (W,), ndrift (W, nop),
+    nweight (W,))``.  Uses the TPU hardware PRNG (a different - equally
+    valid - random stream than the XLA threefry path).
+
+    Status (v5e, 17408 x 128): validated against XLA recomputation to
+    f32 rounding with exact Gaussian moments, but measured 14.7 ms vs
+    ~14.4 ms for the XLA composite - the in-kernel Box-Muller costs what
+    the fused threefry pass costs, so the sampler keeps the XLA path.
+    Kept as a correct single-dispatch building block for future tuning
+    (e.g. replacing Box-Muller with a cheaper normal approximation).
+    """
+    w, n = cpos.shape
+    assert n == nop and nop <= 128 and w % tw == 0
+    npad = 128
+    if n < npad:
+        cpos_p = jnp.pad(cpos, ((0, 0), (0, npad - n)))
+        cdrift_p = jnp.pad(cdrift, ((0, 0), (0, npad - n)))
+    else:
+        cpos_p, cdrift_p = cpos, cdrift
+    cenergy_p = jnp.broadcast_to(cenergy[:, None], (w, 128))
+
+    kernel = functools.partial(
+        _diffuse_kernel, nop=nop, is_free=is_free, is_ideal=is_ideal,
+        defects_sep=defects_sep, tw=tw, npad=npad)
+
+    vspec = pl.BlockSpec((tw, npad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(w // tw,),
+        in_specs=[
+            pl.BlockSpec((1, PARAMS_SIZE), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            vspec, vspec, vspec,
+        ],
+        out_shape=[jax.ShapeDtypeStruct((w, npad), cpos.dtype),
+                   jax.ShapeDtypeStruct((w, 128), cpos.dtype),
+                   jax.ShapeDtypeStruct((w, npad), cpos.dtype),
+                   jax.ShapeDtypeStruct((w, 128), cpos.dtype)],
+        out_specs=[vspec, vspec, vspec, vspec],
+        interpret=interpret,
+    )(params_vec, dyn_vec, cpos_p, cdrift_p, cenergy_p)
+
+    npos, nenergy, ndrift, nweight = out
+    return npos[:, :n], nenergy[:, 0], ndrift[:, :n], nweight[:, 0]
+
+
 @functools.partial(jax.jit, static_argnames=(
     "nop", "is_free", "is_ideal", "defects_sep", "tw", "with_log_psi",
     "interpret"))
