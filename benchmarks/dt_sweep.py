@@ -45,6 +45,9 @@ def main():
     parser.add_argument("--walkers", type=int, default=2048)
     parser.add_argument("--blocks", type=int, default=10)
     parser.add_argument("--nts", type=int, default=128)
+    # Imaginary-time burn-in: equilibration of this gas takes tau ~ 3-4
+    # (measured; a tau=0.4 burn biases energies high by ~0.03/boson).
+    parser.add_argument("--burn-tau", type=float, default=4.0)
     args = parser.parse_args()
 
     from phd_qmclib_tpu.models import mrbp
@@ -60,7 +63,7 @@ def main():
     t0 = time.time()
     for dt in dts:
         # Burn time ~ fixed imaginary time: more blocks at smaller dt.
-        burn = max(2, int(round(0.4 / (dt * args.nts))))
+        burn = max(2, int(round(args.burn_tau / (dt * args.nts))))
         e, err = run_dmc(spec, dt, args.walkers,
                          int(1.25 * args.walkers), args.blocks,
                          args.nts, burn)
