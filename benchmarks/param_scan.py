@@ -49,8 +49,9 @@ def main():
         confs = np.stack([spec.init_get_sys_conf(rng=rng)
                           for _ in range(args.walkers)]).astype(np.float32)
         state = sampling.build_state(confs, dtype=np.float32)
-        it = sampling.blocks(state, args.nts, burn_in_blocks=3)
-        for _ in range(3):
+        burn = max(3, int(round(4.0 / (1e-3 * args.nts))))
+        it = sampling.blocks(state, args.nts, burn_in_blocks=burn)
+        for _ in range(burn):
             next(it)
         es = []
         for _ in range(args.blocks):

@@ -32,9 +32,10 @@ def run(spec, target, pure: bool, blocks, nts, num_modes=8, seed=5):
     confs = np.stack([spec.init_get_sys_conf(rng=rng)
                       for _ in range(target)]).astype(np.float32)
     state = sampling.build_state(confs, dtype=np.float32)
+    burn = max(3, int(round(4.0 / (1e-3 * nts))))
     it = sampling.blocks(state, num_time_steps_block=nts,
-                         burn_in_blocks=3)
-    for _ in range(3):
+                         burn_in_blocks=burn)
+    for _ in range(burn):
         next(it)
     e_blocks, w_blocks = [], []
     ssf_tot = None
