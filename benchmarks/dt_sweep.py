@@ -71,17 +71,20 @@ def main():
                         "error": err / nop})
         print(json.dumps(results[-1]), flush=True)
 
-    # Linear fit E(dt) = E0 + a dt.
+    # Weighted linear fit E(dt) = E0 + a dt with parameter covariance.
     x = np.array([r["dt"] for r in results])
     y = np.array([r["energy_per_boson"] for r in results])
     w = 1.0 / np.array([max(r["error"], 1e-12) for r in results])
-    coeffs = np.polyfit(x, y, 1, w=w)
+    coeffs, cov = np.polyfit(x, y, 1, w=w, cov="unscaled")
     e_extrap = coeffs[1]
+    e_extrap_err = float(np.sqrt(cov[1, 1]))
     print(json.dumps({
         "metric": "dmc_energy_dt_extrapolated",
         "value": e_extrap,
+        "error": e_extrap_err,
         "unit": "energy/boson (UE)",
         "slope": coeffs[0],
+        "slope_error": float(np.sqrt(cov[0, 0])),
         "ideal_band_bottom": e0,
         "elapsed_s": time.time() - t0,
     }))

@@ -168,6 +168,28 @@ class TestCLI:
         assert (workdir / "run.h5").exists()
 
 
+class TestEdges:
+
+    def test_unknown_io_handler_type(self):
+        with pytest.raises(TypeError, match="unknown handler type"):
+            cli_app.get_io_handler({"type": "CSV_FILE"}, "dmc")
+
+    def test_app_meta_partial_config_and_tag_join(self):
+        meta = cli_app.AppMeta.from_config(
+            {"name": "x", "tags": ["a", "b"]})
+        assert meta.tags == "#a - #b"
+        assert meta.author == ""
+
+    def test_output_must_be_hdf5(self, workdir):
+        config = Loader().load(workdir / "dmc-cli-app-spec.yml")
+        stanza = dict(config["app_spec"][0])
+        stanza["proc_output"] = {"type": "MODEL_SYS_CONF",
+                                 "dist_type": "RANDOM"}
+        with pytest.raises(TypeError, match="HDF5_FILE"), \
+                pytest.warns(DeprecationWarning):
+            cli_app.AppSpec.from_config(stanza, "dmc")
+
+
 class TestTemplate:
 
     def test_render_context(self, workdir):

@@ -170,6 +170,18 @@ class TestPopulationControl:
         # Ground state is bracketed: e0 <= E_DMC <= E_VMC (+3 sigma-ish).
         assert e0 - 0.05 < e_dmc < e_vmc + 0.05
 
+    def test_states_generator_api(self):
+        spec = make_spec()
+        sampling = dmc.Sampling(spec, time_step=TIME_STEP,
+                                max_num_walkers=48,
+                                target_num_walkers=32, rng_seed=4)
+        state = sampling.build_state(make_confs(spec, 32))
+        it = sampling.states(state)
+        s1 = next(it)
+        s2 = next(it)
+        assert float(s2.total_weight) > float(s1.total_weight)
+        assert not np.allclose(np.asarray(s1.pos), np.asarray(s2.pos))
+
     def test_reproducible_by_seed(self):
         spec = make_spec()
         outs = []
