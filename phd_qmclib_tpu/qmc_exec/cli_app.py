@@ -92,20 +92,45 @@ class AppSpec:
                    proc_output=output_handler, proc_id=proc_id,
                    sampling_type=sampling_type)
 
+    def _continuation_proc(self, prev_proc):
+        """RNG hygiene on restarts: when the continuation run reuses
+        the previous run's seed without advancing ``block_offset``, its
+        block keys would replay the blocks the previous run already
+        consumed, correlating the merged statistics.  Advance the
+        offset past the previous run's stream automatically."""
+        proc = self.proc
+        prev_seed = getattr(prev_proc, "rng_seed", None)
+        prev_offset = getattr(prev_proc, "block_offset", 0)
+        if (proc.rng_seed is not None and proc.rng_seed == prev_seed
+                and proc.block_offset <= prev_offset):
+            from dataclasses import replace
+
+            consumed = (prev_offset + prev_proc.burn_in_blocks
+                        + prev_proc.num_blocks)
+            exec_logger.info(
+                f"restart reuses rng_seed={proc.rng_seed}: advancing "
+                f"block_offset to {consumed} for an independent "
+                f"continuation stream")
+            proc = replace(proc, block_offset=consumed)
+        return proc
+
     def build_input(self):
+        """(proc, proc_input) ready for execution; restarts from HDF5
+        get a stream-independent proc (see ``_continuation_proc``)."""
         proc_input_cls = dmc_proc.ProcInput \
             if self.sampling_type == "dmc" else vmc_proc.ProcInput
         if isinstance(self.proc_input, ModelSysConfSpec):
-            return proc_input_cls.from_model_sys_conf_spec(
+            return self.proc, proc_input_cls.from_model_sys_conf_spec(
                 self.proc_input, self.proc)
         if isinstance(self.proc_input, io_mod.HDF5FileHandler):
             proc_result = self.proc_input.load()
-            return proc_input_cls.from_result(proc_result, self.proc)
+            proc = self._continuation_proc(proc_result.proc)
+            return proc, proc_input_cls.from_result(proc_result, proc)
         raise TypeError(f"invalid proc_input {self.proc_input!r}")
 
     def exec(self, dump_output: bool = True):
-        proc_input = self.build_input()
-        proc_result = self.proc.exec(proc_input)
+        proc, proc_input = self.build_input()
+        proc_result = proc.exec(proc_input)
         if dump_output:
             self.proc_output.dump(proc_result)
         return proc_result

@@ -35,6 +35,34 @@ __all__ = [
 FDK_SQR_ABS, FDK_REAL, FDK_IMAG = 0, 1, 2
 
 
+def _rel_var(rb) -> np.ndarray:
+    """Relative variance of a reblocked series' mean:
+    ``var / (mean^2 * n_eff)``."""
+    return rb.var / (rb.mean ** 2 * rb.eff_size)
+
+
+def _ratio_mean_error(ratio, num_rb, den_rb, cross_rb) -> np.ndarray:
+    """Delta-method (first-order Taylor) error of ``<num>/<den>``.
+
+    For correlated series the relative variance of the ratio is the sum
+    of the numerator and denominator relative variances minus twice
+    their relative covariance, each taken from its own reblocking so
+    autocorrelation is integrated out.  The covariance enters through
+    the reblocked ``num*den`` series: ``cov_rel = (<num*den> -
+    <num><den>) / (<num><den> n_eff)``.  Numerically identical to the
+    reference's propagation (``qmc_exec/data/dmc.py:41-75``).
+
+    With no denominator (``den_rb is None``) this reduces to the plain
+    standard error of the numerator mean.
+    """
+    rel = _rel_var(num_rb)
+    if den_rb is not None:
+        cov_rel = ((cross_rb.mean - num_rb.mean * den_rb.mean)
+                   / (num_rb.mean * den_rb.mean * cross_rb.eff_size))
+        rel = rel + _rel_var(den_rb) - 2.0 * cov_rel
+    return np.abs(ratio) * np.sqrt(rel)
+
+
 class PropsData(t.NamedTuple):
     """Per-block (or per-step) DMC properties, host-side arrays."""
     energy: np.ndarray
@@ -70,32 +98,9 @@ class PropBlocks(Mapping):
 
     @property
     def mean_error(self):
-        ow_rbc = self.reblock
-        ow_mean = ow_rbc.mean
-        ow_var = ow_rbc.var
-        ow_eff_size = ow_rbc.eff_size
-        mean = self.mean
-
-        if self.weight_reblock is None:
-            w_mean, w_var = 1.0, 0.0
-            oww_mean = ow_mean
-            w_eff_size = 0.5
-            oww_eff_size = 0.5
-        else:
-            w_rbc = self.weight_reblock
-            oww_rbc = self.cross_weight_reblock
-            w_mean = w_rbc.mean
-            w_var = w_rbc.var
-            oww_mean = oww_rbc.mean
-            w_eff_size = w_rbc.eff_size
-            oww_eff_size = oww_rbc.eff_size
-
-        err_ow = ow_var / ow_mean ** 2
-        err_w = w_var / w_mean ** 2
-        err_oww = (oww_mean - ow_mean * w_mean) / (ow_mean * w_mean)
-        return np.abs(mean) * np.sqrt(err_ow / ow_eff_size
-                                      + err_w / w_eff_size
-                                      - 2 * err_oww / oww_eff_size)
+        return _ratio_mean_error(self.mean, self.reblock,
+                                 self.weight_reblock,
+                                 self.cross_weight_reblock)
 
     @property
     def reblock(self):

@@ -83,6 +83,13 @@ class Proc(proc_base.Proc):
     num_time_steps_block: int = 512
     burn_in_blocks: t.Optional[int] = None
     keep_iter_data: bool = False
+    #: Index of this run's first block in the (rng_seed)-keyed random
+    #: stream.  Continuation runs resume the stream at the number of
+    #: blocks already consumed instead of replaying it; checkpoints
+    #: persist the advanced value (absent in the reference, whose
+    #: restarts silently replay the original stream when the seed is
+    #: reused).
+    block_offset: int = 0
     density_spec: t.Optional[DensityEstSpec] = None
     ssf_spec: t.Optional[SSFEstSpec] = None
     #: Compute dtype on device ("float32" for TPU, "float64" on CPU).
@@ -121,6 +128,7 @@ class Proc(proc_base.Proc):
                                max(1, self.num_blocks // 8))
         else:
             _set(self, "burn_in_blocks", int(self.burn_in_blocks))
+        _set(self, "block_offset", int(self.block_offset))
 
     # -- config plumbing -----------------------------------------------------
 
@@ -177,6 +185,7 @@ class Proc(proc_base.Proc):
             "num_time_steps_block": self.num_time_steps_block,
             "burn_in_blocks": self.burn_in_blocks,
             "keep_iter_data": self.keep_iter_data,
+            "block_offset": self.block_offset,
             "dtype": self.dtype,
             "num_mesh_devices": self.num_mesh_devices,
         }
@@ -262,8 +271,17 @@ class Proc(proc_base.Proc):
                      sampling_data: dmc_data.SamplingData) -> ProcResult:
         return ProcResult(state, self, sampling_data)
 
-    def _write_checkpoint(self, state):
-        """Atomic state checkpoint: write to a temp file, then rename."""
+    def _write_checkpoint(self, state, blocks_completed: int = 0,
+                          stream_consumed: int = 0):
+        """Atomic state checkpoint: write to a temp file, then rename.
+
+        The stored proc_spec describes the *continuation*: its
+        ``block_offset`` is advanced past every block this run consumed
+        from the random stream (burn-in included) and its
+        ``num_blocks`` is reduced to the remaining count, so
+        ``restore_checkpoint`` + ``exec`` finishes the run on an
+        independent stream instead of replaying consumed blocks.
+        """
         import os
 
         import h5py
@@ -273,11 +291,15 @@ class Proc(proc_base.Proc):
         handler = io_mod.DmcHDF5FileHandler(self.checkpoint_file,
                                             group="checkpoint",
                                             dump_replace=True)
+        config = self.as_config()
+        config["block_offset"] = self.block_offset + stream_consumed
+        config["burn_in_blocks"] = 0
+        config["num_blocks"] = max(1, self.num_blocks - blocks_completed)
         tmp_path = f"{self.checkpoint_file}.tmp"
         with h5py.File(tmp_path, "w") as fp:
             handler.save_state(state, fp.require_group(
                 "checkpoint/dmc/state"))
-            handler.save_proc(self.as_config(), fp.require_group(
+            handler.save_proc(config, fp.require_group(
                 "checkpoint/dmc/proc_spec"))
         os.replace(tmp_path, self.checkpoint_file)
         exec_logger.info(f"checkpoint written to {self.checkpoint_file}")
@@ -320,7 +342,8 @@ class Proc(proc_base.Proc):
 
         sampling = self.sampling
         blocks_iter = sampling.blocks(proc_input.state, nts_block,
-                                      burn_in_blocks)
+                                      burn_in_blocks,
+                                      block_offset=self.block_offset)
 
         if burn_in_blocks:
             exec_logger.info("Computing DMC burn-in stage...")
@@ -413,7 +436,12 @@ class Proc(proc_base.Proc):
 
             if self.checkpoint_file is not None and \
                     (block_idx + 1) % self.checkpoint_every == 0:
-                self._write_checkpoint(block_data.last_state)
+                probe_blocks = 1 if self.profile_dir is not None else 0
+                self._write_checkpoint(
+                    block_data.last_state,
+                    blocks_completed=block_idx + 1,
+                    stream_consumed=(burn_in_blocks + probe_blocks
+                                     + block_idx + 1))
 
             # Throughput observability (absent in the reference; see
             # SURVEY aux-subsystems notes).

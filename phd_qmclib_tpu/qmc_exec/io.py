@@ -89,8 +89,10 @@ class HDF5FileHandler(IOHandler, metaclass=ABCMeta):
                 raise HDF5FileHandlerGroupError(
                     f"no '{self.group}/{self.sampling_type}' group in "
                     f"{self.location_path}")
-            state = self.load_state(qmc_group.get("state"))
+            # Proc first: legacy reference states (see ``load_state``)
+            # may need the model spec to rebuild derived state fields.
             proc_inst = self.load_proc(qmc_group.get("proc_spec"))
+            state = self.load_state(qmc_group.get("state"), proc_inst)
             data = self.load_sampling_data(qmc_group.get("data"))
         return self.build_result(state, proc_inst, data)
 
@@ -154,7 +156,7 @@ class HDF5FileHandler(IOHandler, metaclass=ABCMeta):
         ...
 
     @abstractmethod
-    def load_state(self, group: h5py.Group):
+    def load_state(self, group: h5py.Group, proc_inst=None):
         ...
 
     @abstractmethod
@@ -206,12 +208,16 @@ class DmcHDF5FileHandler(HDF5FileHandler):
         props_group.create_dataset("weight",
                                    data=np.asarray(state.weights))
         props_group.create_dataset("mask", data=np.asarray(state.masks))
-        # The reference stores the branching table; the TPU state does
-        # not need it to resume, but the dataset is kept for layout
-        # parity (readers expecting it find a valid identity table).
+        # The reference stores the branching table ``(cloning_factor,
+        # cloning_ref)`` (``qmc_base/dmc.py:381-383``, saved as a
+        # ``(2, Wm)`` array by ``qmc_exec/dmc/io.py:41``).  The TPU
+        # state does not need it to resume; write an identity cloning
+        # table so a reference-side reader that transports data through
+        # ``cloning_ref`` maps each slot to itself.
         max_w = state.max_num_walkers
-        group.create_dataset("branching_spec",
-                             data=np.zeros((max_w, 2), dtype=np.int64))
+        branching = np.zeros((2, max_w), dtype=np.int64)
+        branching[1] = np.arange(max_w)
+        group.create_dataset("branching_spec", data=branching)
         # Controller accumulators as an extra dataset so the attrs stay
         # exactly the reference's six fields.
         group.create_dataset(
@@ -232,12 +238,23 @@ class DmcHDF5FileHandler(HDF5FileHandler):
                              data=np.atleast_1d(
                                  np.asarray(state.num_walkers)))
 
-    def load_state(self, group: h5py.Group) -> dmc_sampler.State:
+    def load_state(self, group: h5py.Group,
+                   proc_inst=None) -> dmc_sampler.State:
         confs = group.get("confs")[()]
         props = group.get("props")
-        energies = props.get("energy")[()]
-        weights = props.get("weight")[()]
-        masks = props.get("mask")[()].astype(bool)
+        if isinstance(props, h5py.Dataset):
+            # Legacy reference layout: ``props`` is one ``(3, Wm)``
+            # array with rows (energy, weight, mask) instead of the
+            # ``props/{energy,weight,mask}`` subdatasets (fallback in
+            # the reference's loader, ``qmc_exec/dmc/io.py:66-76``).
+            props_arr = props[()]
+            energies = props_arr[0]
+            weights = props_arr[1]
+            masks = props_arr[2].astype(bool)
+        else:
+            energies = props.get("energy")[()]
+            weights = props.get("weight")[()]
+            masks = props.get("mask")[()].astype(bool)
         attrs = dict(group.attrs.items())
         totals_ds = group.get("controller_totals")
         totals = totals_ds[()] if totals_ds is not None else (0.0, 0.0)
@@ -290,8 +307,30 @@ class VmcHDF5FileHandler(HDF5FileHandler):
                              data=np.asarray(state.move_stat))
         group.attrs.update({"num_walkers": state.pos.shape[0]})
 
-    def load_state(self, group: h5py.Group) -> vmc_sampler.State:
-        pos = group.get("sys_conf")[()]
+    def load_state(self, group: h5py.Group,
+                   proc_inst=None) -> vmc_sampler.State:
+        sys_conf = group.get("sys_conf")[()]
+        if "wf_abs_log" not in group:
+            # Legacy reference layout: a single ``(2, N)`` configuration
+            # with ``wf_abs_log``/``move_stat`` stored as group attrs and
+            # no energy (``qmc_exec/vmc/io.py:37-58``).  Recompute the
+            # energy from the model so the resumed chain has a complete
+            # state.
+            attrs = dict(group.attrs.items())
+            pos = np.asarray(sys_conf[mrbp.SysConfSlot.pos])[np.newaxis]
+            wf_abs_log = np.asarray(
+                [attrs["wf_abs_log"]], dtype=pos.dtype)
+            move_stat = np.asarray(
+                [attrs.get("move_stat", 0)], dtype=bool)
+            if proc_inst is not None:
+                physical = mrbp.PhysicalFuncs(proc_inst.model_spec)
+                energy = np.asarray(physical.energy(pos))
+            else:
+                energy = np.full((1,), np.nan, dtype=pos.dtype)
+            return vmc_sampler.State(
+                jnp.asarray(pos), jnp.asarray(wf_abs_log),
+                jnp.asarray(energy), jnp.asarray(move_stat), None)
+        pos = sys_conf
         wf_abs_log = group.get("wf_abs_log")[()]
         energy = group.get("energy")[()]
         move_stat = group.get("move_stat")[()].astype(bool)

@@ -50,6 +50,11 @@ class ProcInput(proc_base.ProcInput):
         rng = np.random.default_rng(proc.rng_seed)
         num = sys_conf_spec.num_sys_conf or proc.num_walkers
         if num != proc.num_walkers:
+            warnings.warn(
+                f"num_sys_conf={num} differs from the procedure's "
+                f"num_walkers={proc.num_walkers}; using num_walkers "
+                f"(the VMC ensemble size is fixed by the procedure)",
+                UserWarning)
             num = proc.num_walkers
         confs = np.stack([
             model_spec.init_get_sys_conf(dist_type=dist_type, rng=rng)
@@ -81,6 +86,10 @@ class Proc(proc_base.Proc):
     num_steps_block: int = 4096
     burn_in_blocks: t.Optional[int] = None
     keep_iter_data: bool = False
+    #: Index of this run's first block in the (rng_seed)-keyed random
+    #: stream; continuation runs resume the stream past the blocks the
+    #: original run consumed (see ``dmc.Proc.block_offset``).
+    block_offset: int = 0
     ssf_spec: t.Optional[SSFEstSpec] = None
     #: TPU extension: independent Markov chains advanced in lockstep.
     num_walkers: int = 1
@@ -107,6 +116,7 @@ class Proc(proc_base.Proc):
                                max(1, self.num_blocks // 8))
         else:
             _set(self, "burn_in_blocks", int(self.burn_in_blocks))
+        _set(self, "block_offset", int(self.block_offset))
 
     @classmethod
     def from_config(cls, config: t.Mapping) -> "Proc":
@@ -143,6 +153,7 @@ class Proc(proc_base.Proc):
             "num_steps_block": self.num_steps_block,
             "burn_in_blocks": self.burn_in_blocks,
             "keep_iter_data": self.keep_iter_data,
+            "block_offset": self.block_offset,
             "num_walkers": self.num_walkers,
             "dtype": self.dtype,
             "num_mesh_devices": self.num_mesh_devices,
@@ -212,7 +223,8 @@ class Proc(proc_base.Proc):
         self.describe_model_spec()
 
         sampling = self.sampling
-        blocks_iter = sampling.blocks(ns_block, proc_input.state)
+        blocks_iter = sampling.blocks(ns_block, proc_input.state,
+                                      block_offset=self.block_offset)
 
         if burn_in_blocks:
             exec_logger.info(

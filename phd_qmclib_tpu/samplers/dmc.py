@@ -529,16 +529,20 @@ class Sampling:
     # -- public sampling APIs -------------------------------------------------
 
     def blocks(self, ini_state: State, num_time_steps_block: int,
-               burn_in_blocks: int = 0) -> t.Iterator[SamplingBlock]:
+               burn_in_blocks: int = 0,
+               block_offset: int = 0) -> t.Iterator[SamplingBlock]:
         """Yield :class:`SamplingBlock` objects indefinitely.
 
         The first ``burn_in_blocks`` blocks skip estimator evaluation
         (reference ``qmc_base/dmc.py:914-940``).
 
-        NOTE: block keys derive from ``(rng_seed, block_idx)``; a
-        continuation run restarted from a saved state should use a
-        fresh ``rng_seed`` so its random stream is independent of the
-        original run (the reference shares this property).
+        Block keys derive from ``(rng_seed, block_offset + block_idx)``.
+        A continuation run restarted from a saved state keeps the same
+        seed but passes the number of blocks the original run already
+        consumed as ``block_offset``, so its random stream picks up
+        where the original left off instead of replaying it (the
+        execution layer plumbs this automatically; see
+        ``qmc_exec.dmc.Proc.block_offset``).
         """
         base_key = jax.random.PRNGKey(self.rng_seed)
         state = ini_state
@@ -547,7 +551,8 @@ class Sampling:
         scalars = self._scalars(dtype)
         block_idx = 0
         while True:
-            block_key = jax.random.fold_in(base_key, block_idx)
+            block_key = jax.random.fold_in(base_key,
+                                           int(block_offset) + block_idx)
             burning = block_idx < burn_in_blocks
             block_fn = self._block_fn_burn if burning \
                 else self._block_fn_measure
@@ -566,7 +571,8 @@ class Sampling:
             yield block.last_state
 
     def state_data_blocks(self, ini_state: State,
-                          num_time_steps_block: int, thin: int = 1):
+                          num_time_steps_block: int, thin: int = 1,
+                          block_offset: int = 0):
         """Yield blocks that additionally record the walker ensembles
         (reference ``qmc_base/dmc.py:973-1070``).
 
@@ -602,7 +608,7 @@ class Sampling:
         dtype = ini_state.pos.dtype
         cfc = self._cast_params(dtype)
         scalars = self._scalars(dtype)
-        block_idx = 0
+        block_idx = int(block_offset)
         while True:
             block_key = jax.random.fold_in(base_key, block_idx)
             state, ens, props = collect(state, block_key, scalars, cfc)

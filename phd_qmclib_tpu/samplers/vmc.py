@@ -270,12 +270,15 @@ class Sampling:
 
     # -- public sampling APIs -------------------------------------------------
 
-    def blocks(self, num_steps_block: int,
-               ini_state: State) -> t.Iterator[SamplingBlock]:
+    def blocks(self, num_steps_block: int, ini_state: State,
+               block_offset: int = 0) -> t.Iterator[SamplingBlock]:
         """Yield :class:`SamplingBlock` objects indefinitely.
 
         Reference: ``qmc_base/vmc.py:669-770``; here one block is one
-        compiled ``lax.scan`` dispatch.
+        compiled ``lax.scan`` dispatch.  Block keys derive from
+        ``(rng_seed, block_offset + block_idx)``; continuation runs
+        pass the consumed block count as ``block_offset`` to keep their
+        stream independent of the original run's.
         """
         if num_steps_block < 1:
             raise ValueError("num_steps_block must be nonzero and positive")
@@ -291,7 +294,7 @@ class Sampling:
         cfc = self._cast_params(ini_state.pos.dtype)
         move_spread = jnp.asarray(self.move_spread,
                                   dtype=ini_state.pos.dtype)
-        block_idx = 0
+        block_idx = int(block_offset)
         while True:
             block_key = jax.random.fold_in(base_key, block_idx)
             state, props, ssf, accept_rate = self._block_fn(
@@ -315,7 +318,7 @@ class Sampling:
             yield block.last_state
 
     def state_data_blocks(self, num_steps_block: int, ini_state: State,
-                          thin: int = 1):
+                          thin: int = 1, block_offset: int = 0):
         """Yield blocks that additionally record the chain
         configurations (reference ``qmc_base/vmc.py:808-902``).
 
@@ -350,7 +353,7 @@ class Sampling:
         cfc = self._cast_params(ini_state.pos.dtype)
         move_spread = jnp.asarray(self.move_spread,
                                   dtype=ini_state.pos.dtype)
-        block_idx = 0
+        block_idx = int(block_offset)
         while True:
             block_key = jax.random.fold_in(base_key, block_idx)
             state, confs, props, ssf = collect(state, block_key, cfc,
