@@ -256,7 +256,24 @@ def _pure_aware_totals(num_time_steps_block: int, est_data: np.ndarray,
                        props_data: PropsData, reduce_data: bool,
                        as_pure_est: bool,
                        pure_est_reduce_factor: t.Optional[np.ndarray]):
-    """Shared estimator-totals logic (``qmc_exec/data/dmc.py:329-374``)."""
+    """Shared estimator-totals logic (``qmc_exec/data/dmc.py:329-374``).
+
+    For pure (forward-walking) estimators, ONLY the end-of-block value
+    is a statistical sample: within the forward-walking window the
+    per-step values are nested partial sums (maximally correlated, and
+    the early ones are still mixed-like under-projected estimates).
+    The reference's ``keep_iter_data`` path instead reblocks the whole
+    3-D per-step series with per-step weights faked by
+    ``pure_est_reduce_factor`` (reference ``qmc_exec/data/dmc.py:
+    360-370`` and ``dmc/proc.py:319-320``) - which both biases the mean
+    with unprojected early-window values and feeds non-samples to the
+    reblocking.  Here both modes reduce to the same statistic: the
+    final step's accumulated estimate weighted by the final step's
+    walker COUNT (which is what the sampler's per-walker sum is
+    normalized by), so ``keep_iter_data`` on/off yield identical block
+    statistics (tested in
+    ``tests/qmc_exec/test_series_statistics.py``).
+    """
     nts_block = num_time_steps_block
     weight_data = np.asarray(props_data.weight)
     est_data = np.asarray(est_data)
@@ -269,11 +286,16 @@ def _pure_aware_totals(num_time_steps_block: int, est_data: np.ndarray,
             weight_totals = weight_data
     else:
         if reduce_data:
-            # Pure estimators are not reduced: take the final
-            # (fully-forward-walked) step of each block.
+            # Full per-step series available: final step's estimate,
+            # weighted by the final step's walker count.
             totals = est_data[:, nts_block - 1]
-            weight_totals = weight_data[:, nts_block - 1]
+            weight_totals = np.asarray(
+                props_data.num_walkers)[:, nts_block - 1].astype(
+                    weight_data.dtype)
         else:
+            # Block-reduced inputs: the driver reduced weights over the
+            # block, and ``pure_est_reduce_factor = N_w(last)/sum(W)``
+            # recovers the final step's walker count exactly.
             totals = est_data
             weight_totals = weight_data * pure_est_reduce_factor
     return totals, weight_totals[..., np.newaxis]
@@ -388,7 +410,12 @@ class SSFBlocks:
 
 @dataclass(frozen=True)
 class PropsDataSeries:
-    """Full per-step data series (``keep_iter_data`` mode)."""
+    """Full per-step data series (``keep_iter_data`` mode).
+
+    Unlike the reference (whose HDF5 export of the series is an open
+    TODO, ``qmc_exec/data/dmc.py:776-791``), the series round-trips
+    through HDF5 under ``data/series``.
+    """
     iter_props: PropsData  # arrays of shape (num_blocks, nts)
     ssf: t.Optional[np.ndarray] = None
     density: t.Optional[np.ndarray] = None
@@ -412,6 +439,28 @@ class PropsDataSeries:
     @property
     def accum_energy(self):
         return np.asarray(self.iter_props.accum_energy).reshape(-1)
+
+    def hdf5_export(self, group: h5py.Group):
+        props_group = group.require_group("props")
+        for name in PropsData._fields:
+            props_group.create_dataset(
+                name, data=np.asarray(getattr(self.iter_props, name)))
+        if self.ssf is not None:
+            group.create_dataset("ss_factor", data=np.asarray(self.ssf))
+        if self.density is not None:
+            group.create_dataset("density", data=np.asarray(self.density))
+
+    @classmethod
+    def from_hdf5_data(cls, group: h5py.Group):
+        props_group = group.get("props")
+        iter_props = PropsData(
+            *(props_group.get(name)[()] for name in PropsData._fields))
+        ssf_ds = group.get("ss_factor")
+        density_ds = group.get("density")
+        return cls(iter_props,
+                   ssf=ssf_ds[()] if ssf_ds is not None else None,
+                   density=density_ds[()]
+                   if density_ds is not None else None)
 
 
 @dataclass(frozen=True)
@@ -476,8 +525,13 @@ class SamplingData:
 
     def hdf5_export(self, group: h5py.Group):
         self.blocks.hdf5_export(group.require_group("blocks"))
+        if self.series is not None:
+            self.series.hdf5_export(group.require_group("series"))
 
     @classmethod
     def from_hdf5_data(cls, group: h5py.Group):
+        series_group = group.get("series")
+        series = PropsDataSeries.from_hdf5_data(series_group) \
+            if series_group is not None else None
         return cls(PropsDataBlocks.from_hdf5_data(group.get("blocks")),
-                   series=None)
+                   series=series)

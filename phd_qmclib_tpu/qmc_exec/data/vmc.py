@@ -186,6 +186,23 @@ class PropsDataSeries:
         return np.asarray(self.iter_props.wf_abs_log).reshape(
             -1, *np.asarray(self.iter_props.wf_abs_log).shape[2:])
 
+    def hdf5_export(self, group: h5py.Group):
+        props_group = group.require_group("props")
+        for name in PropsData._fields:
+            props_group.create_dataset(
+                name, data=np.asarray(getattr(self.iter_props, name)))
+        if self.ssf is not None:
+            group.create_dataset("ss_factor", data=np.asarray(self.ssf))
+
+    @classmethod
+    def from_hdf5_data(cls, group: h5py.Group):
+        props_group = group.get("props")
+        iter_props = PropsData(
+            *(props_group.get(name)[()] for name in PropsData._fields))
+        ssf_ds = group.get("ss_factor")
+        return cls(iter_props,
+                   ssf=ssf_ds[()] if ssf_ds is not None else None)
+
 
 @dataclass(frozen=True)
 class PropsDataBlocks:
@@ -226,8 +243,13 @@ class SamplingData:
 
     def hdf5_export(self, group: h5py.Group):
         self.blocks.hdf5_export(group.require_group("blocks"))
+        if self.series is not None:
+            self.series.hdf5_export(group.require_group("series"))
 
     @classmethod
     def from_hdf5_data(cls, group: h5py.Group):
+        series_group = group.get("series")
+        series = PropsDataSeries.from_hdf5_data(series_group) \
+            if series_group is not None else None
         return cls(PropsDataBlocks.from_hdf5_data(group.get("blocks")),
-                   series=None)
+                   series=series)
