@@ -97,6 +97,10 @@ class Proc(proc_base.Proc):
     #: Multi-chip: shard walkers over this many local devices (None =
     #: single device, 0 = all available devices).
     num_mesh_devices: t.Optional[int] = None
+    #: Multi-chip: rebalance the walker population across shards every
+    #: K blocks (per-shard branching makes shard populations random
+    #: walk on long runs).  ``None`` disables.
+    rebalance_every: t.Optional[int] = None
     #: Write a jax.profiler trace of the estimator loop to this
     #: directory (open with TensorBoard / Perfetto).
     profile_dir: t.Optional[str] = None
@@ -188,6 +192,7 @@ class Proc(proc_base.Proc):
             "block_offset": self.block_offset,
             "dtype": self.dtype,
             "num_mesh_devices": self.num_mesh_devices,
+            "rebalance_every": self.rebalance_every,
         }
         if self.density_spec is not None:
             config["density_spec"] = {
@@ -238,7 +243,8 @@ class Proc(proc_base.Proc):
             self.model_spec, self.time_step, self.max_num_walkers,
             self.target_num_walkers, self.num_walkers_control_factor,
             self.rng_seed, density_est_spec=density_est_spec,
-            ssf_est_spec=ssf_est_spec, mesh=mesh)
+            ssf_est_spec=ssf_est_spec, mesh=mesh,
+            rebalance_every=self.rebalance_every)
 
     def describe_model_spec(self):
         spec = self.model_spec
@@ -389,8 +395,19 @@ class Proc(proc_base.Proc):
         t_start = _time.perf_counter()
         total_walker_steps = 0.0
         block_data = None
+        warned_collapse = False
         for block_idx in range(num_blocks):
             block_data = next(blocks_iter)
+            shard_nw = np.asarray(block_data.last_state.num_walkers)
+            if shard_nw.min() <= 0 and not warned_collapse:
+                # Per-shard combs cannot repopulate an empty shard; a
+                # collapsed shard silently biases the global ensemble
+                # while the controller only sees the global weight.
+                exec_logger.warning(
+                    f"walker population collapsed on a shard "
+                    f"(per-shard counts {shard_nw.tolist()}); enable "
+                    f"rebalance_every or raise target_num_walkers")
+                warned_collapse = True
             bp = block_data.iter_props
             energy = np.asarray(bp.energy, dtype=np.float64)
             weight = np.asarray(bp.weight, dtype=np.float64)

@@ -175,6 +175,12 @@ class Sampling:
     #: (psum over ICI).  ``None`` = single device.
     mesh: t.Optional[jax.sharding.Mesh] = None
     mesh_axis: str = "walkers"
+    #: Every K blocks, redistribute the valid walkers evenly across the
+    #: mesh shards.  Per-shard branching makes shard populations random
+    #: walk, so on long multi-chip runs a shard can drift toward its
+    #: buffer cap and silently clip its comb (docs/DESIGN.md section 4);
+    #: ``None`` disables rebalancing (single-device runs never need it).
+    rebalance_every: t.Optional[int] = None
 
     def __post_init__(self):
         if self.rng_seed is None:
@@ -306,6 +312,79 @@ class Sampling:
     def _cast_params(self, dtype) -> mrbp.CFCParams:
         return jax.tree.map(lambda x: jnp.asarray(x, dtype=dtype),
                             self.cfc_params)
+
+    @cached_property
+    def _rebalance_fn(self):
+        """Jitted walker rebalancing: pack the valid walkers and deal
+        them round-robin across the shard slices, preserving the
+        per-shard valid-prefix invariant the comb relies on.
+
+        The map ``rank -> (rank % S) * shard_size + rank // S`` is a
+        bijection on ``[0, max_w)``, so one fixed-shape permutation
+        rebalances any population.  Runs on the global (unsharded-view)
+        state between blocks; XLA inserts the cross-shard collectives.
+        """
+        num_shards = self.num_shards
+        max_w = self.max_num_walkers
+        shard_size = max_w // num_shards
+        P = jax.sharding.PartitionSpec
+        mesh = self.mesh
+        ax = self.mesh_axis
+
+        def _replicated(x):
+            if mesh is None:
+                return x
+            return jax.sharding.reshard(
+                x, jax.sharding.NamedSharding(mesh, P()))
+
+        def _sharded(x):
+            if mesh is None:
+                return x
+            return jax.sharding.reshard(
+                x, jax.sharding.NamedSharding(
+                    mesh, P(*([ax] + [None] * (x.ndim - 1)))))
+
+        def rebalance(state: State) -> State:
+            # Gather the ensemble to a replicated view (a few MB per
+            # chip at production scale, every K blocks); the permuted
+            # result is constrained back onto the walker sharding.
+            state = jax.tree.map(_replicated, state)
+            slots = jnp.arange(max_w)
+            shard_of = slots // shard_size
+            row_of = slots % shard_size
+            valid = row_of < state.num_walkers[shard_of]
+            # Stable pack: valid walkers first, preserving order.
+            order = jnp.argsort(jnp.where(valid, 0, 1), stable=True)
+            dest = (slots % num_shards) * shard_size \
+                + slots // num_shards
+            n_total = valid.sum()
+            s_idx = jnp.arange(num_shards)
+            counts = (n_total // num_shards
+                      + (s_idx < n_total % num_shards)).astype(jnp.int32)
+            new_valid = row_of < counts[shard_of]
+
+            def permute(buf):
+                return jnp.zeros_like(buf).at[dest].set(buf[order])
+
+            weights = jnp.where(new_valid, permute(state.weights), 0.0)
+            energies = jnp.where(new_valid, permute(state.energies), 0.0)
+            drift = jnp.where(new_valid[:, None], permute(state.drift),
+                              0.0)
+            return state._replace(
+                pos=_sharded(permute(state.pos)),
+                drift=_sharded(drift), energies=_sharded(energies),
+                weights=_sharded(weights), masks=_sharded(~new_valid),
+                num_walkers=_sharded(counts))
+
+        return jax.jit(rebalance)
+
+    def rebalance(self, state: State) -> State:
+        """Redistribute the valid walkers evenly across the shards
+        (see :attr:`rebalance_every`)."""
+        if self.mesh is None:
+            return self._rebalance_fn(state)
+        with jax.set_mesh(self.mesh):
+            return self._rebalance_fn(state)
 
     # -- the compiled step/block kernels ------------------------------------
 
@@ -549,8 +628,13 @@ class Sampling:
         dtype = ini_state.pos.dtype
         cfc = self._cast_params(dtype)
         scalars = self._scalars(dtype)
+        rebalance_every = self.rebalance_every \
+            if self.num_shards > 1 else None
         block_idx = 0
         while True:
+            if (rebalance_every and block_idx
+                    and block_idx % rebalance_every == 0):
+                state = self.rebalance(state)
             block_key = jax.random.fold_in(base_key,
                                            int(block_offset) + block_idx)
             burning = block_idx < burn_in_blocks
