@@ -15,6 +15,60 @@ import time
 import numpy as np
 
 
+def fused_scan(args, gn_values):
+    """All couplings as ONE 2-D-mesh dispatch: one gn per sweep row,
+    walkers sharded within each row (SURVEY §5.8's >1-pod axis)."""
+    import jax
+
+    from phd_qmclib_tpu.models import mrbp
+    from phd_qmclib_tpu.parallel.sweep import ParamSweep
+    from phd_qmclib_tpu.samplers import dmc
+
+    nop = args.nop
+    rows = len(gn_values)
+    devices = jax.devices()
+    walker_shards = max(1, len(devices) // rows)
+    mesh = jax.make_mesh((rows, walker_shards), ("sweep", "walkers"),
+                         devices=devices[:rows * walker_shards])
+    target = args.walkers - args.walkers % walker_shards
+    max_w = int(1.0625 * target)
+    max_w -= max_w % walker_shards
+    samplings = tuple(
+        dmc.Sampling(
+            mrbp.Spec(lattice_depth=20.0, lattice_ratio=1.0,
+                      interaction_strength=gn, boson_number=nop,
+                      supercell_size=float(nop),
+                      tbf_contact_cutoff=0.4),
+            time_step=1e-3, max_num_walkers=max_w,
+            target_num_walkers=target, rng_seed=11 + i)
+        for i, gn in enumerate(gn_values))
+    sweep = ParamSweep(samplings, mesh)
+    rng = np.random.default_rng(0)
+    conf_sets = [
+        np.stack([s.model_spec.init_get_sys_conf(rng=rng)
+                  for _ in range(target)]).astype(np.float32)
+        for s in samplings]
+    state = sweep.build_states(conf_sets, dtype=np.float32)
+    burn = max(3, int(round(4.0 / (1e-3 * args.nts))))
+    it = sweep.blocks(state, args.nts, burn_in_blocks=burn)
+    for _ in range(burn):
+        next(it)
+    es = []
+    for _ in range(args.blocks):
+        b = next(it)
+        e = np.asarray(b.iter_props.energy, dtype=np.float64)
+        w = np.asarray(b.iter_props.weight, dtype=np.float64)
+        es.append(e.sum(axis=0) / w.sum(axis=0))
+    es = np.array(es)  # (blocks, rows)
+    results = []
+    for i, gn in enumerate(gn_values):
+        point = {"gn": gn, "energy_per_boson": es[:, i].mean() / nop,
+                 "error": es[:, i].std() / np.sqrt(len(es)) / nop}
+        results.append(point)
+        print(json.dumps(point), flush=True)
+    return results
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--nop", type=int, default=64)
@@ -22,11 +76,27 @@ def main():
     parser.add_argument("--blocks", type=int, default=8)
     parser.add_argument("--nts", type=int, default=128)
     parser.add_argument("--mesh-devices", type=int, default=None)
+    parser.add_argument("--fused", action="store_true",
+                        help="run all couplings as one 2-D sweep-mesh "
+                             "dispatch (gn=0 excluded: its static "
+                             "structure differs)")
     args = parser.parse_args()
 
     from phd_qmclib_tpu.models import mrbp
     from phd_qmclib_tpu.parallel import make_walker_mesh
     from phd_qmclib_tpu.samplers import dmc
+
+    t0 = time.time()
+    if args.fused:
+        gn_values = [0.25, 0.5, 1.0, 2.0]
+        results = fused_scan(args, gn_values)
+        energies = [r["energy_per_boson"] for r in results]
+        print(json.dumps({
+            "metric": "dmc_equation_of_state_fused_sweep",
+            "monotone_in_gn": bool(np.all(np.diff(energies) > 0)),
+            "elapsed_s": time.time() - t0,
+        }))
+        return
 
     mesh = None
     if args.mesh_devices is not None:
@@ -35,7 +105,6 @@ def main():
     nop = args.nop
     gn_values = [0.0, 0.25, 0.5, 1.0, 2.0, 4.0]
     results = []
-    t0 = time.time()
     for gn in gn_values:
         spec = mrbp.Spec(lattice_depth=20.0, lattice_ratio=1.0,
                          interaction_strength=gn, boson_number=nop,

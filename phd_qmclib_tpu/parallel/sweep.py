@@ -1,0 +1,204 @@
+"""Parameter-sweep axis: independent model specs per mesh row.
+
+The mrbp workload has one large data axis (walkers).  The natural
+second mesh dimension — the one that scales past a pod, since it needs
+NO cross-row communication and can ride DCN — is a *parameter sweep*:
+each row of a ``("sweep", "walkers")`` mesh runs an independent DMC
+sampling with its own model parameters (e.g. one interaction coupling
+per row of an equation-of-state scan), walkers sharded over the row's
+chips, all rows advanced by ONE dispatch per block.
+
+The reference has no analog (its scans are sequential shell loops);
+SURVEY §5.8 records this as the natural >1-pod axis.
+
+Model parameters travel as runtime pytree leaves, so rows may differ in
+any continuous parameter (coupling, lattice depth, time step, ...) as
+long as the STATIC structure (boson number, defect layout, ideal/free
+flags, estimator shapes) is shared — enforced at construction.
+"""
+import typing as t
+from dataclasses import dataclass
+from functools import cached_property
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..samplers import dmc
+from ..samplers.dmc import PropsData, SamplingBlock, State
+
+__all__ = ["ParamSweep"]
+
+
+@dataclass(frozen=True)
+class ParamSweep:
+    """A stack of DMC samplings advanced as one sharded dispatch.
+
+    ``samplings`` must share static structure; leaf parameters may
+    differ per row.  ``mesh`` must have a ``sweep`` axis of size
+    ``len(samplings)`` and a ``walkers`` axis (size 1 collapses to
+    row-parallel only).
+    """
+    samplings: t.Tuple[dmc.Sampling, ...]
+    mesh: jax.sharding.Mesh
+    sweep_axis: str = "sweep"
+    walker_axis: str = "walkers"
+
+    def __post_init__(self):
+        if not self.samplings:
+            raise ValueError("need at least one sampling")
+        ref = self.samplings[0]
+        static = ref.model_spec.static_spec
+        for s in self.samplings[1:]:
+            if s.model_spec.static_spec != static:
+                raise ValueError(
+                    "all sweep rows must share the model's static "
+                    f"structure; got {s.model_spec.static_spec} vs "
+                    f"{static}")
+            if (s.max_num_walkers != ref.max_num_walkers
+                    or s.target_num_walkers != ref.target_num_walkers):
+                raise ValueError("all sweep rows must use the same "
+                                 "walker-buffer sizes")
+            if (s.density_est_spec != ref.density_est_spec
+                    or s.ssf_est_spec != ref.ssf_est_spec):
+                raise ValueError("all sweep rows must use the same "
+                                 "estimator specs")
+        if self.mesh.shape[self.sweep_axis] != len(self.samplings):
+            raise ValueError(
+                f"mesh '{self.sweep_axis}' axis size "
+                f"{self.mesh.shape[self.sweep_axis]} != number of "
+                f"sweep rows {len(self.samplings)}")
+        n_w = self.mesh.shape[self.walker_axis]
+        if ref.max_num_walkers % n_w or ref.target_num_walkers % n_w:
+            raise ValueError("walker buffers must divide the "
+                             f"'{self.walker_axis}' axis size ({n_w})")
+
+    @property
+    def num_rows(self) -> int:
+        return len(self.samplings)
+
+    # -- stacked state ------------------------------------------------------
+
+    def build_states(self, sys_conf_sets: t.Sequence[np.ndarray],
+                     dtype=None) -> State:
+        """Stack per-row initial states into one sweep-sharded State
+        (leading axis = sweep row)."""
+        if len(sys_conf_sets) != self.num_rows:
+            raise ValueError("one configuration set per sweep row")
+        states = []
+        for sampling, confs in zip(self.samplings, sys_conf_sets):
+            # Give the row the sweep's mesh so build_state uses the
+            # exact per-shard layout of a standalone sharded run (bit
+            # reproducibility of each row).
+            row = dmc.Sampling(
+                sampling.model_spec, sampling.time_step,
+                sampling.max_num_walkers, sampling.target_num_walkers,
+                sampling.num_walkers_control_factor, sampling.rng_seed,
+                density_est_spec=sampling.density_est_spec,
+                ssf_est_spec=sampling.ssf_est_spec, mesh=self.mesh,
+                mesh_axis=self.walker_axis)
+            states.append(row.build_state(confs, dtype=dtype))
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+
+    # -- the fused block dispatch --------------------------------------------
+
+    @cached_property
+    def _block_fn(self):
+        ref = self.samplings[0]
+        n_walker_shards = self.mesh.shape[self.walker_axis]
+        walker_axis = self.walker_axis if n_walker_shards > 1 else None
+        run_block = ref.make_run_block(measure=True,
+                                       axis_name=walker_axis)
+        P = jax.sharding.PartitionSpec
+        sweep = self.sweep_axis
+        wax = self.walker_axis if n_walker_shards > 1 else None
+
+        def row_spec(walker_sharded, extra_dims=0):
+            dims = [sweep] + [wax if walker_sharded else None] \
+                + [None] * extra_dims
+            return P(*dims)
+
+        state_spec = State(
+            pos=row_spec(True, 1), drift=row_spec(True, 1),
+            energies=row_spec(True), weights=row_spec(True),
+            masks=row_spec(True), energy=P(sweep), weight=P(sweep),
+            num_walkers=row_spec(True), ref_energy=P(sweep),
+            accum_energy=P(sweep), total_energy=P(sweep),
+            total_weight=P(sweep))
+        props_spec = PropsData(*(P(None, sweep) for _ in range(5)))
+
+        def per_shard(state, block_keys, scalars, cfc,
+                      num_time_steps_block: int):
+            # Each program instance sees one sweep row (leading axis 1)
+            # and one walker shard.  Squeeze the row axis, run the
+            # per-row body, restore the axis.  The row's key was
+            # derived from its own rng_seed outside the shard_map, so
+            # each row reproduces its sequential sampling exactly.
+            squeeze = lambda x: jnp.squeeze(x, axis=0)
+            state = jax.tree.map(squeeze, state)
+            scalars = jax.tree.map(squeeze, scalars)
+            cfc = jax.tree.map(squeeze, cfc)
+            block_key = block_keys[0]
+            final_state, props, est = run_block(
+                state, block_key, scalars, cfc, num_time_steps_block)
+            expand = lambda x: jnp.expand_dims(x, axis=0)
+            final_state = jax.tree.map(expand, final_state)
+            # props are (nts,) per row -> (nts, 1) so rows concatenate
+            # on the trailing axis.
+            props = jax.tree.map(lambda x: x[:, None], props)
+            est = jax.tree.map(expand, est)
+            return final_state, props, est
+
+        def sweep_block(state, block_keys, scalars, cfc,
+                        num_time_steps_block: int):
+            fn = jax.shard_map(
+                lambda st, k, sc, cf: per_shard(st, k, sc, cf,
+                                                num_time_steps_block),
+                mesh=self.mesh,
+                in_specs=(state_spec, P(sweep), P(sweep), P(sweep)),
+                out_specs=(state_spec, props_spec, P(sweep)),
+            )
+            return fn(state, block_keys, scalars, cfc)
+
+        return jax.jit(sweep_block,
+                       static_argnames=("num_time_steps_block",))
+
+    def _stacked_scalars(self, dtype):
+        rows = [s._scalars(dtype) for s in self.samplings]
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *rows)
+
+    def _stacked_cfc(self, dtype):
+        rows = [s._cast_params(dtype) for s in self.samplings]
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *rows)
+
+    def blocks(self, ini_state: State, num_time_steps_block: int,
+               burn_in_blocks: int = 0,
+               block_offset: int = 0) -> t.Iterator[SamplingBlock]:
+        """Yield stacked :class:`SamplingBlock` objects — every array
+        has a leading sweep-row axis (props: trailing row axis,
+        ``(nts, R)``); one device dispatch advances all rows.
+
+        Each row's key stream derives from ITS OWN ``rng_seed``
+        (exactly the sequential sampling's stream, so a fused row
+        reproduces its standalone run bit-for-bit).  Rows sharing a
+        seed share a stream — give the rows distinct seeds to
+        decorrelate them.
+        """
+        base_keys = jnp.stack([jax.random.PRNGKey(s.rng_seed)
+                               for s in self.samplings])
+        dtype = ini_state.pos.dtype
+        scalars = self._stacked_scalars(dtype)
+        cfc = self._stacked_cfc(dtype)
+        state = ini_state
+        block_idx = 0
+        fold = jax.vmap(jax.random.fold_in, in_axes=(0, None))
+        while True:
+            block_keys = fold(base_keys,
+                              int(block_offset) + block_idx)
+            state, props, est = self._block_fn(
+                state, block_keys, scalars, cfc, num_time_steps_block)
+            burning = block_idx < burn_in_blocks
+            density = est.get("density") if not burning else None
+            ssf = est.get("ssf") if not burning else None
+            yield SamplingBlock(props, density, ssf, state)
+            block_idx += 1

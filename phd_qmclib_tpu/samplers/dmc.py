@@ -513,8 +513,14 @@ class Sampling:
 
         return step
 
-    def _make_block_fn(self, measure: bool):
-        axis_name = self.mesh_axis if self.mesh is not None else None
+    def make_run_block(self, measure: bool,
+                       axis_name: t.Optional[str] = None):
+        """The raw (unjitted, per-shard) block body: scan
+        ``num_time_steps_block`` steps and reduce estimator sums over
+        ``axis_name`` once per block.  Used by :meth:`_make_block_fn`
+        (wrapped in jit / shard_map over this sampling's own mesh) and
+        by :class:`~phd_qmclib_tpu.parallel.sweep.ParamSweep` (wrapped
+        in a 2-D sweep x walkers shard_map)."""
         step = self.make_step_fn(axis_name=axis_name, measure=measure)
         density_spec = self.density_est_spec if measure else None
         ssf_spec = self.ssf_est_spec if measure else None
@@ -560,6 +566,12 @@ class Sampling:
                     lambda x: jax.lax.psum(x, axis_name), est)
             props_data = PropsData(*props)
             return final_state, props_data, est
+
+        return run_block
+
+    def _make_block_fn(self, measure: bool):
+        axis_name = self.mesh_axis if self.mesh is not None else None
+        run_block = self.make_run_block(measure, axis_name=axis_name)
 
         if self.mesh is None:
             return jax.jit(run_block,

@@ -1,0 +1,116 @@
+"""Parameter-sweep mesh axis: one DMC sampling per sweep row, all rows
+advanced by one dispatch on a 2-D ("sweep", "walkers") mesh.
+
+Exactness gate: each row of the fused dispatch must reproduce the
+sequential (single-row) sampling bit-for-bit when given the same seed
+and walker-shard layout, because the sweep wrapper folds the same
+per-row/per-shard key stream and runs the identical per-shard body.
+"""
+import numpy as np
+import pytest
+
+import jax
+
+from phd_qmclib_tpu.models import mrbp
+from phd_qmclib_tpu.parallel.sweep import ParamSweep
+from phd_qmclib_tpu.samplers import dmc
+
+GNS = [0.5, 1.0, 2.0, 4.0]
+
+
+def _spec(gn):
+    return mrbp.Spec(lattice_depth=12.0, lattice_ratio=1.0,
+                     interaction_strength=gn, boson_number=8,
+                     supercell_size=8.0, tbf_contact_cutoff=0.3)
+
+
+def _confs(spec, num, seed=5):
+    rng = np.random.default_rng(seed)
+    return np.stack([spec.init_get_sys_conf(rng=rng)
+                     for _ in range(num)])
+
+
+@pytest.fixture(scope="module")
+def sweep_mesh():
+    devices = jax.devices()[:8]
+    return jax.make_mesh((4, 2), ("sweep", "walkers"), devices=devices)
+
+
+def test_static_structure_enforced(sweep_mesh):
+    rows = [dmc.Sampling(_spec(gn), 1e-3, 32, 16, rng_seed=1)
+            for gn in GNS[:3]]
+    ideal_spec = mrbp.Spec(lattice_depth=12.0, lattice_ratio=1.0,
+                           interaction_strength=0.0, boson_number=8,
+                           supercell_size=8.0, tbf_contact_cutoff=0.3)
+    rows.append(dmc.Sampling(ideal_spec, 1e-3, 32, 16, rng_seed=1))
+    with pytest.raises(ValueError, match="static structure"):
+        ParamSweep(tuple(rows), sweep_mesh)
+
+
+def test_sweep_matches_sequential_rows(sweep_mesh):
+    """The fused 2-D dispatch reproduces each coupling's sequential
+    sharded run exactly (same seed, same per-shard key folds)."""
+    max_w, target = 32, 16
+    nts, nblocks = 8, 3
+    rows = tuple(
+        dmc.Sampling(_spec(gn), 1e-3, max_w, target, rng_seed=21)
+        for gn in GNS)
+    sweep = ParamSweep(rows, sweep_mesh)
+    conf_sets = [_confs(s.model_spec, target) for s in rows]
+    state = sweep.build_states(conf_sets)
+
+    fused = []
+    it = sweep.blocks(state, nts)
+    for _ in range(nblocks):
+        block = next(it)
+        fused.append(jax.tree.map(np.asarray, block.iter_props))
+
+    # Sequential reference: each row on a 2-device walker mesh with the
+    # same shard layout and the same seed.
+    seq_mesh = jax.make_mesh((2,), ("walkers",),
+                             devices=jax.devices()[:2])
+    for r, gn in enumerate(GNS):
+        sampling = dmc.Sampling(_spec(gn), 1e-3, max_w, target,
+                                rng_seed=21, mesh=seq_mesh)
+        row_state = sampling.build_state(conf_sets[r])
+        it = sampling.blocks(row_state, nts)
+        for b in range(nblocks):
+            block = next(it)
+            seq_e = np.asarray(block.iter_props.energy,
+                               dtype=np.float64)
+            seq_w = np.asarray(block.iter_props.weight,
+                               dtype=np.float64)
+            np.testing.assert_allclose(
+                np.asarray(fused[b].energy[:, r], dtype=np.float64),
+                seq_e, rtol=1e-12,
+                err_msg=f"row {r} (gn={gn}) block {b}")
+            np.testing.assert_allclose(
+                np.asarray(fused[b].weight[:, r], dtype=np.float64),
+                seq_w, rtol=1e-12)
+
+    # And the physics: energies increase with coupling at fixed
+    # lattice (equation of state is monotone in gn).
+    last = fused[-1]
+    e_per_n = last.energy[-1] / last.weight[-1] / 8
+    assert np.all(np.diff(e_per_n) > 0), e_per_n
+
+
+def test_sweep_build_states_layout(sweep_mesh):
+    rows = tuple(
+        dmc.Sampling(_spec(gn), 1e-3, 32, 14, rng_seed=3)
+        for gn in GNS)
+    sweep = ParamSweep(rows, sweep_mesh)
+    state = sweep.build_states(
+        [_confs(s.model_spec, 14) for s in rows])
+    assert state.pos.shape == (4, 32, 8)
+    counts = np.asarray(state.num_walkers)
+    assert counts.shape == (4, 2)
+    # 14 walkers dealt over 2 shards -> 7 + 7.
+    np.testing.assert_array_equal(counts, np.full((4, 2), 7))
+    # Valid walkers form a prefix of each shard slice.
+    masks = np.asarray(state.masks)
+    shard_size = 16
+    for r in range(4):
+        for s in range(2):
+            sl = masks[r, s * shard_size:(s + 1) * shard_size]
+            assert not sl[:7].any() and sl[7:].all()
