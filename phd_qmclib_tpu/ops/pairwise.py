@@ -72,6 +72,23 @@ def supports(nop: int, dtype) -> bool:
     return nop <= 128 and jnp.dtype(dtype) == jnp.float32
 
 
+#: Reduced-range sincos polynomials (see ``models/mrbp._sincos_poly32``).
+_SIN_COEFFS = (1.0, -1.66666666e-01, 8.33333098e-03, -1.98408615e-04,
+               2.75252866e-06, -2.38894895e-08)
+_COS_COEFFS = (1.0, -4.99999994e-01, 4.16666362e-02, -1.38883608e-03,
+               2.47601348e-05, -2.60510641e-07)
+
+
+def _sincos_poly(x):
+    z2 = x * x
+    s = jnp.float32(_SIN_COEFFS[-1])
+    c = jnp.float32(_COS_COEFFS[-1])
+    for k in range(len(_SIN_COEFFS) - 2, -1, -1):
+        s = s * z2 + jnp.float32(_SIN_COEFFS[k])
+        c = c * z2 + jnp.float32(_COS_COEFFS[k])
+    return x * s, c
+
+
 def _kernel(params_ref, pos_ref, energy_ref, drift_ref, *maybe_logpsi,
             nop: int, is_free: bool, is_ideal: bool, defects_sep: int,
             tw: int, npad: int, with_log_psi: bool):
@@ -148,9 +165,10 @@ def _kernel(params_ref, pos_ref, energy_ref, drift_ref, *maybe_logpsi,
         arg = jnp.where(in_cut, k2 * (r - r_off), jnp.pi * r / L)
         one = jnp.ones_like(r)
         pref = jnp.pi / L
+        # Reduced-range polynomial sincos (the argument never leaves
+        # (-pi/2, pi/2]); same coefficients as models/mrbp.py.
+        s, c = _sincos_poly(arg)
         if with_log_psi:
-            s = jnp.sin(arg)
-            c = jnp.cos(arg)
             s_o = jnp.where(in_cut, one, s)
             c_o = jnp.where(in_cut, one, c)
             c_i = jnp.where(in_cut, c, one)
@@ -161,13 +179,15 @@ def _kernel(params_ref, pos_ref, energy_ref, drift_ref, *maybe_logpsi,
                              pref * pref * beta
                              * ((beta - 1.0) * cot * cot - 1.0))
         else:
-            # Forward-only fast path: ONE tan per pair.
-            tan_v = jnp.tan(arg)
-            cot = one / tan_v
-            ldz = jnp.where(in_cut, -k2 * tan_v, pref * beta * cot)
+            # Forward-only fast path: one divide serves both branches
+            # (tan inside the cutoff, cot outside).
+            num = jnp.where(in_cut, s, c)
+            den = jnp.where(in_cut, c, s)
+            v = num / den
+            ldz = jnp.where(in_cut, -k2, pref * beta) * v
             ldz2 = jnp.where(in_cut, -k2 * k2 * one,
                              pref * pref * beta
-                             * ((beta - 1.0) * cot * cot - 1.0))
+                             * ((beta - 1.0) * v * v - 1.0))
         sgn = jnp.where(d >= 0, one, -one)
 
         drift_pair = jnp.where(off, ldz * sgn, 0.0).sum(

@@ -51,6 +51,7 @@ import numpy as np
 
 from .. import utils
 from ..models import mrbp
+from ..ops import prng as prng_ops
 
 __all__ = [
     "DensityEstSpec",
@@ -149,8 +150,13 @@ def branching_comb(weights: jnp.ndarray, num_walkers: jnp.ndarray,
     n_clones = jnp.where(valid, n_clones, 0)
     cum = jnp.cumsum(n_clones)
     new_num = jnp.minimum(cum[-1], max_w)
-    parent = jnp.searchsorted(cum, slots, side="right")
-    parent = jnp.clip(parent, 0, max_w - 1)
+    # parent[slot] = #{i : cum[i] <= slot} (== searchsorted right, but a
+    # scatter + cumsum costs one pass where TPU searchsorted costs ~15
+    # gather rounds; bit-identical outputs, measured 2.4x faster at 17k
+    # walkers on v5e).
+    marks = jnp.zeros((max_w + 1,), jnp.int32).at[
+        jnp.minimum(cum, max_w)].add(1)
+    parent = jnp.clip(jnp.cumsum(marks[:max_w]), 0, max_w - 1)
     return parent, new_num
 
 
@@ -181,6 +187,12 @@ class Sampling:
     #: buffer cap and silently clip its comb (docs/DESIGN.md section 4);
     #: ``None`` disables rebalancing (single-device runs never need it).
     rebalance_every: t.Optional[int] = None
+    #: Diffusion-noise source: ``None`` = auto (TPU hardware-PRNG
+    #: Box-Muller on non-CPU backends - exact normals, ~35% cheaper
+    #: than the threefry pass; see ``ops/prng.py``), ``True``/``False``
+    #: force.  Only affects f32 runs; the stream differs from threefry's
+    #: (statistically equivalent).
+    hw_normals: t.Optional[bool] = None
 
     def __post_init__(self):
         if self.rng_seed is None:
@@ -404,6 +416,8 @@ class Sampling:
         use_ssf = ssf_spec is not None
         density_pure = use_density and density_spec.as_pure_est
         ssf_pure = use_ssf and ssf_spec.as_pure_est
+        use_hw_normals = self.hw_normals if self.hw_normals is not None \
+            else jax.default_backend() != "cpu"
 
         def _psum(x):
             return jax.lax.psum(x, axis_name) if axis_name else x
@@ -491,8 +505,20 @@ class Sampling:
 
             # 5) Diffuse children with the PREVIOUS E_ref
             #    (jastrow/dmc.py:742-827).
-            xi = sigma * jax.random.normal(k_diff, cpos.shape,
-                                           dtype=cpos.dtype)
+            if use_hw_normals and cpos.dtype == jnp.float32 \
+                    and cpos.shape[0] % 2 == 0:
+                # TPU hardware-PRNG Box-Muller normals (ops/prng.py):
+                # exact N(0,1), ~35% cheaper than the threefry pass at
+                # 17k x 128.  Seed derives from the step key (plus the
+                # key's own per-shard/step folds), so streams stay
+                # decorrelated exactly like the threefry path.
+                kd = jax.random.key_data(k_diff)
+                seed = (kd[0] ^ (kd[1] * jnp.uint32(2654435761))) \
+                    .astype(jnp.int32)
+                xi = sigma * prng_ops.normal_pallas(seed, cpos.shape)
+            else:
+                xi = sigma * jax.random.normal(k_diff, cpos.shape,
+                                               dtype=cpos.dtype)
             npos = mrbp.recast(cpos + 2.0 * cdrift * dt + xi, cfc)
             nenergy, ndrift = funcs.energy_and_drift(npos, cfc)
             nweight = jnp.exp(
