@@ -365,6 +365,53 @@ def build_core_funcs(*,
             log_ratio = log_ratio + pair_log.sum(axis=-1)
         return jnp.exp(log_ratio).sum(axis=-1) / nop
 
+    def one_body_density_grid(szs, pos, cfc: CFCParams):
+        """OBDM ``n1`` at a grid of displacements: ``szs (M,)``,
+        ``pos (..., N)`` -> ``(..., M)``.
+
+        The reference defines the single-offset scalar kernel
+        (``qmc_base/jastrow/model.py:858-965``) but leaves the sampler
+        estimator machinery stubbed (``qmc_base/vmc.py:444-450``,
+        ``mrbp_qmc/vmc.py:238-240``); this grid variant completes it.
+        The unshifted per-particle log sums (one-body orbital plus the
+        row sums of the pair matrix) are shared across every offset, so
+        each extra grid point costs ONE pair-log pass over the shifted
+        distances ``|z_ij + sz|`` instead of a full ratio evaluation.
+        """
+        out_shape = pos.shape[:-1] + (szs.shape[0],)
+        if is_free and is_ideal:
+            return jnp.ones(out_shape, dtype=pos.dtype)
+        sc = _supercell(cfc)
+        base = jnp.zeros(pos.shape, dtype=pos.dtype)
+        d0 = off_diag = None
+        if not is_free:
+            base = base + jnp.log(jnp.abs(one_body(pos, cfc)))
+        if not is_ideal:
+            # Raw differences (bounded by (-L, L)); min-image applies
+            # per offset AFTER the shift.
+            d0 = pos[..., :, None] - pos[..., None, :]
+            off_diag = ~jnp.eye(nop, dtype=bool)
+            r = jnp.where(off_diag, jnp.abs(min_image_bounded(d0, sc)),
+                          0.25 * sc)
+            log_tb, _, _ = two_body_pair_terms(r, cfc, need_log=True,
+                                               need_derivs=False)
+            base = base + jnp.where(off_diag, log_tb, 0.0).sum(axis=-1)
+
+        def at_offset(sz):
+            num = jnp.zeros(pos.shape, dtype=pos.dtype)
+            if not is_free:
+                num = num + jnp.log(jnp.abs(one_body(pos + sz, cfc)))
+            if not is_ideal:
+                d_s = min_image(d0 + sz, sc)
+                r_s = jnp.where(off_diag, jnp.abs(d_s), 0.25 * sc)
+                log_tb_s, _, _ = two_body_pair_terms(
+                    r_s, cfc, need_log=True, need_derivs=False)
+                num = num + jnp.where(off_diag, log_tb_s,
+                                      0.0).sum(axis=-1)
+            return jnp.exp(num - base).sum(axis=-1) / nop
+
+        return jax.vmap(at_offset, out_axes=-1)(jnp.asarray(szs))
+
     # -- Fourier density ---------------------------------------------------
     def fourier_density(kz, pos, cfc: CFCParams):
         """Fourier component of the density, ``rho_k = sum_i e^{i k z_i}``
@@ -438,6 +485,7 @@ def build_core_funcs(*,
         delta_log_psi_move=delta_log_psi_move,
         delta_drift_move=delta_drift_move,
         one_body_density=one_body_density,
+        one_body_density_grid=one_body_density_grid,
         fourier_density=fourier_density,
         fourier_density_parts=fourier_density_parts,
         fourier_density_parts_harmonics=fourier_density_parts_harmonics,

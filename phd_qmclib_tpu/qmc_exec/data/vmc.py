@@ -15,6 +15,7 @@ from ...stats import reblock
 
 __all__ = [
     "EnergyBlocks",
+    "OBDBlocks",
     "PropBlock",
     "PropBlocks",
     "PropsData",
@@ -120,6 +121,28 @@ class SSFPartBlocks(PropBlocks):
 
 
 @dataclass(frozen=True)
+class OBDBlocks(PropBlocks):
+    """One-body density matrix ``n1(sz)`` data in blocks; one
+    reblocking per displacement-grid point.
+
+    The reference declares OBDM estimator machinery but never wires it
+    (``qmc_base/vmc.py:444-450`` returns stubs); this block type
+    completes the data layer for it.
+    """
+    totals: np.ndarray
+
+    @classmethod
+    def from_data(cls, obd_data: np.ndarray, reduce_data: bool = True):
+        obd_data = np.asarray(obd_data)
+        totals = obd_data.mean(axis=1) if reduce_data else obd_data
+        return cls(totals)
+
+    @property
+    def reblock(self):
+        return reblock.OTFSet.from_non_obj_data(self.totals)
+
+
+@dataclass(frozen=True)
 class SSFBlocks:
     """Static structure factor blocks
     (``qmc_exec/data/vmc.py:173-289``)."""
@@ -175,6 +198,7 @@ class PropsDataSeries:
     """Full per-step data series (``keep_iter_data`` mode)."""
     iter_props: PropsData
     ssf: t.Optional[np.ndarray] = None
+    obd: t.Optional[np.ndarray] = None
 
     @property
     def energy(self):
@@ -193,6 +217,8 @@ class PropsDataSeries:
                 name, data=np.asarray(getattr(self.iter_props, name)))
         if self.ssf is not None:
             group.create_dataset("ss_factor", data=np.asarray(self.ssf))
+        if self.obd is not None:
+            group.create_dataset("one_body_dm", data=np.asarray(self.obd))
 
     @classmethod
     def from_hdf5_data(cls, group: h5py.Group):
@@ -200,8 +226,10 @@ class PropsDataSeries:
         iter_props = PropsData(
             *(props_group.get(name)[()] for name in PropsData._fields))
         ssf_ds = group.get("ss_factor")
+        obd_ds = group.get("one_body_dm")
         return cls(iter_props,
-                   ssf=ssf_ds[()] if ssf_ds is not None else None)
+                   ssf=ssf_ds[()] if ssf_ds is not None else None,
+                   obd=obd_ds[()] if obd_ds is not None else None)
 
 
 @dataclass(frozen=True)
@@ -209,11 +237,15 @@ class PropsDataBlocks:
     """Results of a VMC sampling grouped in block totals."""
     energy: EnergyBlocks
     ss_factor: t.Optional[SSFBlocks] = None
+    one_body_dm: t.Optional[OBDBlocks] = None
 
     def hdf5_export(self, group: h5py.Group):
         self.energy.hdf5_export(group.require_group("energy"))
         if self.ss_factor is not None:
             self.ss_factor.hdf5_export(group.require_group("ss_factor"))
+        if self.one_body_dm is not None:
+            self.one_body_dm.hdf5_export(
+                group.require_group("one_body_dm"))
 
     @classmethod
     def from_hdf5_data(cls, group: h5py.Group):
@@ -221,7 +253,10 @@ class PropsDataBlocks:
         ssf_group = group.get("ss_factor")
         ss_factor = SSFBlocks.from_hdf5_data(ssf_group) \
             if ssf_group is not None else None
-        return cls(energy, ss_factor)
+        obd_group = group.get("one_body_dm")
+        one_body_dm = OBDBlocks.from_hdf5_data(obd_group) \
+            if obd_group is not None else None
+        return cls(energy, ss_factor, one_body_dm)
 
     def merge(self, other: "PropsDataBlocks") -> "PropsDataBlocks":
         if not isinstance(other, PropsDataBlocks):
@@ -232,7 +267,12 @@ class PropsDataBlocks:
             ssf = other.ss_factor
         elif other.ss_factor is not None:
             ssf = ssf + other.ss_factor
-        return PropsDataBlocks(self.energy + other.energy, ssf)
+        obd = self.one_body_dm
+        if obd is None:
+            obd = other.one_body_dm
+        elif other.one_body_dm is not None:
+            obd = obd + other.one_body_dm
+        return PropsDataBlocks(self.energy + other.energy, ssf, obd)
 
 
 @dataclass(frozen=True)

@@ -102,6 +102,10 @@ class Proc(metaclass=ABCMeta):
     def should_eval_ssf(self) -> bool:
         return getattr(self, "ssf_spec", None) is not None
 
+    @property
+    def should_eval_obd(self) -> bool:
+        return getattr(self, "obd_spec", None) is not None
+
     @abstractmethod
     def describe_model_spec(self):
         ...

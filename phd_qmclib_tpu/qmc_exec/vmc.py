@@ -22,6 +22,7 @@ from ..constants import ER
 
 __all__ = [
     "ModelSysConfSpec",
+    "OBDEstSpec",
     "Proc",
     "ProcInput",
     "ProcResult",
@@ -35,6 +36,14 @@ ModelSysConfSpec = proc_base.ModelSysConfSpec
 class SSFEstSpec:
     """S(k) estimator config (``mrbp_qmc/vmc_exec/proc.py``)."""
     num_modes: int
+
+
+@dataclass(frozen=True)
+class OBDEstSpec:
+    """One-body density matrix estimator config: ``n1(sz)`` on a
+    ``num_pos``-point grid over ``[0, L/2]`` (the reference stubs this
+    estimator out, ``qmc_base/vmc.py:444-450``)."""
+    num_pos: int
 
 
 @dataclass(frozen=True)
@@ -91,6 +100,7 @@ class Proc(proc_base.Proc):
     #: original run consumed (see ``dmc.Proc.block_offset``).
     block_offset: int = 0
     ssf_spec: t.Optional[SSFEstSpec] = None
+    obd_spec: t.Optional[OBDEstSpec] = None
     #: TPU extension: independent Markov chains advanced in lockstep.
     num_walkers: int = 1
     dtype: str = "float32"
@@ -132,7 +142,11 @@ class Proc(proc_base.Proc):
         ssf_config = self_config.pop("ssf_spec", None)
         ssf_spec = SSFEstSpec(**ssf_config) if ssf_config is not None \
             else None
-        return cls(model_spec=model_spec, ssf_spec=ssf_spec, **self_config)
+        obd_config = self_config.pop("obd_spec", None)
+        obd_spec = OBDEstSpec(**obd_config) if obd_config is not None \
+            else None
+        return cls(model_spec=model_spec, ssf_spec=ssf_spec,
+                   obd_spec=obd_spec, **self_config)
 
     def as_config(self) -> dict:
         config = {
@@ -160,6 +174,8 @@ class Proc(proc_base.Proc):
         }
         if self.ssf_spec is not None:
             config["ssf_spec"] = {"num_modes": self.ssf_spec.num_modes}
+        if self.obd_spec is not None:
+            config["obd_spec"] = {"num_pos": self.obd_spec.num_pos}
         return {k: v for k, v in config.items() if v is not None}
 
     def evolve(self, config: t.Mapping) -> "Proc":
@@ -173,21 +189,28 @@ class Proc(proc_base.Proc):
         if ssf_config is not None:
             ssf_spec = SSFEstSpec(**ssf_config) if ssf_spec is None \
                 else replace(ssf_spec, **ssf_config)
+        obd_spec = self.obd_spec
+        obd_config = self_config.pop("obd_spec", None)
+        if obd_config is not None:
+            obd_spec = OBDEstSpec(**obd_config) if obd_spec is None \
+                else replace(obd_spec, **obd_config)
         return replace(self, model_spec=model_spec, ssf_spec=ssf_spec,
-                       **self_config)
+                       obd_spec=obd_spec, **self_config)
 
     @cached_property
     def sampling(self) -> vmc_sampler.Sampling:
         ssf_est_spec = vmc_sampler.SSFEstSpec(self.ssf_spec.num_modes) \
             if self.should_eval_ssf else None
+        obd_est_spec = vmc_sampler.OBDEstSpec(self.obd_spec.num_pos) \
+            if self.should_eval_obd else None
         mesh = None
         if self.num_mesh_devices is not None:
             from ..parallel import make_walker_mesh
             mesh = make_walker_mesh(self.num_mesh_devices or None)
         return vmc_sampler.Sampling(
             self.model_spec, self.move_spread, self.rng_seed,
-            ssf_est_spec=ssf_est_spec, num_walkers=self.num_walkers,
-            mesh=mesh)
+            ssf_est_spec=ssf_est_spec, obd_est_spec=obd_est_spec,
+            num_walkers=self.num_walkers, mesh=mesh)
 
     def describe_model_spec(self):
         spec = self.model_spec
@@ -213,6 +236,7 @@ class Proc(proc_base.Proc):
         burn_in_blocks = self.burn_in_blocks
         keep_iter_data = self.keep_iter_data
         should_eval_ssf = self.should_eval_ssf
+        should_eval_obd = self.should_eval_obd
         num_walkers = self.num_walkers
 
         if not isinstance(proc_input, ProcInput):
@@ -242,6 +266,9 @@ class Proc(proc_base.Proc):
             num_modes = self.ssf_spec.num_modes
             ssf_shape = shape + (num_modes, 3)
             ssf_data = np.zeros(ssf_shape)
+        obd_data = None
+        if should_eval_obd:
+            obd_data = np.zeros(shape + (self.obd_spec.num_pos,))
 
         block_data = None
         accept_rates = []
@@ -260,6 +287,9 @@ class Proc(proc_base.Proc):
                 if should_eval_ssf:
                     ssf_data[block_idx] = np.asarray(
                         block_data.iter_ssf) / num_walkers
+                if should_eval_obd:
+                    obd_data[block_idx] = np.asarray(
+                        block_data.iter_obd) / num_walkers
             else:
                 energy[block_idx] = e.mean()
                 wf_abs_log[block_idx] = lp.mean()
@@ -267,6 +297,9 @@ class Proc(proc_base.Proc):
                 if should_eval_ssf:
                     ssf_data[block_idx] = np.asarray(
                         block_data.iter_ssf).mean(axis=0) / num_walkers
+                if should_eval_obd:
+                    obd_data[block_idx] = np.asarray(
+                        block_data.iter_obd).mean(axis=0) / num_walkers
 
         exec_logger.info("VMC sampling completed.")
         exec_logger.info(
@@ -278,8 +311,12 @@ class Proc(proc_base.Proc):
                                                         reduce_data)
         ssf_blocks = vmc_data.SSFBlocks.from_data(ssf_data, reduce_data) \
             if should_eval_ssf else None
-        data_blocks = vmc_data.PropsDataBlocks(energy_blocks, ssf_blocks)
-        data_series = vmc_data.PropsDataSeries(props_data, ssf_data) \
+        obd_blocks = vmc_data.OBDBlocks.from_data(obd_data, reduce_data) \
+            if should_eval_obd else None
+        data_blocks = vmc_data.PropsDataBlocks(energy_blocks, ssf_blocks,
+                                               obd_blocks)
+        data_series = vmc_data.PropsDataSeries(props_data, ssf_data,
+                                               obd_data) \
             if keep_iter_data else None
         sampling_data = vmc_data.SamplingData(data_blocks, data_series)
         last_state = block_data.last_state if block_data is not None \

@@ -38,6 +38,7 @@ from .. import utils
 from ..models import mrbp
 
 __all__ = [
+    "OBDEstSpec",
     "PropsData",
     "Sampling",
     "SamplingBlock",
@@ -60,6 +61,7 @@ class State(t.NamedTuple):
     energy: jnp.ndarray
     move_stat: jnp.ndarray
     ssf_parts: t.Optional[jnp.ndarray] = None  # (W, M, 3)
+    obd_parts: t.Optional[jnp.ndarray] = None  # (W, M)
 
 
 class PropsData(t.NamedTuple):
@@ -78,6 +80,9 @@ class SamplingBlock(t.NamedTuple):
     iter_ssf: t.Optional[jnp.ndarray]
     accept_rate: float
     last_state: State
+    #: OBDM ``n1`` sums over walkers, shape ``(nts, M)``; ``None`` when
+    #: disabled.
+    iter_obd: t.Optional[jnp.ndarray] = None
 
 
 @dataclass(frozen=True)
@@ -85,6 +90,19 @@ class SSFEstSpec:
     """Static structure factor estimator spec
     (``mrbp_qmc/vmc.py:62-67``)."""
     num_modes: int
+
+
+@dataclass(frozen=True)
+class OBDEstSpec:
+    """One-body density matrix estimator spec.
+
+    The reference declares the OBDM machinery but leaves it stubbed
+    (``qmc_base/vmc.py:444-450``, ``mrbp_qmc/vmc.py:238-240`` - its
+    ``init_obd_est_data`` returns ``None``); this spec completes it.
+    ``n1(sz)`` is evaluated on a uniform grid of ``num_pos``
+    displacements over ``[0, L/2]``.
+    """
+    num_pos: int
 
 
 @dataclass(frozen=True)
@@ -97,6 +115,7 @@ class Sampling:
     move_spread: float
     rng_seed: t.Optional[int] = None
     ssf_est_spec: t.Optional[SSFEstSpec] = None
+    obd_est_spec: t.Optional[OBDEstSpec] = None
     #: Number of independent Markov chains advanced in lockstep.
     num_walkers: int = 1
     #: Use Gaussian proposals of width ``move_spread`` (the reference's
@@ -139,6 +158,17 @@ class Sampling:
         sc_size = self.model_spec.supercell_size
         return np.arange(num_modes) * 2 * np.pi / sc_size
 
+    @property
+    def obd_pos_offsets(self) -> np.ndarray:
+        """OBDM displacement grid: ``num_pos`` uniform points over
+        ``[0, L/2]`` (completes the reference's ``obd_pos_offset`` stub,
+        ``qmc_base/vmc.py:311-314``)."""
+        if self.obd_est_spec is None:
+            raise TypeError("the one-body density matrix spec has not "
+                            "been specified")
+        sc_size = self.model_spec.supercell_size
+        return np.linspace(0.0, 0.5 * sc_size, self.obd_est_spec.num_pos)
+
     # -- state construction ------------------------------------------------
 
     def build_state(self, sys_conf: np.ndarray) -> State:
@@ -174,8 +204,14 @@ class Sampling:
             ssf_parts = funcs.fourier_density_parts(momenta, pos, cfc)
         else:
             ssf_parts = None
+        if self.obd_est_spec is not None:
+            offsets = jnp.asarray(self.obd_pos_offsets, dtype=pos.dtype)
+            obd_parts = funcs.one_body_density_grid(offsets, pos, cfc)
+        else:
+            obd_parts = None
         move_stat = jnp.ones(pos.shape[0], dtype=bool)
-        return State(pos, wf_abs_log, energy, move_stat, ssf_parts)
+        return State(pos, wf_abs_log, energy, move_stat, ssf_parts,
+                     obd_parts)
 
     def _cast_params(self, dtype) -> mrbp.CFCParams:
         return jax.tree.map(lambda x: jnp.asarray(x, dtype=dtype),
@@ -189,6 +225,8 @@ class Sampling:
         gaussian = self.gaussian
         use_ssf = self.ssf_est_spec is not None
         num_modes = self.ssf_est_spec.num_modes if use_ssf else 0
+        use_obd = self.obd_est_spec is not None
+        obd_offsets = np.asarray(self.obd_pos_offsets) if use_obd else None
         axis_name = self.mesh_axis if self.mesh is not None else None
 
         def _psum(x):
@@ -224,11 +262,20 @@ class Sampling:
                                       carry.ssf_parts)
             else:
                 new_parts = None
-            new_state = State(new_pos, new_lp, new_e, accept, new_parts)
-            # S(k) sums are shard-local; the block runner reduces once
-            # per block.
+            if use_obd:
+                offsets = jnp.asarray(obd_offsets, dtype=pos.dtype)
+                obd_prop = funcs.one_body_density_grid(offsets, prop, cfc)
+                new_obd = jnp.where(accept[:, None], obd_prop,
+                                    carry.obd_parts)
+            else:
+                new_obd = None
+            new_state = State(new_pos, new_lp, new_e, accept, new_parts,
+                              new_obd)
+            # Estimator sums are shard-local; the block runner reduces
+            # once per block.
             out = (new_lp, new_e, accept,
-                   new_parts.sum(axis=0) if use_ssf else 0.0)
+                   new_parts.sum(axis=0) if use_ssf else 0.0,
+                   new_obd.sum(axis=0) if use_obd else 0.0)
             return new_state, out
 
         def run_block(state: State, block_key, cfc, move_spread,
@@ -237,12 +284,15 @@ class Sampling:
                 block_key = jax.random.fold_in(
                     block_key, jax.lax.axis_index(axis_name))
             keys = jax.random.split(block_key, num_steps_block)
-            final_state, (lps, es, accepts, ssf) = jax.lax.scan(
+            final_state, (lps, es, accepts, ssf, obd) = jax.lax.scan(
                 lambda c, k: step(c, k, cfc, move_spread), state, keys)
             if axis_name is not None and use_ssf:
                 ssf = _psum(ssf)
+            if axis_name is not None and use_obd:
+                obd = _psum(obd)
             accept_rate = _pmean(accepts.mean())
-            return final_state, PropsData(lps, es, accepts), ssf, accept_rate
+            return (final_state, PropsData(lps, es, accepts), ssf, obd,
+                    accept_rate)
 
         if self.mesh is None:
             return jax.jit(run_block,
@@ -252,7 +302,8 @@ class Sampling:
         ax = self.mesh_axis
         state_spec = State(pos=P(ax), wf_abs_log=P(ax), energy=P(ax),
                            move_stat=P(ax),
-                           ssf_parts=P(ax) if use_ssf else None)
+                           ssf_parts=P(ax) if use_ssf else None,
+                           obd_parts=P(ax) if use_obd else None)
         props_spec = PropsData(P(None, ax), P(None, ax), P(None, ax))
 
         def sharded_block(state, block_key, cfc, move_spread,
@@ -262,7 +313,7 @@ class Sampling:
                                                 num_steps_block),
                 mesh=self.mesh,
                 in_specs=(state_spec, P(), P(), P()),
-                out_specs=(state_spec, props_spec, P(), P()))
+                out_specs=(state_spec, props_spec, P(), P(), P()))
             return fn(state, block_key, cfc, move_spread)
 
         return jax.jit(sharded_block,
@@ -291,16 +342,24 @@ class Sampling:
             parts = self.core_funcs.fourier_density_parts(
                 momenta, state.pos, cfc0)
             state = state._replace(ssf_parts=parts)
+        if self.obd_est_spec is not None and state.obd_parts is None:
+            cfc0 = self._cast_params(state.pos.dtype)
+            offsets = jnp.asarray(self.obd_pos_offsets,
+                                  dtype=state.pos.dtype)
+            state = state._replace(
+                obd_parts=self.core_funcs.one_body_density_grid(
+                    offsets, state.pos, cfc0))
         cfc = self._cast_params(ini_state.pos.dtype)
         move_spread = jnp.asarray(self.move_spread,
                                   dtype=ini_state.pos.dtype)
         block_idx = int(block_offset)
         while True:
             block_key = jax.random.fold_in(base_key, block_idx)
-            state, props, ssf, accept_rate = self._block_fn(
+            state, props, ssf, obd, accept_rate = self._block_fn(
                 state, block_key, cfc, move_spread, num_steps_block)
             yield SamplingBlock(props, ssf if self.ssf_est_spec else None,
-                                float(accept_rate), state)
+                                float(accept_rate), state,
+                                obd if self.obd_est_spec else None)
             block_idx += 1
 
     def as_chain(self, num_steps: int, ini_state: State) -> SamplingBlock:
@@ -340,7 +399,7 @@ class Sampling:
             # configuration.
             def body(carry, key):
                 # Calling the jitted block fn inside jit inlines it.
-                new_state, props, ssf, _ = base_fn(
+                new_state, props, ssf, _obd, _ = base_fn(
                     carry, key, cfc, move_spread, thin)
                 return new_state, (new_state.pos, props, ssf)
             keys = jax.random.split(block_key, num_steps_block // thin)

@@ -26,7 +26,8 @@ def test_sharded_vmc_runs_and_matches_statistics():
     def run(mesh_):
         s = vmc.Sampling(spec, move_spread=0.25, rng_seed=11,
                          num_walkers=64, mesh=mesh_,
-                         ssf_est_spec=vmc.SSFEstSpec(num_modes=4))
+                         ssf_est_spec=vmc.SSFEstSpec(num_modes=4),
+                         obd_est_spec=vmc.OBDEstSpec(num_pos=3))
         state = s.build_state(confs)
         it = s.blocks(256, state)
         next(it)
@@ -39,6 +40,10 @@ def test_sharded_vmc_runs_and_matches_statistics():
     # S(0) sum rule over all 64 chains regardless of sharding.
     np.testing.assert_allclose(np.asarray(b_multi.iter_ssf[:, 0, 1]),
                                64 * NOP, rtol=1e-7)
+    # OBDM sums reduce over the mesh: n1(0) == num_walkers exactly.
+    assert b_multi.iter_obd.shape == (256, 3)
+    np.testing.assert_allclose(np.asarray(b_multi.iter_obd[:, 0]), 64.0,
+                               rtol=1e-9)
     e_m = float(np.asarray(b_multi.iter_props.energy,
                            dtype=np.float64).mean())
     e_s = float(np.asarray(b_single.iter_props.energy,
