@@ -200,5 +200,6 @@ class ParamSweep:
             burning = block_idx < burn_in_blocks
             density = est.get("density") if not burning else None
             ssf = est.get("ssf") if not burning else None
-            yield SamplingBlock(props, density, ssf, state)
+            obd = est.get("obd") if not burning else None
+            yield SamplingBlock(props, density, ssf, state, obd)
             block_idx += 1

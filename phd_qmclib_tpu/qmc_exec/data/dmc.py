@@ -19,6 +19,7 @@ __all__ = [
     "DensityBlocks",
     "EnergyBlocks",
     "NumWalkersBlocks",
+    "OBDBlocks",
     "PropBlock",
     "PropBlocks",
     "PropsData",
@@ -336,6 +337,24 @@ class DensityBlocks(PropBlocks):
 
 
 @dataclass(frozen=True)
+class OBDBlocks(DensityBlocks):
+    """One-body density matrix ``n1(sz)`` data in blocks; one
+    reblocking per displacement-grid point, weighted like the other
+    walker-averaged estimators (beyond the reference, which has no DMC
+    OBDM estimator)."""
+
+    @classmethod
+    def from_data(cls, num_time_steps_block: int, obd_data: np.ndarray,
+                  props_data: PropsData, reduce_data: bool = True,
+                  as_pure_est: bool = True,
+                  pure_est_reduce_factor: np.ndarray = None):
+        totals, weight_totals = _pure_aware_totals(
+            num_time_steps_block, obd_data, props_data, reduce_data,
+            as_pure_est, pure_est_reduce_factor)
+        return cls(totals, weight_totals)
+
+
+@dataclass(frozen=True)
 class SSFPartBlocks(DensityBlocks):
     """One part (|rho_k|^2, Re, Im) of the S(k) data in blocks."""
 
@@ -419,6 +438,7 @@ class PropsDataSeries:
     iter_props: PropsData  # arrays of shape (num_blocks, nts)
     ssf: t.Optional[np.ndarray] = None
     density: t.Optional[np.ndarray] = None
+    obd: t.Optional[np.ndarray] = None
 
     @property
     def energy(self):
@@ -449,6 +469,8 @@ class PropsDataSeries:
             group.create_dataset("ss_factor", data=np.asarray(self.ssf))
         if self.density is not None:
             group.create_dataset("density", data=np.asarray(self.density))
+        if self.obd is not None:
+            group.create_dataset("one_body_dm", data=np.asarray(self.obd))
 
     @classmethod
     def from_hdf5_data(cls, group: h5py.Group):
@@ -457,10 +479,12 @@ class PropsDataSeries:
             *(props_group.get(name)[()] for name in PropsData._fields))
         ssf_ds = group.get("ss_factor")
         density_ds = group.get("density")
+        obd_ds = group.get("one_body_dm")
         return cls(iter_props,
                    ssf=ssf_ds[()] if ssf_ds is not None else None,
                    density=density_ds[()]
-                   if density_ds is not None else None)
+                   if density_ds is not None else None,
+                   obd=obd_ds[()] if obd_ds is not None else None)
 
 
 @dataclass(frozen=True)
@@ -472,6 +496,7 @@ class PropsDataBlocks:
     num_walkers: NumWalkersBlocks
     density: t.Optional[DensityBlocks] = None
     ss_factor: t.Optional[SSFBlocks] = None
+    one_body_dm: t.Optional[OBDBlocks] = None
 
     def hdf5_export(self, group: h5py.Group):
         self.energy.hdf5_export(group.require_group("energy"))
@@ -481,6 +506,9 @@ class PropsDataBlocks:
             self.density.hdf5_export(group.require_group("density"))
         if self.ss_factor is not None:
             self.ss_factor.hdf5_export(group.require_group("ss_factor"))
+        if self.one_body_dm is not None:
+            self.one_body_dm.hdf5_export(
+                group.require_group("one_body_dm"))
 
     @classmethod
     def from_hdf5_data(cls, group: h5py.Group):
@@ -494,7 +522,11 @@ class PropsDataBlocks:
         ssf_group = group.get("ss_factor")
         ss_factor = SSFBlocks.from_hdf5_data(ssf_group) \
             if ssf_group is not None else None
-        return cls(energy, weight, num_walkers, density, ss_factor)
+        obd_group = group.get("one_body_dm")
+        one_body_dm = OBDBlocks.from_hdf5_data(obd_group) \
+            if obd_group is not None else None
+        return cls(energy, weight, num_walkers, density, ss_factor,
+                   one_body_dm)
 
     def merge(self, other: "PropsDataBlocks") -> "PropsDataBlocks":
         """Concatenate block data from a continuation run."""
@@ -511,10 +543,15 @@ class PropsDataBlocks:
             ssf = other.ss_factor
         elif other.ss_factor is not None:
             ssf = ssf + other.ss_factor
+        obd = self.one_body_dm
+        if obd is None:
+            obd = other.one_body_dm
+        elif other.one_body_dm is not None:
+            obd = obd + other.one_body_dm
         return PropsDataBlocks(self.energy + other.energy,
                                self.weight + other.weight,
                                self.num_walkers + other.num_walkers,
-                               density, ssf)
+                               density, ssf, obd)
 
 
 @dataclass(frozen=True)

@@ -23,6 +23,7 @@ from ..constants import ER
 __all__ = [
     "DensityEstSpec",
     "ModelSysConfSpec",
+    "OBDEstSpec",
     "Proc",
     "ProcInput",
     "ProcResult",
@@ -31,6 +32,7 @@ __all__ = [
 
 DensityEstSpec = proc_base.DensityEstSpec
 SSFEstSpec = proc_base.SSFEstSpec
+OBDEstSpec = proc_base.OBDEstSpec
 ModelSysConfSpec = proc_base.ModelSysConfSpec
 
 
@@ -92,6 +94,7 @@ class Proc(proc_base.Proc):
     block_offset: int = 0
     density_spec: t.Optional[DensityEstSpec] = None
     ssf_spec: t.Optional[SSFEstSpec] = None
+    obd_spec: t.Optional[OBDEstSpec] = None
     #: Compute dtype on device ("float32" for TPU, "float64" on CPU).
     dtype: str = "float32"
     #: Multi-chip: shard walkers over this many local devices (None =
@@ -164,8 +167,11 @@ class Proc(proc_base.Proc):
             ssf_spec = SSFEstSpec(**ssf_config)
         else:
             ssf_spec = None
+        obd_config = self_config.pop("obd_spec", None)
+        obd_spec = OBDEstSpec(**obd_config) \
+            if obd_config is not None else None
         return cls(model_spec=model_spec, density_spec=density_spec,
-                   ssf_spec=ssf_spec, **self_config)
+                   ssf_spec=ssf_spec, obd_spec=obd_spec, **self_config)
 
     def as_config(self) -> dict:
         config = {
@@ -204,6 +210,11 @@ class Proc(proc_base.Proc):
                 "num_modes": self.ssf_spec.num_modes,
                 "as_pure_est": self.ssf_spec.as_pure_est,
             }
+        if self.obd_spec is not None:
+            config["obd_spec"] = {
+                "num_pos": self.obd_spec.num_pos,
+                "as_pure_est": self.obd_spec.as_pure_est,
+            }
         return {k: v for k, v in config.items() if v is not None}
 
     def evolve(self, config: t.Mapping) -> "Proc":
@@ -219,8 +230,13 @@ class Proc(proc_base.Proc):
         if ssf_config is not None:
             ssf_spec = SSFEstSpec(**ssf_config) if ssf_spec is None \
                 else replace(ssf_spec, **ssf_config)
+        obd_spec = self.obd_spec
+        obd_config = self_config.pop("obd_spec", None)
+        if obd_config is not None:
+            obd_spec = OBDEstSpec(**obd_config) if obd_spec is None \
+                else replace(obd_spec, **obd_config)
         return replace(self, model_spec=model_spec, ssf_spec=ssf_spec,
-                       **self_config)
+                       obd_spec=obd_spec, **self_config)
 
     # -- sampling ------------------------------------------------------------
 
@@ -235,6 +251,9 @@ class Proc(proc_base.Proc):
         ssf_est_spec = dmc_sampler.SSFEstSpec(
             self.ssf_spec.num_modes, self.ssf_spec.as_pure_est,
             pfw_num_time_steps) if self.should_eval_ssf else None
+        obd_est_spec = dmc_sampler.OBDEstSpec(
+            self.obd_spec.num_pos, self.obd_spec.as_pure_est,
+            pfw_num_time_steps) if self.should_eval_obd else None
         mesh = None
         if self.num_mesh_devices is not None:
             from ..parallel import make_walker_mesh
@@ -243,8 +262,8 @@ class Proc(proc_base.Proc):
             self.model_spec, self.time_step, self.max_num_walkers,
             self.target_num_walkers, self.num_walkers_control_factor,
             self.rng_seed, density_est_spec=density_est_spec,
-            ssf_est_spec=ssf_est_spec, mesh=mesh,
-            rebalance_every=self.rebalance_every)
+            ssf_est_spec=ssf_est_spec, obd_est_spec=obd_est_spec,
+            mesh=mesh, rebalance_every=self.rebalance_every)
 
     def describe_model_spec(self):
         spec = self.model_spec
@@ -337,6 +356,7 @@ class Proc(proc_base.Proc):
         keep_iter_data = self.keep_iter_data
         should_eval_density = self.should_eval_density
         should_eval_ssf = self.should_eval_ssf
+        should_eval_obd = self.should_eval_obd
 
         if not isinstance(proc_input, ProcInput):
             raise proc_base.ProcInputError(
@@ -379,6 +399,9 @@ class Proc(proc_base.Proc):
             num_modes = self.ssf_spec.num_modes
             ssf_shape = shape + (num_modes, 3)
             ssf_blocks_data = np.zeros(ssf_shape)
+        obd_blocks_data = None
+        if should_eval_obd:
+            obd_blocks_data = np.zeros(shape + (self.obd_spec.num_pos,))
         pure_est_reduce_factor = np.ones(num_blocks)
 
         exec_logger.info("Starting the evaluation of estimators...")
@@ -427,6 +450,9 @@ class Proc(proc_base.Proc):
                 if should_eval_ssf:
                     ssf_blocks_data[block_idx] = np.asarray(
                         block_data.iter_ssf)
+                if should_eval_obd:
+                    obd_blocks_data[block_idx] = np.asarray(
+                        block_data.iter_obd)
             else:
                 weight_sum = weight.sum()
                 props["energy"][block_idx] = energy.sum()
@@ -450,6 +476,13 @@ class Proc(proc_base.Proc):
                         iter_ssf[nts_block - 1]
                         if self.ssf_spec.as_pure_est
                         else iter_ssf.sum(axis=0))
+                if should_eval_obd:
+                    iter_obd = np.asarray(block_data.iter_obd,
+                                          dtype=np.float64)
+                    obd_blocks_data[block_idx] = (
+                        iter_obd[nts_block - 1]
+                        if self.obd_spec.as_pure_est
+                        else iter_obd.sum(axis=0))
 
             if self.checkpoint_file is not None and \
                     (block_idx + 1) % self.checkpoint_every == 0:
@@ -495,12 +528,17 @@ class Proc(proc_base.Proc):
             nts_block, ssf_blocks_data, props_data, reduce_data,
             self.ssf_spec.as_pure_est, pure_est_reduce_factor) \
             if should_eval_ssf else None
+        obd_blocks = dmc_data.OBDBlocks.from_data(
+            nts_block, obd_blocks_data, props_data, reduce_data,
+            self.obd_spec.as_pure_est, pure_est_reduce_factor) \
+            if should_eval_obd else None
 
         data_blocks = dmc_data.PropsDataBlocks(
             energy_blocks, weight_blocks, num_walkers_blocks,
-            density_blocks, ssf_blocks)
+            density_blocks, ssf_blocks, obd_blocks)
         data_series = dmc_data.PropsDataSeries(
-            props_data, ssf_blocks_data, density_blocks_data) \
+            props_data, ssf_blocks_data, density_blocks_data,
+            obd_blocks_data) \
             if keep_iter_data else None
         sampling_data = dmc_data.SamplingData(data_blocks, data_series)
         return self.build_result(last_state, sampling_data)

@@ -54,6 +54,14 @@ class SSFEstSpec:
     as_pure_est: bool = True
 
 
+@dataclass(frozen=True)
+class OBDEstSpec:
+    """One-body density matrix estimator config (beyond the reference,
+    which stubs the OBDM machinery out - ``qmc_base/vmc.py:444-450``)."""
+    num_pos: int
+    as_pure_est: bool = True
+
+
 class ProcInputError(ValueError):
     """Flags an invalid input for a QMC procedure."""
 

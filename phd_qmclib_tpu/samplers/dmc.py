@@ -55,6 +55,7 @@ from ..ops import prng as prng_ops
 
 __all__ = [
     "DensityEstSpec",
+    "OBDEstSpec",
     "PropsData",
     "Sampling",
     "SamplingBlock",
@@ -113,6 +114,7 @@ class SamplingBlock(t.NamedTuple):
     iter_density: t.Optional[jnp.ndarray]  # (nts, num_bins)
     iter_ssf: t.Optional[jnp.ndarray]      # (nts, num_modes, 3)
     last_state: State
+    iter_obd: t.Optional[jnp.ndarray] = None  # (nts, num_pos)
 
 
 @dataclass(frozen=True)
@@ -128,6 +130,23 @@ class SSFEstSpec:
     """Static structure factor estimator spec
     (``mrbp_qmc/dmc.py:125-140``)."""
     num_modes: int
+    as_pure_est: bool = True
+    pfw_num_time_steps: t.Optional[int] = None
+
+
+@dataclass(frozen=True)
+class OBDEstSpec:
+    """One-body density matrix estimator spec: ``n1(sz)`` on a
+    ``num_pos``-point grid over ``[0, L/2]``.
+
+    Beyond the reference, which stubs the OBDM machinery out
+    (``qmc_base/vmc.py:444-450``) and has no DMC analog at all.  With
+    ``as_pure_est`` the per-walker ``n1`` values transport through the
+    branching ancestry exactly like the other pure (forward-walking)
+    estimators, projecting the mixed estimator ``<phi|n1|psi>`` toward
+    the pure ``<phi|n1|phi>``.
+    """
+    num_pos: int
     as_pure_est: bool = True
     pfw_num_time_steps: t.Optional[int] = None
 
@@ -176,6 +195,7 @@ class Sampling:
     rng_seed: t.Optional[int] = None
     density_est_spec: t.Optional[DensityEstSpec] = None
     ssf_est_spec: t.Optional[SSFEstSpec] = None
+    obd_est_spec: t.Optional[OBDEstSpec] = None
     #: Device mesh for multi-chip runs: the walker axis shards over
     #: ``mesh_axis``; branching is per-shard, population control global
     #: (psum over ICI).  ``None`` = single device.
@@ -245,6 +265,14 @@ class Sampling:
         num_modes = self.ssf_est_spec.num_modes
         sc_size = self.model_spec.supercell_size
         return np.arange(num_modes) * 2 * np.pi / sc_size
+
+    @property
+    def obd_pos_offsets(self) -> np.ndarray:
+        if self.obd_est_spec is None:
+            raise TypeError(
+                "the one-body density matrix spec has not been specified")
+        sc_size = self.model_spec.supercell_size
+        return np.linspace(0.0, 0.5 * sc_size, self.obd_est_spec.num_pos)
 
     def _pfw_steps(self, spec) -> int:
         # The reference treats None as "effectively infinite"
@@ -412,10 +440,14 @@ class Sampling:
         funcs = self.core_funcs
         density_spec = self.density_est_spec if measure else None
         ssf_spec = self.ssf_est_spec if measure else None
+        obd_spec = self.obd_est_spec if measure else None
         use_density = density_spec is not None
         use_ssf = ssf_spec is not None
+        use_obd = obd_spec is not None
         density_pure = use_density and density_spec.as_pure_est
         ssf_pure = use_ssf and ssf_spec.as_pure_est
+        obd_pure = use_obd and obd_spec.as_pure_est
+        obd_offsets = np.asarray(self.obd_pos_offsets) if use_obd else None
         use_hw_normals = self.hw_normals if self.hw_normals is not None \
             else jax.default_backend() != "cpu"
 
@@ -502,6 +534,22 @@ class Sampling:
                 else:
                     est_out["ssf"] = jnp.where(
                         valid[:, None, None], parts, 0.0).sum(axis=0)
+            if use_obd:
+                offsets = jnp.asarray(obd_offsets, dtype=cpos.dtype)
+                obd_parts = funcs.one_body_density_grid(offsets, cpos, cfc)
+                if obd_pure:
+                    pfw = self._pfw_steps(obd_spec)
+                    aux_prev = extra["aux_obd"][parent]
+                    aux = jnp.where(step_idx < pfw, aux_prev + obd_parts,
+                                    aux_prev)
+                    divisor = jnp.minimum(step_idx + 1, pfw).astype(
+                        cpos.dtype)
+                    est_out["obd"] = jnp.where(
+                        valid[:, None], aux, 0.0).sum(axis=0) / divisor
+                    new_extra["aux_obd"] = aux
+                else:
+                    est_out["obd"] = jnp.where(
+                        valid[:, None], obd_parts, 0.0).sum(axis=0)
 
             # 5) Diffuse children with the PREVIOUS E_ref
             #    (jastrow/dmc.py:742-827).
@@ -550,6 +598,7 @@ class Sampling:
         step = self.make_step_fn(axis_name=axis_name, measure=measure)
         density_spec = self.density_est_spec if measure else None
         ssf_spec = self.ssf_est_spec if measure else None
+        obd_spec = self.obd_est_spec if measure else None
 
         def run_block(state: State, block_key, scalars, cfc,
                       num_time_steps_block: int):
@@ -566,6 +615,9 @@ class Sampling:
             if ssf_spec is not None and ssf_spec.as_pure_est:
                 extra0["aux_ssf"] = jnp.zeros(
                     (max_w, ssf_spec.num_modes, 3), dtype=dtype)
+            if obd_spec is not None and obd_spec.as_pure_est:
+                extra0["aux_obd"] = jnp.zeros(
+                    (max_w, obd_spec.num_pos), dtype=dtype)
             if axis_name is not None and extra0:
                 # Mark the shard-local accumulators as varying over the
                 # mesh axis so the scan carry types line up.
@@ -682,7 +734,8 @@ class Sampling:
                                          num_time_steps_block)
             density = est.get("density") if not burning else None
             ssf = est.get("ssf") if not burning else None
-            yield SamplingBlock(props, density, ssf, state)
+            obd = est.get("obd") if not burning else None
+            yield SamplingBlock(props, density, ssf, state, obd)
             block_idx += 1
 
     def states(self, ini_state: State) -> t.Iterator[State]:

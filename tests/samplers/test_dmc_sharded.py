@@ -28,6 +28,8 @@ def make_sampling(mesh, **kw):
                 density_est_spec=dmc.DensityEstSpec(num_bins=10,
                                                     as_pure_est=True),
                 ssf_est_spec=dmc.SSFEstSpec(num_modes=4,
+                                            as_pure_est=True),
+                obd_est_spec=dmc.OBDEstSpec(num_pos=3,
                                             as_pure_est=True))
     base.update(kw)
     return dmc.Sampling(make_spec(), **base)
@@ -60,6 +62,10 @@ class TestShardedDmc:
                                    NOP * nw, rtol=1e-7)
         np.testing.assert_allclose(np.asarray(b.iter_ssf[:, 0, 1]),
                                    NOP * nw, rtol=1e-7)
+        # OBDM at sz=0: ancestry-transported ones average back to the
+        # global walker count under the per-block mesh psum.
+        np.testing.assert_allclose(np.asarray(b.iter_obd[:, 0]), nw,
+                                   rtol=1e-6)
         # Energy per walker in the physical bracket.
         e0 = spec.obf_params.param_e0
         e_per = float(b.iter_props.accum_energy[-1]) / NOP
