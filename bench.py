@@ -24,7 +24,7 @@ REFERENCE_CPU_WALKER_STEPS_PER_SEC = 32 * 79.66
 
 def run_bench(nop: int, target: int, max_w: int, nts: int,
               timed_blocks: int, burn_blocks: int = 1,
-              check_energy: bool = False):
+              check_energy: bool = False, estimators: bool = False):
     import jax
 
     from phd_qmclib_tpu.models import mrbp
@@ -33,8 +33,17 @@ def run_bench(nop: int, target: int, max_w: int, nts: int,
     spec = mrbp.Spec(lattice_depth=20.0, lattice_ratio=1.0,
                      interaction_strength=1.0, boson_number=nop,
                      supercell_size=float(nop), tbf_contact_cutoff=0.4)
+    est_kw = {}
+    if estimators:
+        # Production estimator load: pure density + pure S(k)
+        # (config #5 scale).
+        est_kw = dict(
+            density_est_spec=dmc.DensityEstSpec(num_bins=128,
+                                                as_pure_est=True),
+            ssf_est_spec=dmc.SSFEstSpec(num_modes=64, as_pure_est=True))
     sampling = dmc.Sampling(spec, time_step=1e-3, max_num_walkers=max_w,
-                            target_num_walkers=target, rng_seed=1)
+                            target_num_walkers=target, rng_seed=1,
+                            **est_kw)
     rng = np.random.default_rng(0)
     confs = np.stack([spec.init_get_sys_conf(rng=rng)
                       for _ in range(target)]).astype(np.float32)
@@ -83,20 +92,28 @@ def main():
     parser.add_argument("--max-walkers", type=int, default=17408)
     parser.add_argument("--nts", type=int, default=128)
     parser.add_argument("--blocks", type=int, default=4)
+    parser.add_argument("--estimators", action="store_true",
+                        help="measure with the production estimator load "
+                             "(pure 128-bin density + 64-mode S(k))")
     args = parser.parse_args()
 
     if args.quick:
         rate, extras = run_bench(nop=32, target=2048, max_w=2560,
                                  nts=32, timed_blocks=2,
-                                 check_energy=True)
+                                 check_energy=True,
+                                 estimators=args.estimators)
     else:
         rate, extras = run_bench(nop=args.nop, target=args.target,
                                  max_w=args.max_walkers, nts=args.nts,
                                  timed_blocks=args.blocks,
-                                 check_energy=True)
+                                 check_energy=True,
+                                 estimators=args.estimators)
 
+    metric = "dmc_walker_steps_per_sec_per_chip"
+    if args.estimators:
+        metric += "_estimators_on"
     result = {
-        "metric": "dmc_walker_steps_per_sec_per_chip",
+        "metric": metric,
         "value": rate,
         "unit": "walker-steps/s/chip",
         "vs_baseline": rate / REFERENCE_CPU_WALKER_STEPS_PER_SEC,

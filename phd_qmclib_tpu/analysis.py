@@ -1,0 +1,83 @@
+"""Post-processing helpers for measured estimators.
+
+The reference ships no analysis layer (its OBDM machinery is stubbed,
+``/root/reference/src/phd_qmclib/qmc_base/vmc.py:444-450``); these
+helpers consume the block-statistics data model directly.
+"""
+import typing as t
+
+import numpy as np
+
+__all__ = ["momentum_distribution", "extrapolated_estimate"]
+
+
+def momentum_distribution(offsets: np.ndarray, n1: np.ndarray,
+                          supercell_size: float, boson_number: int,
+                          n1_err: t.Optional[np.ndarray] = None):
+    """Momentum occupations ``n(k_j)`` from an OBDM grid.
+
+    For a periodic system the occupation of mode ``k_j = 2 pi j / L``
+    is the cosine transform of the (symmetric, ``n1(L - z) = n1(z)``)
+    one-body density matrix::
+
+        n(k_j) = (N / L) * int_0^L n1(z) cos(k_j z) dz
+
+    evaluated by the trapezoid rule on the measured ``[0, L/2]`` grid
+    (doubled by symmetry).  The occupations satisfy the sum rule
+    ``sum_j n(k_j) = N * n1(0) = N`` over all ``L/h`` modes.
+
+    :param offsets: the ``num_pos`` displacement grid over ``[0, L/2]``
+        (e.g. ``Sampling.obd_pos_offsets``).
+    :param n1: measured ``n1`` means on that grid (``n1[0] == 1``).
+    :param supercell_size: the supercell ``L``.
+    :param boson_number: particles ``N`` (sets the normalization).
+    :param n1_err: optional standard errors of ``n1``; when given the
+        result includes propagated errors.
+    :return: ``(momenta, occupations)`` or ``(momenta, occupations,
+        errors)``; momenta are the non-negative harmonics resolvable by
+        the grid spacing.
+    """
+    offsets = np.asarray(offsets, dtype=np.float64)
+    n1 = np.asarray(n1, dtype=np.float64)
+    num_pos = offsets.shape[0]
+    if num_pos < 2:
+        raise ValueError("need at least two displacement grid points")
+    sc = float(supercell_size)
+    # Number of distinct non-negative harmonics the grid resolves:
+    # spacing h = L / (2 (M-1)) -> modes j = 0 .. M-1.
+    momenta = np.arange(num_pos) * 2 * np.pi / sc
+    # Trapezoid weights on [0, L/2], doubled for the mirror half.
+    w = np.full(num_pos, offsets[1] - offsets[0])
+    w[0] *= 0.5
+    w[-1] *= 0.5
+    cos_kz = np.cos(momenta[:, None] * offsets[None, :])  # (J, M)
+    # One mirror-half integral; cos(k (L - z)) = cos(k z) for harmonics,
+    # so the full-period integral is twice the half integral (endpoint
+    # weights already halved).
+    occ = (2.0 * boson_number / sc) * (cos_kz * (w * n1)).sum(axis=1)
+    if n1_err is None:
+        return momenta, occ
+    err = (2.0 * boson_number / sc) * np.sqrt(
+        ((cos_kz * w) ** 2 * np.asarray(n1_err, dtype=np.float64) ** 2)
+        .sum(axis=1))
+    return momenta, occ, err
+
+
+def extrapolated_estimate(mixed: np.ndarray, variational: np.ndarray,
+                          mixed_err: t.Optional[np.ndarray] = None,
+                          variational_err: t.Optional[np.ndarray] = None):
+    """Second-order extrapolated estimator ``2 <mixed> - <vmc>``.
+
+    The standard correction for off-diagonal observables (like the
+    OBDM) whose DMC mixed estimator retains a first-order trial-
+    wavefunction bias: combining with the variational estimate cancels
+    the ``O(phi - psi_T)`` term.
+    """
+    est = 2.0 * np.asarray(mixed) - np.asarray(variational)
+    if mixed_err is None and variational_err is None:
+        return est
+    me = np.zeros_like(est) if mixed_err is None \
+        else np.asarray(mixed_err)
+    ve = np.zeros_like(est) if variational_err is None \
+        else np.asarray(variational_err)
+    return est, np.sqrt(4.0 * me ** 2 + ve ** 2)

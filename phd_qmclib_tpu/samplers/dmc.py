@@ -140,11 +140,21 @@ class OBDEstSpec:
     ``num_pos``-point grid over ``[0, L/2]``.
 
     Beyond the reference, which stubs the OBDM machinery out
-    (``qmc_base/vmc.py:444-450``) and has no DMC analog at all.  With
-    ``as_pure_est`` the per-walker ``n1`` values transport through the
-    branching ancestry exactly like the other pure (forward-walking)
-    estimators, projecting the mixed estimator ``<phi|n1|psi>`` toward
-    the pure ``<phi|n1|phi>``.
+    (``qmc_base/vmc.py:444-450``) and has no DMC analog at all.
+
+    Estimator caveat (unlike density/S(k), which are diagonal in
+    position): ``n1`` is an OFF-DIAGONAL observable, so no forward-
+    walking scheme yields the exact pure ``<phi|n1|phi>``.  With
+    ``as_pure_est=False`` this computes the standard mixed estimator
+    ``<phi| n1_loc |psi_T>`` (``n1_loc(R) = (1/N) sum_i
+    psi_T(R + sz e_i)/psi_T(R)``); with ``as_pure_est=True`` the
+    per-walker ``n1_loc`` values transport through the branching
+    ancestry, giving the forward-walking average ``<phi^2| n1_loc>`` -
+    exact when ``psi_T`` equals the ground state (validated against the
+    analytic integral in the ideal-gas limit,
+    ``tests/samplers/test_dmc_obd.py``), otherwise an improved but not
+    fully pure estimate.  For publication-grade OBDMs combine with the
+    VMC estimator via the usual extrapolation ``2 <mixed> - <vmc>``.
     """
     num_pos: int
     as_pure_est: bool = True
