@@ -101,6 +101,14 @@ class OBDEstSpec:
     ``init_obd_est_data`` returns ``None``); this spec completes it.
     ``n1(sz)`` is evaluated on a uniform grid of ``num_pos``
     displacements over ``[0, L/2]``.
+
+    Sampling note: the wavefunction-ratio estimator is heavy-tailed -
+    a configuration with a near-contact pair (``psi -> 0``) reports an
+    enormous ratio, and while such configurations carry vanishing
+    equilibrium weight, chains STARTED there (e.g. from RANDOM initial
+    configurations at strong coupling) dominate the average until they
+    equilibrate away.  Prefer ``SysConfDistType.REGULAR`` starts and
+    discard generous burn-in before trusting ``n1 <= 1``.
     """
     num_pos: int
 

@@ -132,6 +132,36 @@ class TestSamplerEstimator:
         np.testing.assert_allclose(np.asarray(last.obd_parts), fresh,
                                    rtol=1e-10)
 
+    def test_strong_coupling_equilibrium_bound(self):
+        # Cauchy-Schwarz: n1(sz) <= 1 in equilibrium.  The ratio
+        # estimator is heavy-tailed out of equilibrium (a near-contact
+        # pair makes psi -> 0 and the ratio explode), so lattice-spaced
+        # REGULAR starts + burn-in are required at strong coupling;
+        # with them the bound must hold.
+        spec = make_spec(interaction_strength=8.0, boson_number=16,
+                         supercell_size=16.0, tbf_contact_cutoff=0.4)
+        sampling = vmc.Sampling(
+            spec, move_spread=0.25, rng_seed=41,
+            obd_est_spec=vmc.OBDEstSpec(num_pos=5), num_walkers=64)
+        rng = np.random.default_rng(11)
+        confs = np.stack([
+            spec.init_get_sys_conf(
+                dist_type=mrbp.SysConfDistType.REGULAR, rng=rng)
+            for _ in range(64)])
+        state = sampling.build_state(confs)
+        blocks = sampling.blocks(128, state)
+        for _ in range(4):
+            next(blocks)
+        totals = np.zeros(5)
+        for _ in range(4):
+            totals += np.asarray(next(blocks).iter_obd,
+                                 dtype=np.float64).mean(axis=0)
+        n1 = totals / (4 * 64)
+        assert n1[0] == pytest.approx(1.0, rel=1e-9)
+        assert np.all(n1[1:] < 1.0)
+        # Strong coupling depletes long-range coherence well below 1.
+        assert n1[-1] < 0.9
+
     def test_ideal_gas_matches_analytic_integral(self):
         # Non-interacting bosons in the lattice: each particle samples
         # |f1|^2 independently, so n1(sz) = int f1(z) f1(z+sz) dz /
