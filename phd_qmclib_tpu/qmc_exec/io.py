@@ -127,6 +127,9 @@ class HDF5FileHandler(IOHandler, metaclass=ABCMeta):
         ssf_group = group.get("ssf_spec")
         if ssf_group is not None:
             proc_config["ssf_spec"] = dict(ssf_group.attrs.items())
+        obd_group = group.get("obd_spec")
+        if obd_group is not None:
+            proc_config["obd_spec"] = dict(obd_group.attrs.items())
         proc_config.update(group.attrs.items())
         # h5py returns numpy scalars/bytes; normalize.
         proc_config = _normalize_h5_config(proc_config)
@@ -145,6 +148,9 @@ class HDF5FileHandler(IOHandler, metaclass=ABCMeta):
         ssf_config = config.pop("ssf_spec", None)
         if ssf_config is not None:
             group.require_group("ssf_spec").attrs.update(**ssf_config)
+        obd_config = config.pop("obd_spec", None)
+        if obd_config is not None:
+            group.require_group("obd_spec").attrs.update(**obd_config)
         group.attrs.update(config)
 
     @abstractmethod

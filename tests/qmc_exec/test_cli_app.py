@@ -108,6 +108,7 @@ class TestCLIApp:
         with h5py.File(out_file, "r") as fp:
             assert "dmc-proc-ID0/dmc/state" in fp
             assert "dmc-proc-ID0/dmc/data/blocks/energy/totals" in fp
+            assert "dmc-proc-ID0/dmc/data/blocks/one_body_dm" in fp
         assert len(results) == 1
 
     def test_restart_from_hdf5_input(self, workdir):
@@ -147,6 +148,7 @@ class TestVmcCLI:
         with h5py.File(out, "r") as fp:
             assert "vmc-proc-ID0/vmc/state/sys_conf" in fp
             assert "vmc-proc-ID0/vmc/data/blocks/ss_factor" in fp
+            assert "vmc-proc-ID0/vmc/data/blocks/one_body_dm" in fp
 
 
 class TestCLI:
