@@ -532,9 +532,13 @@ def _two_body_pair_terms(rz, cfc: CFCParams, need_log: bool = True,
         ldz2 = jnp.where(in_cut, -k2 * k2 * one,
                          pref ** 2 * beta * ((beta - 1) * cot ** 2 - 1))
     if need_log:
-        log_f2 = jnp.where(in_cut,
-                           jnp.log(jnp.abs(am * c_i)),
-                           beta * jnp.log(s_o))
+        # ONE log per pair: log|f2| = p * log(x) with the base and the
+        # exponent branch-selected (inside: x = |am| cos, p = 1;
+        # outside: x = sin, p = beta).  Both bases are positive on the
+        # guaranteed argument domain.
+        x = jnp.where(in_cut, jnp.abs(am) * c_i, s_o)
+        p = jnp.where(in_cut, one, beta)
+        log_f2 = p * jnp.log(x)
     return log_f2, ldz, ldz2
 
 
