@@ -132,6 +132,16 @@ class TestSamplerEstimator:
         np.testing.assert_allclose(np.asarray(last.obd_parts), fresh,
                                    rtol=1e-10)
 
+    def test_state_data_blocks_with_obd(self):
+        # The configuration-recording API shares the block kernel; with
+        # the OBDM spec on it must still run and carry obd state.
+        spec = make_spec()
+        sampling = self.make_sampling(spec, num_pos=3, num_walkers=8)
+        state = sampling.build_state(batch_of_confs(spec, 8, seed=2))
+        confs, block = next(sampling.state_data_blocks(8, state, thin=2))
+        assert confs.shape == (4, 8, NOP)
+        assert block.last_state.obd_parts.shape == (8, 3)
+
     def test_strong_coupling_equilibrium_bound(self):
         # Cauchy-Schwarz: n1(sz) <= 1 in equilibrium.  The ratio
         # estimator is heavy-tailed out of equilibrium (a near-contact
@@ -238,6 +248,23 @@ class TestProcIntegration:
             loaded = vmc_data.SamplingData.from_hdf5_data(fp["data"])
         np.testing.assert_allclose(loaded.blocks.one_body_dm.totals,
                                    obd_blocks.totals)
+
+    def test_keep_iter_data_series(self):
+        from phd_qmclib_tpu.qmc_exec import vmc as vmc_exec
+
+        spec_config = dict(lattice_depth=V0, lattice_ratio=R,
+                           interaction_strength=GN, boson_number=NOP,
+                           supercell_size=SC_SIZE, tbf_contact_cutoff=RM)
+        proc = vmc_exec.Proc.from_config(dict(
+            model_spec=spec_config, move_spread=0.25, rng_seed=13,
+            num_blocks=2, num_steps_block=8, burn_in_blocks=1,
+            num_walkers=4, dtype="float64", keep_iter_data=True,
+            obd_spec={"num_pos": 3}))
+        result = proc.exec(vmc_exec.ProcInput.from_model_sys_conf_spec(
+            vmc_exec.ModelSysConfSpec(dist_type="RANDOM"), proc))
+        assert result.data.series.obd.shape == (2, 8, 3)
+        assert result.data.blocks.one_body_dm.mean[0] == \
+            pytest.approx(1.0, rel=1e-9)
 
     def test_merge_composes_obd(self):
         from phd_qmclib_tpu.qmc_exec.data import vmc as vmc_data
