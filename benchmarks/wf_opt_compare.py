@@ -1,0 +1,89 @@
+"""Wavefunction optimization: differential evolution vs gradient.
+
+Production-scale comparison of the reference-behavior optimizer
+(``differential_evolution`` over the correlated-sampling variance,
+``/root/reference/src/phd_qmclib/mrbp_qmc/model.py:927-942``) against
+the gradient path (grid scan + L-BFGS with the implicit-differentiation
+d(variance)/d(rm) through the two-body ``custom_root`` solve — no
+reference analog).
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/wf_opt_compare.py
+"""
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--nop", type=int, default=128)
+    parser.add_argument("--chains", type=int, default=4096)
+    parser.add_argument("--rm0", type=float, default=0.2)
+    parser.add_argument("--equil-steps", type=int, default=512)
+    args = parser.parse_args()
+
+    from phd_qmclib_tpu import wf_opt
+    from phd_qmclib_tpu.models import mrbp
+    from phd_qmclib_tpu.samplers import vmc
+
+    nop = args.nop
+    spec = mrbp.Spec(lattice_depth=20.0, lattice_ratio=1.0,
+                     interaction_strength=1.0, boson_number=nop,
+                     supercell_size=float(nop),
+                     tbf_contact_cutoff=args.rm0)
+    sampling = vmc.Sampling(spec, move_spread=0.12, rng_seed=11,
+                            num_walkers=args.chains)
+    rng = np.random.default_rng(5)
+    confs0 = np.stack([spec.init_get_sys_conf(rng=rng)
+                       for _ in range(args.chains)])
+    state = sampling.build_state(confs0)
+    it = sampling.blocks(args.equil_steps, state)
+    block = next(it)  # equilibrate
+    print(f"# VMC equilibration: accept {block.accept_rate:.3f}, "
+          f"E/N = {float(np.mean(np.asarray(block.iter_props.energy[-64:])))/nop:.5f}")
+    pos_set = np.asarray(block.last_state.pos)
+    lp_set = np.asarray(block.last_state.wf_abs_log)
+
+    import jax.numpy as jnp
+
+    class CountingDE(wf_opt.CSWFOptimizer):
+        n_evals = 0
+
+        def principal_function(self, rm):
+            CountingDE.n_evals += 1
+            return super().principal_function(rm)
+
+    results = {}
+    for method, cls in (("de", CountingDE),
+                        ("grad", wf_opt.GradCSWFOptimizer)):
+        opt = cls(spec, pos_set, lp_set)
+        # Warm every jit cache outside the timed section.
+        opt.principal_function(args.rm0)
+        if method == "grad":
+            opt._value_and_grad_fn(jnp.asarray(args.rm0, np.float32))
+            (lo, hi), = opt.principal_function_bounds
+            opt._grid_fn(jnp.linspace(lo, hi, opt.num_grid,
+                                      dtype=np.float32))
+        CountingDE.n_evals = 0
+        t0 = time.perf_counter()
+        opt_spec = opt.exec()
+        el = time.perf_counter() - t0
+        evals = CountingDE.n_evals if method == "de" else None
+        rm = float(opt_spec.tbf_contact_cutoff)
+        var = opt.principal_function(rm)
+        results[method] = (rm, var, el)
+        print(json.dumps({"method": method, "rm_opt": rm,
+                          "variance": var, "wall_s": el,
+                          "n_evals": evals}))
+
+    rm_de, var_de, t_de = results["de"]
+    rm_gr, var_gr, t_gr = results["grad"]
+    print(f"# speedup {t_de / t_gr:.1f}x, "
+          f"d(rm) = {abs(rm_de - rm_gr):.2e}, "
+          f"d(var)/var = {abs(var_de - var_gr) / var_de:.2e}")
+
+
+if __name__ == "__main__":
+    main()

@@ -22,6 +22,7 @@ from dataclasses import dataclass, field, replace
 from enum import Enum
 from functools import cached_property
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from scipy.optimize import brentq
@@ -40,7 +41,9 @@ __all__ = [
     "SysConfDistType",
     "SysConfSlot",
     "TBFParams",
+    "cfc_params_device",
     "core_funcs",
+    "tbf_params_device",
     "DIST_RAND",
     "DIST_REGULAR",
 ]
@@ -350,6 +353,124 @@ class Spec:
         analog used by the wavefunction optimizer,
         ``mrbp_qmc/model.py:852-861``)."""
         return replace(self, **changes)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable two-body parameter solve.  The host-side
+# ``Spec.tbf_params`` goes through ``scipy.optimize.brentq``, which blocks
+# gradients; this traceable version solves the same matching condition with
+# ``lax.custom_root`` (implicit differentiation), making ``rm -> TBFParams``
+# - and therefore the whole correlated-sampling variance functional -
+# differentiable.  The reference has no analog (its optimizer is the
+# derivative-free ``differential_evolution``, ``mrbp_qmc/model.py:927-942``).
+# ---------------------------------------------------------------------------
+
+def _tbf_matching_residual(k2rm, rm_frac, a1d):
+    """Local-energy matching condition at the cutoff, in box units.
+
+    Same transcendental equation as ``Spec.tbf_params``'s
+    ``_nonlinear_equation`` (reference ``mrbp_qmc/model.py:345-369``),
+    written with jnp ops so it traces and differentiates.
+    """
+    pi = jnp.pi
+    tan_k = jnp.tan(k2rm)
+    beta_rm = (k2rm / pi * (rm_frac - k2rm * a1d * tan_k)
+               * jnp.tan(pi * rm_frac)
+               / (k2rm * a1d + rm_frac * tan_k))
+    return ((k2rm * jnp.sin(pi * rm_frac)) ** 2
+            + (pi * beta_rm * jnp.cos(pi * rm_frac)) ** 2
+            - pi ** 2 * beta_rm * rm_frac)
+
+
+def tbf_params_device(rm, interaction_strength, boson_number,
+                      supercell_size) -> TBFParams:
+    """Traceable, differentiable ``rm -> TBFParams``.
+
+    Bisection (fixed iteration count, so it vmaps and jits) solves the
+    matching condition on ``(0, pi/2)`` exactly like the host ``brentq``
+    path; ``lax.custom_root`` supplies the implicit-function-theorem
+    gradient, so ``jax.grad`` through the returned pytree is exact.
+    Matches ``Spec.tbf_params`` to solver tolerance (tested in
+    ``tests/models/test_tbf_device.py``).  Requires
+    ``interaction_strength > 0`` (the free-gas branch is not traceable).
+    """
+    from jax import lax
+
+    dtype = jnp.result_type(rm, jnp.float32)
+    rm = jnp.asarray(rm, dtype)
+    gn = jnp.asarray(interaction_strength, dtype)
+    sc_size = jnp.asarray(supercell_size, dtype)
+    nop = boson_number
+
+    pi = jnp.pi
+    lgm = 0.5 * (sc_size / nop) ** 2 * gn
+    rm_frac = rm / sc_size
+    a1d = 2.0 / (lgm * nop)
+
+    def residual(k2rm):
+        return _tbf_matching_residual(k2rm, rm_frac, a1d)
+
+    eps = jnp.asarray(1e-9 if dtype == jnp.float64 else 1e-5, dtype)
+
+    def solve(f, x0):
+        lo = eps
+        hi = pi / 2 - eps
+        f_lo = f(lo)
+        num_iters = 100 if dtype == jnp.float64 else 40
+
+        def body(_, carry):
+            lo, hi, f_lo = carry
+            mid = 0.5 * (lo + hi)
+            f_mid = f(mid)
+            same = jnp.sign(f_mid) == jnp.sign(f_lo)
+            return (jnp.where(same, mid, lo),
+                    jnp.where(same, hi, mid),
+                    jnp.where(same, f_mid, f_lo))
+
+        lo, hi, _ = lax.fori_loop(0, num_iters, body, (lo, hi, f_lo))
+        return 0.5 * (lo + hi)
+
+    def tangent_solve(g, y):
+        # Scalar linear solve: g is linear, so g(x) = g(1)*x.
+        return y / g(jnp.asarray(1.0, dtype))
+
+    k2rm = lax.custom_root(residual, jnp.asarray(pi / 4, dtype),
+                           solve, tangent_solve)
+
+    tan_k = jnp.tan(k2rm)
+    beta_rm = (k2rm / pi * (rm_frac - k2rm * a1d * tan_k)
+               * jnp.tan(pi * rm_frac)
+               / (k2rm * a1d + rm_frac * tan_k))
+    k2 = k2rm / rm_frac
+    k2r_off = jnp.arctan(1.0 / (k2 * a1d))
+    beta = beta_rm / rm_frac
+    r_off = k2r_off / k2
+    am = jnp.sin(pi * rm_frac) ** beta / jnp.cos(k2rm - k2r_off)
+
+    return TBFParams(sc_size, rm,
+                     param_k2=k2 / sc_size,
+                     param_beta=beta,
+                     param_r_off=r_off * sc_size,
+                     param_am=am)
+
+
+def cfc_params_device(rm, spec: "Spec") -> CFCParams:
+    """Traceable ``CFCParams`` with the variational cutoff ``rm`` live.
+
+    One-body parameters do not depend on ``rm`` and come from the host
+    spec; the two-body parameters are re-solved on device so gradients
+    flow (used by :class:`phd_qmclib_tpu.wf_opt.GradCSWFOptimizer`).
+    """
+    dtype = jnp.result_type(rm, jnp.float32)
+    model_params = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x, dtype), spec.params)
+    model_params = model_params._replace(
+        tbf_contact_cutoff=jnp.asarray(rm, dtype))
+    obf = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x, dtype), spec.obf_params)
+    tbf = tbf_params_device(rm, spec.interaction_strength,
+                            spec.boson_number, spec.supercell_size)
+    return CFCParams(model_params, obf, tbf)
 
 
 # ---------------------------------------------------------------------------

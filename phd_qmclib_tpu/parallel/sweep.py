@@ -32,15 +32,20 @@ __all__ = ["ParamSweep"]
 
 @dataclass(frozen=True)
 class ParamSweep:
-    """A stack of DMC samplings advanced as one sharded dispatch.
+    """A stack of DMC samplings advanced as one fused dispatch.
 
     ``samplings`` must share static structure; leaf parameters may
-    differ per row.  ``mesh`` must have a ``sweep`` axis of size
-    ``len(samplings)`` and a ``walkers`` axis (size 1 collapses to
-    row-parallel only).
+    differ per row.  With a ``mesh`` (a ``sweep`` axis of size
+    ``len(samplings)`` and a ``walkers`` axis), rows map onto mesh rows
+    via ``shard_map``.  With ``mesh=None`` the rows are ``vmap``-fused
+    on ONE device — the production form for scans whose per-row walker
+    count underfills the chip (R rows of W walkers batch into one
+    R*W-walker dispatch, recovering the chip's large-batch efficiency
+    that a sequential scan forfeits; measured in
+    ``benchmarks/param_scan.py --fused``).
     """
     samplings: t.Tuple[dmc.Sampling, ...]
-    mesh: jax.sharding.Mesh
+    mesh: t.Optional[jax.sharding.Mesh] = None
     sweep_axis: str = "sweep"
     walker_axis: str = "walkers"
 
@@ -60,9 +65,12 @@ class ParamSweep:
                 raise ValueError("all sweep rows must use the same "
                                  "walker-buffer sizes")
             if (s.density_est_spec != ref.density_est_spec
-                    or s.ssf_est_spec != ref.ssf_est_spec):
+                    or s.ssf_est_spec != ref.ssf_est_spec
+                    or s.obd_est_spec != ref.obd_est_spec):
                 raise ValueError("all sweep rows must use the same "
                                  "estimator specs")
+        if self.mesh is None:
+            return
         if self.mesh.shape[self.sweep_axis] != len(self.samplings):
             raise ValueError(
                 f"mesh '{self.sweep_axis}' axis size "
@@ -89,13 +97,15 @@ class ParamSweep:
         for sampling, confs in zip(self.samplings, sys_conf_sets):
             # Give the row the sweep's mesh so build_state uses the
             # exact per-shard layout of a standalone sharded run (bit
-            # reproducibility of each row).
+            # reproducibility of each row); mesh=None (vmap fusion)
+            # keeps the single-device layout.
             row = dmc.Sampling(
                 sampling.model_spec, sampling.time_step,
                 sampling.max_num_walkers, sampling.target_num_walkers,
                 sampling.num_walkers_control_factor, sampling.rng_seed,
                 density_est_spec=sampling.density_est_spec,
-                ssf_est_spec=sampling.ssf_est_spec, mesh=self.mesh,
+                ssf_est_spec=sampling.ssf_est_spec,
+                obd_est_spec=sampling.obd_est_spec, mesh=self.mesh,
                 mesh_axis=self.walker_axis)
             states.append(row.build_state(confs, dtype=dtype))
         return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
@@ -105,10 +115,31 @@ class ParamSweep:
     @cached_property
     def _block_fn(self):
         ref = self.samplings[0]
+        if self.mesh is None:
+            # Single-device fusion: vmap the per-row block body.  The
+            # row axis becomes a leading batch dimension of every op in
+            # the scan, so XLA sees one R*W-walker workload per step.
+            run_block = ref.make_run_block(measure=True, axis_name=None)
+
+            def fused_block(state, block_keys, scalars, cfc,
+                            num_time_steps_block: int):
+                final_state, props, est = jax.vmap(
+                    lambda st, k, sc, cf: run_block(
+                        st, k, sc, cf, num_time_steps_block)
+                )(state, block_keys, scalars, cfc)
+                # Match the mesh path's props layout: (nts, R).
+                props = jax.tree.map(
+                    lambda x: jnp.moveaxis(x, 0, 1), props)
+                return final_state, props, est
+
+            return jax.jit(fused_block,
+                           static_argnames=("num_time_steps_block",))
+
         n_walker_shards = self.mesh.shape[self.walker_axis]
         walker_axis = self.walker_axis if n_walker_shards > 1 else None
-        run_block = ref.make_run_block(measure=True,
-                                       axis_name=walker_axis)
+        run_block = ref.make_run_block(
+            measure=True, axis_name=walker_axis,
+            extra_varying_axes=(self.sweep_axis,))
         P = jax.sharding.PartitionSpec
         sweep = self.sweep_axis
         wax = self.walker_axis if n_walker_shards > 1 else None

@@ -598,7 +598,8 @@ class Sampling:
         return step
 
     def make_run_block(self, measure: bool,
-                       axis_name: t.Optional[str] = None):
+                       axis_name: t.Optional[str] = None,
+                       extra_varying_axes: t.Tuple[str, ...] = ()):
         """The raw (unjitted, per-shard) block body: scan
         ``num_time_steps_block`` steps and reduce estimator sums over
         ``axis_name`` once per block.  Used by :meth:`_make_block_fn`
@@ -628,11 +629,14 @@ class Sampling:
             if obd_spec is not None and obd_spec.as_pure_est:
                 extra0["aux_obd"] = jnp.zeros(
                     (max_w, obd_spec.num_pos), dtype=dtype)
-            if axis_name is not None and extra0:
+            varying = tuple(a for a in (axis_name, *extra_varying_axes)
+                            if a is not None)
+            if varying and extra0:
                 # Mark the shard-local accumulators as varying over the
-                # mesh axis so the scan carry types line up.
+                # mesh axes so the scan carry types line up (the sweep
+                # wrapper adds its row axis via ``extra_varying_axes``).
                 extra0 = jax.tree.map(
-                    lambda x: jax.lax.pcast(x, (axis_name,), to="varying"),
+                    lambda x: jax.lax.pcast(x, varying, to="varying"),
                     extra0)
 
             keys = jax.random.split(block_key, num_time_steps_block)

@@ -95,6 +95,88 @@ def test_sweep_matches_sequential_rows(sweep_mesh):
     assert np.all(np.diff(e_per_n) > 0), e_per_n
 
 
+def test_sweep_carries_estimators_including_obdm(sweep_mesh):
+    """Estimator outputs (density, S(k), OBDM — mixed and pure) flow
+    through the fused sweep dispatch and match each row's standalone
+    sharded run bit-for-bit."""
+    max_w, target = 32, 16
+    nts, nblocks = 6, 2
+    ests = dict(
+        density_est_spec=dmc.DensityEstSpec(num_bins=16),
+        ssf_est_spec=dmc.SSFEstSpec(num_modes=5),
+        obd_est_spec=dmc.OBDEstSpec(num_pos=9, as_pure_est=True))
+    rows = tuple(
+        dmc.Sampling(_spec(gn), 1e-3, max_w, target, rng_seed=13, **ests)
+        for gn in GNS)
+    sweep = ParamSweep(rows, sweep_mesh)
+    conf_sets = [_confs(s.model_spec, target) for s in rows]
+    state = sweep.build_states(conf_sets)
+
+    it = sweep.blocks(state, nts)
+    fused = [next(it) for _ in range(nblocks)]
+    assert fused[0].iter_obd.shape == (4, nts, 9)
+    assert fused[0].iter_density.shape[0] == 4
+    assert fused[0].iter_ssf.shape[0] == 4
+
+    seq_mesh = jax.make_mesh((2,), ("walkers",),
+                             devices=jax.devices()[:2])
+    for r, gn in enumerate(GNS):
+        sampling = dmc.Sampling(_spec(gn), 1e-3, max_w, target,
+                                rng_seed=13, mesh=seq_mesh, **ests)
+        row_state = sampling.build_state(conf_sets[r])
+        rit = sampling.blocks(row_state, nts)
+        for b in range(nblocks):
+            block = next(rit)
+            for name in ("iter_density", "iter_ssf", "iter_obd"):
+                np.testing.assert_allclose(
+                    np.asarray(getattr(fused[b], name))[r],
+                    np.asarray(getattr(block, name)), rtol=1e-12,
+                    err_msg=f"{name} row {r} (gn={gn}) block {b}")
+    # Sanity on the OBDM values: finite, positive diagonal on every
+    # row (the coupling ordering of the decay needs an equilibrated
+    # run — covered by benchmarks/obdm_scan.py on hardware).
+    n1 = np.asarray(fused[-1].iter_obd, dtype=np.float64)[:, -1, :]
+    assert np.all(np.isfinite(n1))
+    assert np.all(n1[:, 0] > 0)
+
+
+def test_vmap_fused_sweep_matches_sequential_rows():
+    """mesh=None: rows vmap-fused on one device must reproduce each
+    row's standalone single-device run bit-for-bit (same seed, same
+    key folds) — the production form for underfilled-chip scans."""
+    max_w, target = 32, 16
+    nts, nblocks = 8, 2
+    ests = dict(density_est_spec=dmc.DensityEstSpec(num_bins=8),
+                obd_est_spec=dmc.OBDEstSpec(num_pos=5))
+    rows = tuple(
+        dmc.Sampling(_spec(gn), 1e-3, max_w, target, rng_seed=29, **ests)
+        for gn in GNS)
+    sweep = ParamSweep(rows)
+    conf_sets = [_confs(s.model_spec, target) for s in rows]
+    state = sweep.build_states(conf_sets)
+    assert state.pos.shape == (4, 32, 8)
+
+    it = sweep.blocks(state, nts)
+    fused = [next(it) for _ in range(nblocks)]
+
+    for r, gn in enumerate(GNS):
+        sampling = dmc.Sampling(_spec(gn), 1e-3, max_w, target,
+                                rng_seed=29, **ests)
+        row_state = sampling.build_state(conf_sets[r])
+        rit = sampling.blocks(row_state, nts)
+        for b in range(nblocks):
+            block = next(rit)
+            np.testing.assert_allclose(
+                np.asarray(fused[b].iter_props.energy,
+                           dtype=np.float64)[:, r],
+                np.asarray(block.iter_props.energy, dtype=np.float64),
+                rtol=1e-12, err_msg=f"row {r} (gn={gn}) block {b}")
+            for name in ("iter_density", "iter_obd"):
+                np.testing.assert_allclose(
+                    np.asarray(getattr(fused[b], name))[r],
+                    np.asarray(getattr(block, name)), rtol=1e-12)
+
+
 def test_sweep_build_states_layout(sweep_mesh):
     rows = tuple(
         dmc.Sampling(_spec(gn), 1e-3, 32, 14, rng_seed=3)
