@@ -8,7 +8,8 @@ import typing as t
 
 import numpy as np
 
-__all__ = ["momentum_distribution", "extrapolated_estimate"]
+__all__ = ["momentum_distribution", "extrapolated_estimate",
+           "pair_correlation_from_ssf"]
 
 
 def momentum_distribution(offsets: np.ndarray, n1: np.ndarray,
@@ -61,6 +62,65 @@ def momentum_distribution(offsets: np.ndarray, n1: np.ndarray,
         ((cos_kz * w) ** 2 * np.asarray(n1_err, dtype=np.float64) ** 2)
         .sum(axis=1))
     return momenta, occ, err
+
+
+def pair_correlation_from_ssf(momenta: np.ndarray, rho2: np.ndarray,
+                              r_grid: np.ndarray, boson_number: int,
+                              supercell_size: float,
+                              rho2_err: t.Optional[np.ndarray] = None):
+    """Pair-correlation function ``g2(r)`` from the measured
+    ``<|rho_k|^2>`` S(k) part — a new observable at zero runtime cost.
+
+    For the periodic supercell the distinct-pair distance density
+
+        G(r) = (1/N) sum_{i != j} <delta_L(z_i - z_j - r)>
+
+    (per particle; integrates to ``N - 1`` over the period) relates to
+    the Fourier modes ``rho_k = sum_i exp(i k z_i)`` at
+    ``k_j = 2 pi j / L`` by ``<|rho_k|^2>/N = 1 + (1/L-normalized)
+    Fourier coefficient of G``, so the truncated inversion over the
+    measured modes (G is even, cosine series) is::
+
+        G_M(r) = (1/L) [t_0 + 2 sum_{j>=1} t_j cos(k_j r)],
+        t_j = <|rho_{k_j}|^2>/N - 1
+
+    normalized here to ``g2 = L G / (N - 1)`` (``g2 == 1`` for
+    uncorrelated particles).  Truncation to M modes smooths features
+    sharper than ``L/M`` (Gibbs ringing near the contact point if M is
+    small); modes beyond the correlation support contribute nothing,
+    e.g. the free-fermion/Tonks-Girardeau S(k) is exactly 1 past
+    ``2 k_F`` and the inversion is then exact (tested against the
+    finite-N Dirichlet-kernel formula in ``tests/test_analysis.py``).
+
+    Use ``SSFBlocks.fdk_sqr_abs_part.mean`` (NOT ``SSFBlocks.mean``,
+    which subtracts the static/Bragg part) as ``rho2``.
+
+    :param momenta: the measured mode grid ``arange(M) * 2 pi / L``
+        (``Sampling.ssf_momenta``); must start at ``k = 0``.
+    :param rho2: per-walker ``<|rho_k|^2>`` means on that grid.
+    :param r_grid: distances at which to evaluate ``g2``.
+    :param rho2_err: optional standard errors; propagated when given.
+    :return: ``g2`` on ``r_grid`` (and errors when ``rho2_err``).
+    """
+    momenta = np.asarray(momenta, dtype=np.float64)
+    rho2 = np.asarray(rho2, dtype=np.float64)
+    r_grid = np.asarray(r_grid, dtype=np.float64)
+    nop = int(boson_number)
+    if nop < 2:
+        raise ValueError("pair correlations need at least two particles")
+    if abs(momenta[0]) > 1e-12:
+        raise ValueError("mode grid must start at k = 0")
+    terms = rho2 / nop - 1.0
+    cos_kr = np.cos(momenta[1:, None] * r_grid[None, :])  # (M-1, R)
+    g2 = (terms[0] + 2.0 * (terms[1:, None] * cos_kr).sum(axis=0)) \
+        / (nop - 1)
+    if rho2_err is None:
+        return g2
+    err = np.asarray(rho2_err, dtype=np.float64) / nop
+    g2_err = np.sqrt(err[0] ** 2
+                     + 4.0 * ((err[1:, None] * cos_kr) ** 2).sum(axis=0)) \
+        / (nop - 1)
+    return g2, g2_err
 
 
 def extrapolated_estimate(mixed: np.ndarray, variational: np.ndarray,

@@ -66,3 +66,89 @@ class TestExtrapolatedEstimate:
             variational_err=np.full(3, 0.2))
         np.testing.assert_allclose(est, 1.0)
         np.testing.assert_allclose(err, np.sqrt(4 * 0.01 + 0.04))
+
+
+class TestPairCorrelationFromSSF:
+
+    def test_uncorrelated_gas_is_flat(self):
+        # Uniform ideal gas: <|rho_k|^2> = N for every k > 0 (no pair
+        # correlations), N^2 at k = 0 -> g2 == 1 everywhere.
+        L, N, M = 16.0, 8, 24
+        momenta = np.arange(M) * 2 * np.pi / L
+        rho2 = np.full(M, float(N))
+        rho2[0] = N * N
+        r = np.linspace(0.0, L / 2, 33)
+        g2 = analysis.pair_correlation_from_ssf(momenta, rho2, r, N, L)
+        np.testing.assert_allclose(g2, 1.0, atol=1e-12)
+
+    def test_free_fermion_exact_inversion(self):
+        # Tonks-Girardeau = free fermions: the finite-N S(k) is exactly
+        # j/N for j <= N and 1 beyond, and the one-body density matrix
+        # is the Dirichlet kernel D(r) = sin(N pi r / L) /
+        # (N sin(pi r / L)).  With modes past 2 k_F included the
+        # truncated inversion is exact, so compare to the closed form.
+        L, N = 16.0, 9  # odd N: unambiguous symmetric Fermi shell
+        M = 2 * N + 3  # includes every mode with S(k) != 1 support
+        momenta = np.arange(M) * 2 * np.pi / L
+        j = np.arange(M)
+        ssf = np.minimum(j / N, 1.0)
+        rho2 = N * ssf
+        rho2[0] = N * N
+        r = np.linspace(1e-9, L / 2, 101)
+        g2 = analysis.pair_correlation_from_ssf(momenta, rho2, r, N, L)
+        dirichlet = np.sin(N * np.pi * r / L) \
+            / (N * np.sin(np.pi * r / L))
+        # Wick: rho_2(r) = n^2 (1 - D(r)^2)  ->  g2 = N (1 - D^2)/(N-1).
+        g2_exact = N * (1.0 - dirichlet ** 2) / (N - 1)
+        np.testing.assert_allclose(g2, g2_exact, atol=1e-10)
+        # Contact hole: fermions/TG bosons never coincide.
+        g2_0 = analysis.pair_correlation_from_ssf(
+            momenta, rho2, np.zeros(1), N, L)
+        np.testing.assert_allclose(g2_0, 0.0, atol=1e-12)
+
+    def test_error_propagation_and_validation(self):
+        L, N, M = 8.0, 4, 6
+        momenta = np.arange(M) * 2 * np.pi / L
+        rho2 = np.full(M, float(N))
+        rho2[0] = N * N
+        g2, err = analysis.pair_correlation_from_ssf(
+            momenta, rho2, np.linspace(0, 4, 9), N, L,
+            rho2_err=np.full(M, 0.1))
+        assert err.shape == g2.shape and np.all(err > 0)
+        with pytest.raises(ValueError, match="k = 0"):
+            analysis.pair_correlation_from_ssf(
+                momenta + 1.0, rho2, np.zeros(1), N, L)
+        with pytest.raises(ValueError, match="two particles"):
+            analysis.pair_correlation_from_ssf(
+                momenta, rho2, np.zeros(1), 1, L)
+
+    def test_contact_hole_deepens_with_coupling(self):
+        """End to end: g2(0) from measured VMC S(k) parts falls as the
+        repulsion grows (the contact hole the interaction digs)."""
+        from phd_qmclib_tpu.models import mrbp
+        from phd_qmclib_tpu.samplers import vmc
+
+        def g2_contact(gn):
+            spec = mrbp.Spec(lattice_depth=2.0, lattice_ratio=1.0,
+                             interaction_strength=gn, boson_number=8,
+                             supercell_size=8.0, tbf_contact_cutoff=0.45)
+            s = vmc.Sampling(spec, move_spread=0.3, rng_seed=17,
+                             num_walkers=128,
+                             ssf_est_spec=vmc.SSFEstSpec(num_modes=17))
+            rng = np.random.default_rng(4)
+            confs = np.stack([spec.init_get_sys_conf(rng=rng)
+                              for _ in range(128)])
+            it = s.blocks(512, s.build_state(confs))
+            next(it)                      # equilibrate
+            block = next(it)
+            # Per-walker <|rho_k|^2>: sum over walkers and steps, then
+            # divide by the walker-steps count.
+            parts = np.asarray(block.iter_ssf, dtype=np.float64)
+            rho2 = parts[..., 0].sum(axis=0) / (512 * 128)
+            g2 = analysis.pair_correlation_from_ssf(
+                s.ssf_momenta, rho2, np.zeros(1), 8, 8.0)
+            return float(g2[0])
+
+        weak, strong = g2_contact(0.2), g2_contact(8.0)
+        assert strong < weak < 1.3, (weak, strong)
+        assert strong < 0.5
