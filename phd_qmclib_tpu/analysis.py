@@ -117,6 +117,10 @@ def pair_correlation_from_ssf(momenta: np.ndarray, rho2: np.ndarray,
     if rho2_err is None:
         return g2
     err = np.asarray(rho2_err, dtype=np.float64) / nop
+    # Exactly-constant modes (the deterministic k=0, where
+    # |rho_0|^2 == N^2 every sample) have zero variance; blocking
+    # analyses report them as NaN, which must not poison the sum.
+    err = np.where(np.isfinite(err), err, 0.0)
     g2_err = np.sqrt(err[0] ** 2
                      + 4.0 * ((err[1:, None] * cos_kr) ** 2).sum(axis=0)) \
         / (nop - 1)

@@ -172,6 +172,19 @@ class SSFBlocks:
                        + np.abs(self.fdk_imag_part.mean)
                        * self.fdk_imag_part.mean_error))
 
+    def pair_correlation(self, r_grid: np.ndarray, boson_number: int,
+                         supercell_size: float):
+        """``(g2, g2_err)`` on ``r_grid`` from the stored
+        ``<|rho_k|^2>`` part (see
+        :func:`phd_qmclib_tpu.analysis.pair_correlation_from_ssf`)."""
+        from ...analysis import pair_correlation_from_ssf
+        num_modes = self.fdk_sqr_abs_part.totals.shape[-1]
+        momenta = np.arange(num_modes) * 2 * np.pi / supercell_size
+        return pair_correlation_from_ssf(
+            momenta, self.fdk_sqr_abs_part.mean, r_grid,
+            boson_number, supercell_size,
+            rho2_err=self.fdk_sqr_abs_part.mean_error)
+
     def hdf5_export(self, group: h5py.Group):
         self.fdk_sqr_abs_part.hdf5_export(
             group.require_group("fdk_sqr_abs"))

@@ -152,3 +152,39 @@ class TestPairCorrelationFromSSF:
         weak, strong = g2_contact(0.2), g2_contact(8.0)
         assert strong < weak < 1.3, (weak, strong)
         assert strong < 0.5
+
+    def test_ssf_blocks_convenience_methods(self):
+        """Both data-layer SSFBlocks expose g2 with error bars,
+        agreeing with the analysis helper on the same inputs."""
+        from phd_qmclib_tpu.qmc_exec.data import dmc as ddata
+        from phd_qmclib_tpu.qmc_exec.data import vmc as vdata
+
+        L, N, M, B = 8.0, 4, 6, 12
+        momenta = np.arange(M) * 2 * np.pi / L
+        rng = np.random.default_rng(8)
+        # Per-block totals with a known per-walker mean structure
+        # (weights vary block to block so the ratio error is defined).
+        weights = 10.0 + rng.random(B)
+        base = np.full(M, float(N))
+        base[0] = N * N
+        noise = 0.01 * rng.standard_normal((B, M))
+        dmc_totals = (base + noise) * weights[:, None]
+        r = np.linspace(0.0, L / 2, 9)
+
+        part = ddata.SSFPartBlocks(dmc_totals, np.broadcast_to(
+            weights[:, None], (B, M)).copy())
+        blocks = ddata.SSFBlocks(part, part, part)
+        g2_d, err_d = blocks.pair_correlation(r, N, L)
+        ref = analysis.pair_correlation_from_ssf(
+            momenta, part.mean, r, N, L, rho2_err=part.mean_error)
+        np.testing.assert_allclose(g2_d, ref[0])
+        np.testing.assert_allclose(err_d, ref[1])
+        assert np.all(err_d > 0)
+
+        vpart = vdata.SSFPartBlocks(base + noise)
+        vblocks = vdata.SSFBlocks(vpart, vpart, vpart)
+        g2_v, err_v = vblocks.pair_correlation(r, N, L)
+        vref = analysis.pair_correlation_from_ssf(
+            momenta, vpart.mean, r, N, L, rho2_err=vpart.mean_error)
+        np.testing.assert_allclose(g2_v, vref[0])
+        np.testing.assert_allclose(g2_v, 1.0, atol=0.1)
