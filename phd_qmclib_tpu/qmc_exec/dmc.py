@@ -385,24 +385,7 @@ class Proc(proc_base.Proc):
 
         # Accumulators shaped by keep_iter_data
         # (``qmc_exec/dmc/proc.py:202-255``).
-        shape = (num_blocks, nts_block) if keep_iter_data else (num_blocks,)
-        props = {name: np.zeros(shape) for name in
-                 ("energy", "weight", "num_walkers", "ref_energy",
-                  "accum_energy")}
-        density_blocks_data = None
-        ssf_blocks_data = None
-        if should_eval_density:
-            num_bins = self.density_spec.num_bins
-            density_shape = shape + (num_bins,)
-            density_blocks_data = np.zeros(density_shape)
-        if should_eval_ssf:
-            num_modes = self.ssf_spec.num_modes
-            ssf_shape = shape + (num_modes, 3)
-            ssf_blocks_data = np.zeros(ssf_shape)
-        obd_blocks_data = None
-        if should_eval_obd:
-            obd_blocks_data = np.zeros(shape + (self.obd_spec.num_pos,))
-        pure_est_reduce_factor = np.ones(num_blocks)
+        accumulator = _BlockAccumulator(self)
 
         exec_logger.info("Starting the evaluation of estimators...")
         import time as _time
@@ -437,52 +420,18 @@ class Proc(proc_base.Proc):
             num_walkers = np.asarray(bp.num_walkers, dtype=np.float64)
             ref_energy = np.asarray(bp.ref_energy, dtype=np.float64)
             accum_energy = np.asarray(bp.accum_energy, dtype=np.float64)
-
-            if keep_iter_data:
-                props["energy"][block_idx] = energy
-                props["weight"][block_idx] = weight
-                props["num_walkers"][block_idx] = num_walkers
-                props["ref_energy"][block_idx] = ref_energy
-                props["accum_energy"][block_idx] = accum_energy
-                if should_eval_density:
-                    density_blocks_data[block_idx] = np.asarray(
-                        block_data.iter_density)
-                if should_eval_ssf:
-                    ssf_blocks_data[block_idx] = np.asarray(
-                        block_data.iter_ssf)
-                if should_eval_obd:
-                    obd_blocks_data[block_idx] = np.asarray(
-                        block_data.iter_obd)
-            else:
-                weight_sum = weight.sum()
-                props["energy"][block_idx] = energy.sum()
-                props["weight"][block_idx] = weight_sum
-                props["num_walkers"][block_idx] = num_walkers.sum()
-                props["ref_energy"][block_idx] = ref_energy[-1]
-                props["accum_energy"][block_idx] = accum_energy[-1]
-                pure_est_reduce_factor[block_idx] = \
-                    num_walkers[nts_block - 1] / weight_sum
-                if should_eval_density:
-                    iter_density = np.asarray(block_data.iter_density,
-                                              dtype=np.float64)
-                    density_blocks_data[block_idx] = (
-                        iter_density[nts_block - 1]
-                        if self.density_spec.as_pure_est
-                        else iter_density.sum(axis=0))
-                if should_eval_ssf:
-                    iter_ssf = np.asarray(block_data.iter_ssf,
-                                          dtype=np.float64)
-                    ssf_blocks_data[block_idx] = (
-                        iter_ssf[nts_block - 1]
-                        if self.ssf_spec.as_pure_est
-                        else iter_ssf.sum(axis=0))
-                if should_eval_obd:
-                    iter_obd = np.asarray(block_data.iter_obd,
-                                          dtype=np.float64)
-                    obd_blocks_data[block_idx] = (
-                        iter_obd[nts_block - 1]
-                        if self.obd_spec.as_pure_est
-                        else iter_obd.sum(axis=0))
+            accumulator.add(
+                block_idx, energy, weight, num_walkers, ref_energy,
+                accum_energy,
+                iter_density=(np.asarray(block_data.iter_density,
+                                         dtype=np.float64)
+                              if should_eval_density else None),
+                iter_ssf=(np.asarray(block_data.iter_ssf,
+                                     dtype=np.float64)
+                          if should_eval_ssf else None),
+                iter_obd=(np.asarray(block_data.iter_obd,
+                                     dtype=np.float64)
+                          if should_eval_obd else None))
 
             if self.checkpoint_file is not None and \
                     (block_idx + 1) % self.checkpoint_every == 0:
@@ -510,9 +459,91 @@ class Proc(proc_base.Proc):
 
         last_state = block_data.last_state if block_data is not None \
             else proc_input.state
+        return self.build_result(last_state, accumulator.package())
 
-        props_data = dmc_data.PropsData(**props)
-        reduce_data = bool(keep_iter_data)
+
+class _BlockAccumulator:
+    """Per-block reductions + result packaging of one DMC procedure
+    (``qmc_exec/dmc/proc.py:202-255, 273-356``), factored out of
+    :meth:`Proc.exec` so the fused-sweep driver
+    (:class:`phd_qmclib_tpu.qmc_exec.sweep.SweepProc`) can run one
+    accumulator per sweep row over a single fused block stream."""
+
+    def __init__(self, proc: "Proc"):
+        self.proc = proc
+        num_blocks = proc.num_blocks
+        nts_block = proc.num_time_steps_block
+        keep = proc.keep_iter_data
+        shape = (num_blocks, nts_block) if keep else (num_blocks,)
+        self.props = {name: np.zeros(shape) for name in
+                      ("energy", "weight", "num_walkers", "ref_energy",
+                       "accum_energy")}
+        self.density_blocks_data = None
+        self.ssf_blocks_data = None
+        self.obd_blocks_data = None
+        if proc.should_eval_density:
+            self.density_blocks_data = np.zeros(
+                shape + (proc.density_spec.num_bins,))
+        if proc.should_eval_ssf:
+            self.ssf_blocks_data = np.zeros(
+                shape + (proc.ssf_spec.num_modes, 3))
+        if proc.should_eval_obd:
+            self.obd_blocks_data = np.zeros(
+                shape + (proc.obd_spec.num_pos,))
+        self.pure_est_reduce_factor = np.ones(num_blocks)
+
+    def add(self, block_idx: int, energy, weight, num_walkers,
+            ref_energy, accum_energy, iter_density=None, iter_ssf=None,
+            iter_obd=None):
+        """Fold one block's per-step arrays (shape ``(nts, ...)``)."""
+        proc = self.proc
+        props = self.props
+        nts_block = proc.num_time_steps_block
+        if proc.keep_iter_data:
+            props["energy"][block_idx] = energy
+            props["weight"][block_idx] = weight
+            props["num_walkers"][block_idx] = num_walkers
+            props["ref_energy"][block_idx] = ref_energy
+            props["accum_energy"][block_idx] = accum_energy
+            if iter_density is not None:
+                self.density_blocks_data[block_idx] = iter_density
+            if iter_ssf is not None:
+                self.ssf_blocks_data[block_idx] = iter_ssf
+            if iter_obd is not None:
+                self.obd_blocks_data[block_idx] = iter_obd
+            return
+        weight_sum = weight.sum()
+        props["energy"][block_idx] = energy.sum()
+        props["weight"][block_idx] = weight_sum
+        props["num_walkers"][block_idx] = num_walkers.sum()
+        props["ref_energy"][block_idx] = ref_energy[-1]
+        props["accum_energy"][block_idx] = accum_energy[-1]
+        self.pure_est_reduce_factor[block_idx] = \
+            num_walkers[nts_block - 1] / weight_sum
+        if iter_density is not None:
+            self.density_blocks_data[block_idx] = (
+                iter_density[nts_block - 1]
+                if proc.density_spec.as_pure_est
+                else iter_density.sum(axis=0))
+        if iter_ssf is not None:
+            self.ssf_blocks_data[block_idx] = (
+                iter_ssf[nts_block - 1]
+                if proc.ssf_spec.as_pure_est
+                else iter_ssf.sum(axis=0))
+        if iter_obd is not None:
+            self.obd_blocks_data[block_idx] = (
+                iter_obd[nts_block - 1]
+                if proc.obd_spec.as_pure_est
+                else iter_obd.sum(axis=0))
+
+    def package(self) -> "dmc_data.SamplingData":
+        """Block statistics + optional series, reference packaging
+        (``qmc_exec/dmc/proc.py:358-415``)."""
+        proc = self.proc
+        nts_block = proc.num_time_steps_block
+        props_data = dmc_data.PropsData(**self.props)
+        reduce_data = bool(proc.keep_iter_data)
+        factor = self.pure_est_reduce_factor
 
         energy_blocks = dmc_data.EnergyBlocks.from_data(props_data,
                                                         reduce_data)
@@ -521,24 +552,23 @@ class Proc(proc_base.Proc):
         num_walkers_blocks = dmc_data.NumWalkersBlocks.from_data(
             props_data, reduce_data)
         density_blocks = dmc_data.DensityBlocks.from_data(
-            nts_block, density_blocks_data, props_data, reduce_data,
-            self.density_spec.as_pure_est, pure_est_reduce_factor) \
-            if should_eval_density else None
+            nts_block, self.density_blocks_data, props_data, reduce_data,
+            proc.density_spec.as_pure_est, factor) \
+            if proc.should_eval_density else None
         ssf_blocks = dmc_data.SSFBlocks.from_data(
-            nts_block, ssf_blocks_data, props_data, reduce_data,
-            self.ssf_spec.as_pure_est, pure_est_reduce_factor) \
-            if should_eval_ssf else None
+            nts_block, self.ssf_blocks_data, props_data, reduce_data,
+            proc.ssf_spec.as_pure_est, factor) \
+            if proc.should_eval_ssf else None
         obd_blocks = dmc_data.OBDBlocks.from_data(
-            nts_block, obd_blocks_data, props_data, reduce_data,
-            self.obd_spec.as_pure_est, pure_est_reduce_factor) \
-            if should_eval_obd else None
+            nts_block, self.obd_blocks_data, props_data, reduce_data,
+            proc.obd_spec.as_pure_est, factor) \
+            if proc.should_eval_obd else None
 
         data_blocks = dmc_data.PropsDataBlocks(
             energy_blocks, weight_blocks, num_walkers_blocks,
             density_blocks, ssf_blocks, obd_blocks)
         data_series = dmc_data.PropsDataSeries(
-            props_data, ssf_blocks_data, density_blocks_data,
-            obd_blocks_data) \
-            if keep_iter_data else None
-        sampling_data = dmc_data.SamplingData(data_blocks, data_series)
-        return self.build_result(last_state, sampling_data)
+            props_data, self.ssf_blocks_data, self.density_blocks_data,
+            self.obd_blocks_data) \
+            if proc.keep_iter_data else None
+        return dmc_data.SamplingData(data_blocks, data_series)

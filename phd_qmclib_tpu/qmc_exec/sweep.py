@@ -1,0 +1,137 @@
+"""Fused parameter-sweep execution: many DMC procedures, one dispatch.
+
+Production form of the scan workflow: R procedures whose model specs
+differ only in continuous parameters (coupling, lattice depth, time
+step, seed) advance as ONE fused device dispatch per block via
+:class:`phd_qmclib_tpu.parallel.sweep.ParamSweep`, then split into R
+independent :class:`~phd_qmclib_tpu.qmc_exec.dmc.ProcResult` objects —
+each identical in layout (and, on matching layouts, bit-identical in
+content) to what its procedure's standalone ``exec`` would produce.
+
+The reference has no analog (its scans are sequential shell loops over
+config files).  Measured on a single v5e chip: a 4 x 2048-walker EOS
+scan runs 2.1x faster fused than sequential (BASELINE.md).
+"""
+import typing as t
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..parallel.sweep import ParamSweep
+from ..samplers import dmc as dmc_sampler
+from .dmc import Proc, ProcInput, ProcResult, _BlockAccumulator
+from .logging import exec_logger
+
+__all__ = ["SweepProc"]
+
+
+@dataclass(frozen=True)
+class SweepProc:
+    """Run R DMC procedures as one fused single-device sweep.
+
+    All procs must share the sampling *shape*: block counts, walker
+    buffers, estimator specs, ``keep_iter_data`` — anything that sets
+    static structure.  Row-varying knobs are the continuous model
+    parameters, ``time_step`` and ``rng_seed``.  Multi-device sweeps
+    (a 2-D sweep x walkers mesh) stay at the sampler level
+    (:class:`~phd_qmclib_tpu.parallel.sweep.ParamSweep`); this driver
+    targets the single-chip case where per-row walker counts underfill
+    the chip.
+    """
+
+    procs: t.Tuple[Proc, ...]
+
+    def __post_init__(self):
+        if not self.procs:
+            raise ValueError("need at least one procedure")
+        ref = self.procs[0]
+        for p in self.procs[1:]:
+            same = (
+                p.num_blocks == ref.num_blocks
+                and p.num_time_steps_block == ref.num_time_steps_block
+                and p.burn_in_blocks == ref.burn_in_blocks
+                and p.keep_iter_data == ref.keep_iter_data
+                and p.block_offset == ref.block_offset
+                and p.density_spec == ref.density_spec
+                and p.ssf_spec == ref.ssf_spec
+                and p.obd_spec == ref.obd_spec)
+            if not same:
+                raise ValueError(
+                    "all sweep procedures must share block structure "
+                    "and estimator specs")
+        for p in self.procs:
+            if p.num_mesh_devices is not None:
+                raise ValueError(
+                    "fused sweep rows are single-device; drop "
+                    "num_mesh_devices (use the sampler-level ParamSweep "
+                    "for multi-device sweeps)")
+
+    @property
+    def sweep(self) -> ParamSweep:
+        return ParamSweep(tuple(p.sampling for p in self.procs))
+
+    def exec(self, proc_inputs: t.Sequence[ProcInput]) \
+            -> t.List[ProcResult]:
+        """Advance every row through its full procedure; one device
+        dispatch per block covers all rows."""
+        import jax
+        import jax.numpy as jnp
+
+        procs = self.procs
+        if len(proc_inputs) != len(procs):
+            raise ValueError("one ProcInput per procedure")
+        ref = procs[0]
+        num_blocks = ref.num_blocks
+        nts_block = ref.num_time_steps_block
+        burn_in_blocks = ref.burn_in_blocks
+
+        exec_logger.info(
+            f"Starting fused DMC sweep ({len(procs)} rows)...")
+        sweep = self.sweep
+        # Row states share the single-device layout, so the fused
+        # initial state is a plain stack of the standalone states.
+        state = jax.tree.map(lambda *xs: jnp.stack(xs),
+                             *[pi.state for pi in proc_inputs])
+        blocks_iter = sweep.blocks(state, nts_block, burn_in_blocks,
+                                   block_offset=ref.block_offset)
+        for _ in range(burn_in_blocks):
+            next(blocks_iter)
+        if burn_in_blocks:
+            exec_logger.info("Burn-in stage completed.")
+
+        accumulators = [_BlockAccumulator(p) for p in procs]
+        block_data = None
+        for block_idx in range(num_blocks):
+            block_data = next(blocks_iter)
+            bp = block_data.iter_props
+            # Fused props have a trailing row axis (nts, R); estimator
+            # arrays have a leading row axis (R, nts, ...).
+            energy = np.asarray(bp.energy, dtype=np.float64)
+            weight = np.asarray(bp.weight, dtype=np.float64)
+            num_walkers = np.asarray(bp.num_walkers, dtype=np.float64)
+            ref_energy = np.asarray(bp.ref_energy, dtype=np.float64)
+            accum_energy = np.asarray(bp.accum_energy, dtype=np.float64)
+            density = np.asarray(block_data.iter_density,
+                                 dtype=np.float64) \
+                if block_data.iter_density is not None else None
+            ssf = np.asarray(block_data.iter_ssf, dtype=np.float64) \
+                if block_data.iter_ssf is not None else None
+            obd = np.asarray(block_data.iter_obd, dtype=np.float64) \
+                if block_data.iter_obd is not None else None
+            for r, acc in enumerate(accumulators):
+                acc.add(block_idx, energy[:, r], weight[:, r],
+                        num_walkers[:, r], ref_energy[:, r],
+                        accum_energy[:, r],
+                        iter_density=density[r]
+                        if density is not None else None,
+                        iter_ssf=ssf[r] if ssf is not None else None,
+                        iter_obd=obd[r] if obd is not None else None)
+        exec_logger.info("Fused DMC sweep completed.")
+
+        results = []
+        for r, (proc, acc) in enumerate(zip(procs, accumulators)):
+            row_state = jax.tree.map(lambda x, r=r: x[r],
+                                     block_data.last_state) \
+                if block_data is not None else proc_inputs[r].state
+            results.append(proc.build_result(row_state, acc.package()))
+        return results
