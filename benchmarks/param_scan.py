@@ -37,8 +37,9 @@ def fused_scan(args, gn_values):
                              ("sweep", "walkers"),
                              devices=devices[:rows * walker_shards])
     else:
-        walker_shards = 1
-        mesh = None
+        # Single chip: the exec-layer fused sweep (vmap rows, full
+        # Proc data pipeline with reblocked errors).
+        return fused_scan_exec(args, gn_values)
     target = args.walkers - args.walkers % walker_shards
     max_w = int(1.0625 * target)
     max_w -= max_w % walker_shards
@@ -73,6 +74,42 @@ def fused_scan(args, gn_values):
     for i, gn in enumerate(gn_values):
         point = {"gn": gn, "energy_per_boson": es[:, i].mean() / nop,
                  "error": es[:, i].std() / np.sqrt(len(es)) / nop}
+        results.append(point)
+        print(json.dumps(point), flush=True)
+    return results
+
+
+def fused_scan_exec(args, gn_values):
+    """Single-chip fused scan through the execution layer: one
+    ``SweepProc`` dispatch stream, R ``ProcResult``s with reblocked
+    error bars (``qmc_exec/sweep.py``)."""
+    from phd_qmclib_tpu.models import mrbp
+    from phd_qmclib_tpu.qmc_exec import dmc as dmc_exec
+    from phd_qmclib_tpu.qmc_exec.sweep import SweepProc
+
+    nop = args.nop
+    burn = max(3, int(round(4.0 / (1e-3 * args.nts))))
+    procs = tuple(
+        dmc_exec.Proc(
+            model_spec=mrbp.Spec(
+                lattice_depth=20.0, lattice_ratio=1.0,
+                interaction_strength=gn, boson_number=nop,
+                supercell_size=float(nop), tbf_contact_cutoff=0.4),
+            time_step=1e-3, max_num_walkers=int(1.0625 * args.walkers),
+            target_num_walkers=args.walkers, num_blocks=args.blocks,
+            num_time_steps_block=args.nts, burn_in_blocks=burn,
+            rng_seed=11 + i, verbose=False)
+        for i, gn in enumerate(gn_values))
+    inputs = [dmc_exec.ProcInput.from_model_sys_conf_spec(
+        dmc_exec.ModelSysConfSpec(dist_type="RANDOM"), p)
+        for p in procs]
+    sweep_results = SweepProc(procs).exec(inputs)
+    results = []
+    for gn, res in zip(gn_values, sweep_results):
+        e = res.data.blocks.energy
+        point = {"gn": gn,
+                 "energy_per_boson": float(e.mean) / nop,
+                 "error": float(e.mean_error) / nop}
         results.append(point)
         print(json.dumps(point), flush=True)
     return results

@@ -139,14 +139,25 @@ class AppSpec:
 @dataclass(frozen=True)
 class CLIApp:
     """Entry point executing a sequence of procedures
-    (``mrbp_qmc/dmc_exec/cli_app.py:167-230``)."""
+    (``mrbp_qmc/dmc_exec/cli_app.py:167-230``).
+
+    With ``fused_sweep: true`` at the top level of the config, the DMC
+    procedures advance as ONE fused device dispatch per block
+    (:class:`~phd_qmclib_tpu.qmc_exec.sweep.SweepProc`) instead of
+    serially — each still dumps to its own output file, bit-identical
+    to its sequential result.  No reference analog (its multi-proc
+    configs always run serially)."""
     meta: AppMeta
     app_spec: t.Sequence[AppSpec]
+    fused_sweep: bool = False
 
     @classmethod
     def from_config(cls, config: t.Mapping, sampling_type: str):
         self_config = dict(config.items())
         app_meta = AppMeta.from_config(self_config.get("meta", {}))
+        fused_sweep = bool(self_config.pop("fused_sweep", False))
+        if fused_sweep and sampling_type != "dmc":
+            raise ValueError("fused_sweep supports DMC procedures only")
         app_spec_data = self_config.pop("app_spec")
         app_spec_set = []
         for proc_num, app_spec_config in enumerate(app_spec_data):
@@ -155,13 +166,30 @@ class CLIApp:
                 app_spec_config["proc_id"] = proc_num
             app_spec_set.append(
                 AppSpec.from_config(app_spec_config, sampling_type))
-        return cls(meta=app_meta, app_spec=app_spec_set)
+        return cls(meta=app_meta, app_spec=app_spec_set,
+                   fused_sweep=fused_sweep)
+
+    def _exec_fused(self):
+        from .sweep import SweepProc
+
+        exec_logger.info(
+            f"Executing {len(self.app_spec)} DMC procedures as one "
+            f"fused sweep...")
+        pairs = [spec.build_input() for spec in self.app_spec]
+        sweep_proc = SweepProc(tuple(proc for proc, _ in pairs))
+        results = sweep_proc.exec([pi for _, pi in pairs])
+        for spec, result in zip(self.app_spec, results):
+            spec.proc_output.dump(result)
+        exec_logger.info("All the QMC calculations have completed.")
+        return results
 
     def exec(self):
         app_spec_set = self.app_spec
         exec_logger.info("Starting the QMC calculations...")
         exec_logger.info(f"Starting the execution of a set of "
                          f"{len(app_spec_set)} QMC calculations...")
+        if self.fused_sweep and len(app_spec_set) > 1:
+            return self._exec_fused()
         results = []
         for proc_num, app_spec in enumerate(app_spec_set, 1):
             exec_logger.info(f"Starting procedure ID{proc_num}...")

@@ -1,0 +1,77 @@
+"""``fused_sweep: true`` in a multi-proc config: the CLI app layer runs
+the DMC procedures as one fused dispatch stream and each output file is
+bit-identical to the sequential run's."""
+import pathlib
+
+import h5py
+import numpy as np
+import pytest
+import yaml
+
+from phd_qmclib_tpu.qmc_exec import cli_app
+from phd_qmclib_tpu.qmc_exec.config import Loader
+
+
+def _config(tmp_path, fused: bool, subdir: str):
+    out = tmp_path / subdir
+    out.mkdir()
+    spec = {
+        "meta": {"name": "fused sweep test"},
+        "app_spec": [],
+    }
+    if fused:
+        spec["fused_sweep"] = True
+    for i, gn in enumerate([0.5, 2.0]):
+        spec["app_spec"].append({
+            "proc": {
+                "model_spec": {
+                    "lattice_depth": 10, "lattice_ratio": 1,
+                    "interaction_strength": gn, "boson_number": 5,
+                    "supercell_size": 5.0, "tbf_contact_cutoff": 0.3,
+                },
+                "time_step": 1e-3, "num_blocks": 2,
+                "num_time_steps_block": 8, "burn_in_blocks": 1,
+                "max_num_walkers": 32, "target_num_walkers": 24,
+                "rng_seed": 41 + i, "dtype": "float64",
+                "ssf_spec": {"num_modes": 3, "as_pure_est": True},
+            },
+            "proc_input": {"type": "MODEL_SYS_CONF",
+                           "dist_type": "RANDOM"},
+            "proc_output": {"type": "HDF5_FILE",
+                            "location": str(out / f"row{i}.h5"),
+                            "group": "dmc"},
+        })
+    path = tmp_path / f"{subdir}.yml"
+    path.write_text(yaml.safe_dump(spec))
+    return path, out
+
+
+def test_fused_sweep_config_matches_sequential(tmp_path):
+    fused_cfg, fused_dir = _config(tmp_path, True, "fused")
+    seq_cfg, seq_dir = _config(tmp_path, False, "seq")
+
+    fused_app = cli_app.CLIApp.from_config(Loader().load(fused_cfg),
+                                           "dmc")
+    assert fused_app.fused_sweep
+    fused_app.exec()
+    seq_app = cli_app.CLIApp.from_config(Loader().load(seq_cfg), "dmc")
+    assert not seq_app.fused_sweep
+    seq_app.exec()
+
+    for i in range(2):
+        with h5py.File(fused_dir / f"row{i}.h5", "r") as ff, \
+                h5py.File(seq_dir / f"row{i}.h5", "r") as sf:
+            for name in ("energy", "weight", "num_walkers"):
+                np.testing.assert_allclose(
+                    np.asarray(ff[f"dmc/dmc/data/blocks/{name}/totals"]),
+                    np.asarray(sf[f"dmc/dmc/data/blocks/{name}/totals"]),
+                    rtol=1e-12, err_msg=f"row {i} {name}")
+            np.testing.assert_allclose(
+                np.asarray(ff["dmc/dmc/state/confs"]),
+                np.asarray(sf["dmc/dmc/state/confs"]), rtol=1e-12)
+
+
+def test_fused_sweep_rejected_for_vmc():
+    with pytest.raises(ValueError, match="DMC"):
+        cli_app.CLIApp.from_config(
+            {"fused_sweep": True, "app_spec": []}, "vmc")
