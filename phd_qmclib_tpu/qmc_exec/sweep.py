@@ -5,8 +5,10 @@ differ only in continuous parameters (coupling, lattice depth, time
 step, seed) advance as ONE fused device dispatch per block via
 :class:`phd_qmclib_tpu.parallel.sweep.ParamSweep`, then split into R
 independent :class:`~phd_qmclib_tpu.qmc_exec.dmc.ProcResult` objects —
-each identical in layout (and, on matching layouts, bit-identical in
-content) to what its procedure's standalone ``exec`` would produce.
+each identical in layout to what its procedure's standalone ``exec``
+would produce, bit-identical on the CPU test mesh, and statistically
+identical on TPU f32 (vmap batching can change XLA reduction order;
+see docs/DESIGN.md section 8).
 
 The reference has no analog (its scans are sequential shell loops over
 config files).  Measured on a single v5e chip: a 4 x 2048-walker EOS
