@@ -24,7 +24,8 @@ REFERENCE_CPU_WALKER_STEPS_PER_SEC = 32 * 79.66
 
 def run_bench(nop: int, target: int, max_w: int, nts: int,
               timed_blocks: int, burn_blocks: int = 1,
-              check_energy: bool = False, estimators: bool = False):
+              check_energy: bool = False, estimators: bool = False,
+              est_every: int = 1):
     import jax
 
     from phd_qmclib_tpu.models import mrbp
@@ -43,7 +44,7 @@ def run_bench(nop: int, target: int, max_w: int, nts: int,
             ssf_est_spec=dmc.SSFEstSpec(num_modes=64, as_pure_est=True))
     sampling = dmc.Sampling(spec, time_step=1e-3, max_num_walkers=max_w,
                             target_num_walkers=target, rng_seed=1,
-                            **est_kw)
+                            est_every=est_every, **est_kw)
     rng = np.random.default_rng(0)
     confs = np.stack([spec.init_get_sys_conf(rng=rng)
                       for _ in range(target)]).astype(np.float32)
@@ -95,23 +96,30 @@ def main():
     parser.add_argument("--estimators", action="store_true",
                         help="measure with the production estimator load "
                              "(pure 128-bin density + 64-mode S(k))")
+    parser.add_argument("--est-every", type=int, default=1,
+                        help="estimator measurement cadence (see "
+                             "Sampling.est_every)")
     args = parser.parse_args()
 
     if args.quick:
         rate, extras = run_bench(nop=32, target=2048, max_w=2560,
                                  nts=32, timed_blocks=2,
                                  check_energy=True,
-                                 estimators=args.estimators)
+                                 estimators=args.estimators,
+                                 est_every=args.est_every)
     else:
         rate, extras = run_bench(nop=args.nop, target=args.target,
                                  max_w=args.max_walkers, nts=args.nts,
                                  timed_blocks=args.blocks,
                                  check_energy=True,
-                                 estimators=args.estimators)
+                                 estimators=args.estimators,
+                                 est_every=args.est_every)
 
     metric = "dmc_walker_steps_per_sec_per_chip"
     if args.estimators:
         metric += "_estimators_on"
+    if args.est_every > 1:
+        metric += f"_cadence{args.est_every}"
     result = {
         "metric": metric,
         "value": rate,

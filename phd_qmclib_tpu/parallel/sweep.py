@@ -66,7 +66,8 @@ class ParamSweep:
                                  "walker-buffer sizes")
             if (s.density_est_spec != ref.density_est_spec
                     or s.ssf_est_spec != ref.ssf_est_spec
-                    or s.obd_est_spec != ref.obd_est_spec):
+                    or s.obd_est_spec != ref.obd_est_spec
+                    or s.est_every != ref.est_every):
                 raise ValueError("all sweep rows must use the same "
                                  "estimator specs")
         if self.mesh is None:

@@ -223,6 +223,17 @@ class Sampling:
     #: force.  Only affects f32 runs; the stream differs from threefry's
     #: (statistically equivalent).
     hw_normals: t.Optional[bool] = None
+    #: Estimator measurement cadence: evaluate density/S(k)/OBDM only
+    #: every K-th time step (the walker dynamics — and the pure
+    #: estimators' ancestry transport — still advance every step).  The
+    #: density one-hot alone costs as much as the whole pairwise pass
+    #: at production shapes, while samples one step apart are almost
+    #: perfectly correlated, so K of 4-8 buys back most of the
+    #: estimator overhead at negligible statistical cost.  1 (the
+    #: reference's behavior, ``qmc_base/dmc.py:930-940``) measures
+    #: every step.  Estimator outputs then carry one entry per
+    #: MEASURED step (``num_time_steps_block // est_every``).
+    est_every: int = 1
 
     def __post_init__(self):
         if self.rng_seed is None:
@@ -231,6 +242,17 @@ class Sampling:
         if self.num_walkers_control_factor is None:
             # Reference default (``mrbp_qmc/dmc.py:168-170``).
             object.__setattr__(self, "num_walkers_control_factor", 0.125)
+        if self.est_every < 1:
+            raise ValueError("est_every must be a positive integer")
+        if self.est_every > 1:
+            for spec in (self.density_est_spec, self.ssf_est_spec,
+                         self.obd_est_spec):
+                if spec is not None and spec.as_pure_est \
+                        and spec.pfw_num_time_steps \
+                        and spec.pfw_num_time_steps % self.est_every:
+                    raise ValueError(
+                        "pfw_num_time_steps must be divisible by "
+                        "est_every")
         if self.mesh is not None:
             n = self.mesh.shape[self.mesh_axis]
             if self.max_num_walkers % n or self.target_num_walkers % n:
@@ -439,18 +461,24 @@ class Sampling:
     # -- the compiled step/block kernels ------------------------------------
 
     def make_step_fn(self, axis_name: t.Optional[str] = None,
-                     measure: bool = True):
+                     measure: bool = True, transport_only: bool = False):
         """Build the single-time-step transition function.
 
         Returns ``step(state, key, scalars) -> (state', outputs)`` where
         ``scalars`` is a dict of traced runtime parameters.  With
         ``axis_name`` set, ensemble reductions become ``psum`` over that
-        mesh axis (per-shard comb, global population control).
+        mesh axis (per-shard comb, global population control).  With
+        ``transport_only`` (the non-measured steps of an
+        ``est_every > 1`` cadence), pure-estimator accumulators are
+        still gathered through the branching parents — ancestry
+        transport must happen every step — but no estimator values are
+        computed or emitted.
         """
         funcs = self.core_funcs
         density_spec = self.density_est_spec if measure else None
         ssf_spec = self.ssf_est_spec if measure else None
         obd_spec = self.obd_est_spec if measure else None
+        cadence = self.est_every
         use_density = density_spec is not None
         use_ssf = ssf_spec is not None
         use_obd = obd_spec is not None
@@ -501,7 +529,14 @@ class Sampling:
             #    nts times more latency on the ICI; cf. SURVEY §5.8).
             est_out = {}
             new_extra = {}
-            if use_density:
+            if transport_only:
+                # Ancestry transport without measurement: the pure
+                # accumulators follow the cloning table every step even
+                # when this step's values are not sampled.
+                for name in ("aux_density", "aux_ssf", "aux_obd"):
+                    if name in extra:
+                        new_extra[name] = extra[name][parent]
+            if use_density and not transport_only:
                 num_bins = density_spec.num_bins
                 bin_size = (cfc.model_params.supercell_size / num_bins)
                 bins = jnp.clip((cpos // bin_size).astype(jnp.int32),
@@ -519,15 +554,16 @@ class Sampling:
                     aux_prev = extra["aux_density"][parent]
                     aux = jnp.where(step_idx < pfw, aux_prev + hist,
                                     aux_prev)
-                    divisor = jnp.minimum(step_idx + 1, pfw).astype(
-                        cpos.dtype)
+                    divisor = jnp.minimum(
+                        (step_idx + 1) // cadence,
+                        pfw // cadence).astype(cpos.dtype)
                     est_out["density"] = jnp.where(
                         valid[:, None], aux, 0.0).sum(axis=0) / divisor
                     new_extra["aux_density"] = aux
                 else:
                     est_out["density"] = jnp.where(
                         valid[:, None], hist, 0.0).sum(axis=0)
-            if use_ssf:
+            if use_ssf and not transport_only:
                 parts = funcs.fourier_density_parts_harmonics(
                     ssf_spec.num_modes, cpos, cfc)
                 if ssf_pure:
@@ -535,8 +571,9 @@ class Sampling:
                     aux_prev = extra["aux_ssf"][parent]
                     aux = jnp.where(step_idx < pfw, aux_prev + parts,
                                     aux_prev)
-                    divisor = jnp.minimum(step_idx + 1, pfw).astype(
-                        cpos.dtype)
+                    divisor = jnp.minimum(
+                        (step_idx + 1) // cadence,
+                        pfw // cadence).astype(cpos.dtype)
                     est_out["ssf"] = jnp.where(
                         valid[:, None, None], aux, 0.0).sum(axis=0) \
                         / divisor
@@ -544,7 +581,7 @@ class Sampling:
                 else:
                     est_out["ssf"] = jnp.where(
                         valid[:, None, None], parts, 0.0).sum(axis=0)
-            if use_obd:
+            if use_obd and not transport_only:
                 offsets = jnp.asarray(obd_offsets, dtype=cpos.dtype)
                 obd_parts = funcs.one_body_density_grid(offsets, cpos, cfc)
                 if obd_pure:
@@ -552,8 +589,9 @@ class Sampling:
                     aux_prev = extra["aux_obd"][parent]
                     aux = jnp.where(step_idx < pfw, aux_prev + obd_parts,
                                     aux_prev)
-                    divisor = jnp.minimum(step_idx + 1, pfw).astype(
-                        cpos.dtype)
+                    divisor = jnp.minimum(
+                        (step_idx + 1) // cadence,
+                        pfw // cadence).astype(cpos.dtype)
                     est_out["obd"] = jnp.where(
                         valid[:, None], aux, 0.0).sum(axis=0) / divisor
                     new_extra["aux_obd"] = aux
@@ -610,6 +648,10 @@ class Sampling:
         density_spec = self.density_est_spec if measure else None
         ssf_spec = self.ssf_est_spec if measure else None
         obd_spec = self.obd_est_spec if measure else None
+        cadence = self.est_every if measure else 1
+        step_transport = self.make_step_fn(
+            axis_name=axis_name, measure=measure,
+            transport_only=True) if cadence > 1 else None
 
         def run_block(state: State, block_key, scalars, cfc,
                       num_time_steps_block: int):
@@ -642,15 +684,57 @@ class Sampling:
             keys = jax.random.split(block_key, num_time_steps_block)
             steps = jnp.arange(num_time_steps_block)
 
-            def body(carry, inputs):
-                st, extra = carry
-                key, step_idx = inputs
-                new_state, new_extra, props, est = step(
-                    st, extra, key, step_idx, scalars, cfc)
-                return (new_state, new_extra), (props, est)
+            if cadence == 1:
+                def body(carry, inputs):
+                    st, extra = carry
+                    key, step_idx = inputs
+                    new_state, new_extra, props, est = step(
+                        st, extra, key, step_idx, scalars, cfc)
+                    return (new_state, new_extra), (props, est)
 
-            (final_state, _), (props, est) = jax.lax.scan(
-                body, (state, extra0), (keys, steps))
+                (final_state, _), (props, est) = jax.lax.scan(
+                    body, (state, extra0), (keys, steps))
+            else:
+                # Measurement cadence: chunks of ``cadence`` steps where
+                # only the LAST step evaluates estimators; the others
+                # advance the dynamics (and transport the pure
+                # accumulators through the cloning table) without
+                # computing estimator values.  Same key/step stream as
+                # cadence 1, so the walker trajectories are identical.
+                if num_time_steps_block % cadence:
+                    raise ValueError(
+                        "num_time_steps_block must be divisible by "
+                        "est_every")
+                num_chunks = num_time_steps_block // cadence
+                ckeys = keys.reshape((num_chunks, cadence)
+                                     + keys.shape[1:])
+                csteps = steps.reshape(num_chunks, cadence)
+
+                def plain_body(carry, inputs):
+                    st, extra = carry
+                    key, step_idx = inputs
+                    new_state, new_extra, props, _ = step_transport(
+                        st, extra, key, step_idx, scalars, cfc)
+                    return (new_state, new_extra), props
+
+                def chunk_body(carry, inputs):
+                    keys_c, steps_c = inputs
+                    carry, props_plain = jax.lax.scan(
+                        plain_body, carry, (keys_c[:-1], steps_c[:-1]))
+                    st, extra = carry
+                    new_state, new_extra, props_last, est = step(
+                        st, extra, keys_c[-1], steps_c[-1], scalars, cfc)
+                    props = jax.tree.map(
+                        lambda a, b: jnp.concatenate([a, b[None]]),
+                        props_plain, props_last)
+                    return (new_state, new_extra), (props, est)
+
+                (final_state, _), (props, est) = jax.lax.scan(
+                    chunk_body, (state, extra0), (ckeys, csteps))
+                # (chunks, cadence, ...) -> (nts, ...) per-step props.
+                props = jax.tree.map(
+                    lambda x: x.reshape((num_time_steps_block,)
+                                        + x.shape[2:]), props)
             if axis_name is not None and est:
                 # Shard-local estimator sums reduce over the mesh ONCE
                 # per block (nts-fold less ICI latency than per-step).
