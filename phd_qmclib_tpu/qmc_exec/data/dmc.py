@@ -256,7 +256,9 @@ class EnergyBlocks(PropBlocks):
 def _pure_aware_totals(num_time_steps_block: int, est_data: np.ndarray,
                        props_data: PropsData, reduce_data: bool,
                        as_pure_est: bool,
-                       pure_est_reduce_factor: t.Optional[np.ndarray]):
+                       pure_est_reduce_factor: t.Optional[np.ndarray],
+                       est_every: int = 1,
+                       est_weight_totals: t.Optional[np.ndarray] = None):
     """Shared estimator-totals logic (``qmc_exec/data/dmc.py:329-374``).
 
     For pure (forward-walking) estimators, ONLY the end-of-block value
@@ -279,17 +281,24 @@ def _pure_aware_totals(num_time_steps_block: int, est_data: np.ndarray,
     weight_data = np.asarray(props_data.weight)
     est_data = np.asarray(est_data)
     if not as_pure_est:
+        # With a measurement cadence (``est_every > 1``) the estimator
+        # series holds one entry per MEASURED step, and its weighted
+        # mean must be normalized by the weights of those same steps.
         if reduce_data:
             totals = est_data.sum(axis=1)
-            weight_totals = weight_data.sum(axis=1)
+            weight_totals = (weight_data[:, est_every - 1::est_every]
+                             .sum(axis=1) if est_every > 1
+                             else weight_data.sum(axis=1))
         else:
             totals = est_data
-            weight_totals = weight_data
+            weight_totals = weight_data if est_weight_totals is None \
+                else np.asarray(est_weight_totals,
+                                dtype=weight_data.dtype)
     else:
         if reduce_data:
             # Full per-step series available: final step's estimate,
             # weighted by the final step's walker count.
-            totals = est_data[:, nts_block - 1]
+            totals = est_data[:, -1]
             weight_totals = np.asarray(
                 props_data.num_walkers)[:, nts_block - 1].astype(
                     weight_data.dtype)
@@ -312,10 +321,12 @@ class DensityBlocks(PropBlocks):
     def from_data(cls, num_time_steps_block: int, density_data: np.ndarray,
                   props_data: PropsData, reduce_data: bool = True,
                   as_pure_est: bool = True,
-                  pure_est_reduce_factor: np.ndarray = None):
+                  pure_est_reduce_factor: np.ndarray = None,
+                  est_every: int = 1, est_weight_totals=None):
         totals, weight_totals = _pure_aware_totals(
             num_time_steps_block, density_data, props_data, reduce_data,
-            as_pure_est, pure_est_reduce_factor)
+            as_pure_est, pure_est_reduce_factor, est_every,
+            est_weight_totals)
         return cls(totals, weight_totals)
 
     @property
@@ -347,10 +358,12 @@ class OBDBlocks(DensityBlocks):
     def from_data(cls, num_time_steps_block: int, obd_data: np.ndarray,
                   props_data: PropsData, reduce_data: bool = True,
                   as_pure_est: bool = True,
-                  pure_est_reduce_factor: np.ndarray = None):
+                  pure_est_reduce_factor: np.ndarray = None,
+                  est_every: int = 1, est_weight_totals=None):
         totals, weight_totals = _pure_aware_totals(
             num_time_steps_block, obd_data, props_data, reduce_data,
-            as_pure_est, pure_est_reduce_factor)
+            as_pure_est, pure_est_reduce_factor, est_every,
+            est_weight_totals)
         return cls(totals, weight_totals)
 
 
@@ -362,10 +375,12 @@ class SSFPartBlocks(DensityBlocks):
     def from_data(cls, num_time_steps_block: int, ssf_data: np.ndarray,
                   props_data: PropsData, reduce_data: bool = True,
                   as_pure_est: bool = True,
-                  pure_est_reduce_factor: np.ndarray = None):
+                  pure_est_reduce_factor: np.ndarray = None,
+                  est_every: int = 1, est_weight_totals=None):
         totals, weight_totals = _pure_aware_totals(
             num_time_steps_block, ssf_data, props_data, reduce_data,
-            as_pure_est, pure_est_reduce_factor)
+            as_pure_est, pure_est_reduce_factor, est_every,
+            est_weight_totals)
         return cls(totals, weight_totals)
 
 
@@ -383,10 +398,12 @@ class SSFBlocks:
     def from_data(cls, num_time_steps_block: int, ssf_data: np.ndarray,
                   props_data: PropsData, reduce_data: bool = True,
                   as_pure_est: bool = True,
-                  pure_est_reduce_factor: np.ndarray = None):
+                  pure_est_reduce_factor: np.ndarray = None,
+                  est_every: int = 1, est_weight_totals=None):
         totals, weight_totals = _pure_aware_totals(
             num_time_steps_block, ssf_data, props_data, reduce_data,
-            as_pure_est, pure_est_reduce_factor)
+            as_pure_est, pure_est_reduce_factor, est_every,
+            est_weight_totals)
         return cls(
             SSFPartBlocks(totals[..., FDK_SQR_ABS], weight_totals),
             SSFPartBlocks(totals[..., FDK_REAL], weight_totals),

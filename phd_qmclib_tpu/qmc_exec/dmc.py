@@ -112,6 +112,15 @@ class Proc(proc_base.Proc):
     #: this hook, ``qmc_exec/proc.py:127-129``).
     checkpoint_file: t.Optional[str] = None
     checkpoint_every: int = 16
+    #: Estimator measurement cadence: evaluate density/S(k)/OBDM only
+    #: every K-th time step (see ``Sampling.est_every`` — the dynamics
+    #: and pure-estimator ancestry transport advance every step; the
+    #: density one-hot alone costs as much as the whole pairwise pass,
+    #: so K of 4-8 buys back most of the estimator overhead at
+    #: negligible statistical cost).  Estimator series then carry
+    #: ``num_time_steps_block // est_every`` entries per block and
+    #: mixed estimators normalize by the measured steps' weights.
+    est_every: int = 1
     verbose: bool = False
 
     def __post_init__(self):
@@ -136,6 +145,12 @@ class Proc(proc_base.Proc):
         else:
             _set(self, "burn_in_blocks", int(self.burn_in_blocks))
         _set(self, "block_offset", int(self.block_offset))
+        _set(self, "est_every", int(self.est_every))
+        if self.est_every < 1:
+            raise ValueError("est_every must be a positive integer")
+        if self.num_time_steps_block % self.est_every:
+            raise ValueError("num_time_steps_block must be divisible "
+                             "by est_every")
 
     # -- config plumbing -----------------------------------------------------
 
@@ -199,6 +214,7 @@ class Proc(proc_base.Proc):
             "dtype": self.dtype,
             "num_mesh_devices": self.num_mesh_devices,
             "rebalance_every": self.rebalance_every,
+            "est_every": self.est_every,
         }
         if self.density_spec is not None:
             config["density_spec"] = {
@@ -263,7 +279,8 @@ class Proc(proc_base.Proc):
             self.target_num_walkers, self.num_walkers_control_factor,
             self.rng_seed, density_est_spec=density_est_spec,
             ssf_est_spec=ssf_est_spec, obd_est_spec=obd_est_spec,
-            mesh=mesh, rebalance_every=self.rebalance_every)
+            mesh=mesh, rebalance_every=self.rebalance_every,
+            est_every=self.est_every)
 
     def describe_model_spec(self):
         spec = self.model_spec
@@ -475,6 +492,10 @@ class _BlockAccumulator:
         nts_block = proc.num_time_steps_block
         keep = proc.keep_iter_data
         shape = (num_blocks, nts_block) if keep else (num_blocks,)
+        # Estimator series carry one entry per MEASURED step.
+        num_measured = nts_block // proc.est_every
+        est_shape = (num_blocks, num_measured) if keep \
+            else (num_blocks,)
         self.props = {name: np.zeros(shape) for name in
                       ("energy", "weight", "num_walkers", "ref_energy",
                        "accum_energy")}
@@ -483,14 +504,18 @@ class _BlockAccumulator:
         self.obd_blocks_data = None
         if proc.should_eval_density:
             self.density_blocks_data = np.zeros(
-                shape + (proc.density_spec.num_bins,))
+                est_shape + (proc.density_spec.num_bins,))
         if proc.should_eval_ssf:
             self.ssf_blocks_data = np.zeros(
-                shape + (proc.ssf_spec.num_modes, 3))
+                est_shape + (proc.ssf_spec.num_modes, 3))
         if proc.should_eval_obd:
             self.obd_blocks_data = np.zeros(
-                shape + (proc.obd_spec.num_pos,))
+                est_shape + (proc.obd_spec.num_pos,))
         self.pure_est_reduce_factor = np.ones(num_blocks)
+        # Mixed-estimator normalization under a measurement cadence:
+        # the sum of the measured steps\' weights per block.
+        self.est_weight_totals = np.zeros(num_blocks) \
+            if proc.est_every > 1 and not keep else None
 
     def add(self, block_idx: int, energy, weight, num_walkers,
             ref_energy, accum_energy, iter_density=None, iter_ssf=None,
@@ -520,19 +545,23 @@ class _BlockAccumulator:
         props["accum_energy"][block_idx] = accum_energy[-1]
         self.pure_est_reduce_factor[block_idx] = \
             num_walkers[nts_block - 1] / weight_sum
+        if self.est_weight_totals is not None:
+            k = proc.est_every
+            self.est_weight_totals[block_idx] = \
+                weight[k - 1::k].sum()
         if iter_density is not None:
             self.density_blocks_data[block_idx] = (
-                iter_density[nts_block - 1]
+                iter_density[-1]
                 if proc.density_spec.as_pure_est
                 else iter_density.sum(axis=0))
         if iter_ssf is not None:
             self.ssf_blocks_data[block_idx] = (
-                iter_ssf[nts_block - 1]
+                iter_ssf[-1]
                 if proc.ssf_spec.as_pure_est
                 else iter_ssf.sum(axis=0))
         if iter_obd is not None:
             self.obd_blocks_data[block_idx] = (
-                iter_obd[nts_block - 1]
+                iter_obd[-1]
                 if proc.obd_spec.as_pure_est
                 else iter_obd.sum(axis=0))
 
@@ -551,17 +580,19 @@ class _BlockAccumulator:
                                                         reduce_data)
         num_walkers_blocks = dmc_data.NumWalkersBlocks.from_data(
             props_data, reduce_data)
+        est_kw = dict(est_every=proc.est_every,
+                      est_weight_totals=self.est_weight_totals)
         density_blocks = dmc_data.DensityBlocks.from_data(
             nts_block, self.density_blocks_data, props_data, reduce_data,
-            proc.density_spec.as_pure_est, factor) \
+            proc.density_spec.as_pure_est, factor, **est_kw) \
             if proc.should_eval_density else None
         ssf_blocks = dmc_data.SSFBlocks.from_data(
             nts_block, self.ssf_blocks_data, props_data, reduce_data,
-            proc.ssf_spec.as_pure_est, factor) \
+            proc.ssf_spec.as_pure_est, factor, **est_kw) \
             if proc.should_eval_ssf else None
         obd_blocks = dmc_data.OBDBlocks.from_data(
             nts_block, self.obd_blocks_data, props_data, reduce_data,
-            proc.obd_spec.as_pure_est, factor) \
+            proc.obd_spec.as_pure_est, factor, **est_kw) \
             if proc.should_eval_obd else None
 
         data_blocks = dmc_data.PropsDataBlocks(

@@ -1,0 +1,80 @@
+"""Estimator cadence through the execution layer.
+
+The trajectories are cadence-independent (same key stream), so the
+mixed estimator statistics of an ``est_every=K`` procedure must be
+exactly computable from the every-step run's series — and the
+``keep_iter_data`` on/off invariant must hold at any cadence.
+"""
+import numpy as np
+import pytest
+
+from phd_qmclib_tpu.models import mrbp
+from phd_qmclib_tpu.qmc_exec import dmc as dmc_exec
+
+K = 4
+NTS = 16
+
+
+def _proc(est_every, keep, as_pure):
+    spec = mrbp.Spec(lattice_depth=10.0, lattice_ratio=1.0,
+                     interaction_strength=1.5, boson_number=6,
+                     supercell_size=6.0, tbf_contact_cutoff=0.3)
+    return dmc_exec.Proc(
+        model_spec=spec, time_step=1e-3, max_num_walkers=48,
+        target_num_walkers=32, num_blocks=3, num_time_steps_block=NTS,
+        burn_in_blocks=1, rng_seed=19, dtype="float64",
+        keep_iter_data=keep, est_every=est_every,
+        density_spec=dmc_exec.DensityEstSpec(num_bins=12,
+                                             as_pure_est=as_pure),
+        ssf_spec=dmc_exec.SSFEstSpec(num_modes=4, as_pure_est=as_pure))
+
+
+def _exec(proc):
+    inp = dmc_exec.ProcInput.from_model_sys_conf_spec(
+        dmc_exec.ModelSysConfSpec(dist_type="RANDOM"), proc)
+    return proc.exec(inp)
+
+
+def test_mixed_cadence_mean_matches_series_subsample():
+    full = _exec(_proc(1, keep=True, as_pure=False))
+    cad = _exec(_proc(K, keep=False, as_pure=False))
+
+    series = full.data.series
+    dens = np.asarray(series.density)              # (B, nts, bins)
+    weights = np.asarray(series.iter_props.weight)  # (B, nts)
+    # Expected cadence statistics: measured-step sums over the SAME
+    # trajectory, normalized by the measured steps' weights.
+    totals = dens[:, K - 1::K].sum(axis=1)
+    wtot = weights[:, K - 1::K].sum(axis=1)
+    cd = cad.data.blocks.density
+    np.testing.assert_allclose(np.asarray(cd.totals), totals,
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(cd.weight_totals)[..., 0],
+                               wtot, rtol=1e-12)
+    # Walker-averaged density still integrates to N.
+    np.testing.assert_allclose(cd.mean.sum(), 6.0, rtol=1e-9)
+
+
+@pytest.mark.parametrize("as_pure", [False, True])
+def test_keep_iter_invariant_at_cadence(as_pure):
+    on = _exec(_proc(K, keep=True, as_pure=as_pure))
+    off = _exec(_proc(K, keep=False, as_pure=as_pure))
+    for attr in ("density", "ss_factor"):
+        a = getattr(on.data.blocks, attr)
+        b = getattr(off.data.blocks, attr)
+        if attr == "ss_factor":
+            np.testing.assert_allclose(a.mean, b.mean, rtol=1e-10)
+        else:
+            np.testing.assert_allclose(np.asarray(a.totals),
+                                       np.asarray(b.totals), rtol=1e-12)
+            np.testing.assert_allclose(a.mean, b.mean, rtol=1e-10)
+
+
+def test_proc_validation_and_config_roundtrip():
+    with pytest.raises(ValueError, match="divisible"):
+        _proc(5, keep=False, as_pure=False)
+    proc = _proc(K, keep=False, as_pure=True)
+    config = proc.as_config()
+    assert config["est_every"] == K
+    rebuilt = dmc_exec.Proc.from_config(config)
+    assert rebuilt.est_every == K
