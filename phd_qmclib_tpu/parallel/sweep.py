@@ -24,10 +24,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..samplers import dmc
+from ..samplers import dmc, vmc
 from ..samplers.dmc import PropsData, SamplingBlock, State
 
-__all__ = ["ParamSweep"]
+__all__ = ["ParamSweep", "VmcSweep"]
 
 
 @dataclass(frozen=True)
@@ -234,4 +234,97 @@ class ParamSweep:
             ssf = est.get("ssf") if not burning else None
             obd = est.get("obd") if not burning else None
             yield SamplingBlock(props, density, ssf, state, obd)
+            block_idx += 1
+
+
+@dataclass(frozen=True)
+class VmcSweep:
+    """A stack of VMC samplings advanced as one vmap-fused dispatch.
+
+    The VMC analog of :class:`ParamSweep`'s single-device form: R rows
+    whose model specs share static structure (couplings / variational
+    cutoffs / move spreads may differ) batch into one R x W-chain
+    workload per block — the production form for VMC scan stages whose
+    per-row chain counts underfill the chip (e.g. the variational side
+    of an OBDM depletion scan).  No reference analog.
+    """
+    samplings: t.Tuple[vmc.Sampling, ...]
+
+    def __post_init__(self):
+        if not self.samplings:
+            raise ValueError("need at least one sampling")
+        ref = self.samplings[0]
+        for s in self.samplings[1:]:
+            if s.model_spec.static_spec != ref.model_spec.static_spec:
+                raise ValueError(
+                    "all sweep rows must share the model's static "
+                    "structure")
+            if (s.num_walkers != ref.num_walkers
+                    or s.gaussian != ref.gaussian
+                    or s.ssf_est_spec != ref.ssf_est_spec
+                    or s.obd_est_spec != ref.obd_est_spec):
+                raise ValueError("all sweep rows must share chain count "
+                                 "and estimator specs")
+            if s.mesh is not None or ref.mesh is not None:
+                raise ValueError("VmcSweep rows are single-device")
+
+    @property
+    def num_rows(self) -> int:
+        return len(self.samplings)
+
+    def build_states(self, sys_conf_sets: t.Sequence[np.ndarray]) \
+            -> vmc.State:
+        """Stack per-row initial states (leading axis = sweep row)."""
+        if len(sys_conf_sets) != self.num_rows:
+            raise ValueError("one configuration set per sweep row")
+        states = [s.build_state(confs)
+                  for s, confs in zip(self.samplings, sys_conf_sets)]
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+
+    @cached_property
+    def _block_fn(self):
+        run_block = self.samplings[0].make_run_block(axis_name=None)
+
+        def fused_block(state, block_keys, cfc, move_spread,
+                        num_steps_block: int):
+            final_state, props, ssf, obd, accept = jax.vmap(
+                lambda st, k, cf, ms: run_block(st, k, cf, ms,
+                                                num_steps_block)
+            )(state, block_keys, cfc, move_spread)
+            # Match the standalone props layout per row: (nts, W) with
+            # a leading row axis.
+            return final_state, props, ssf, obd, accept
+
+        return jax.jit(fused_block,
+                       static_argnames=("num_steps_block",))
+
+    def blocks(self, num_steps_block: int, ini_state: vmc.State,
+               block_offset: int = 0) \
+            -> t.Iterator[vmc.SamplingBlock]:
+        """Yield stacked blocks — every array has a leading row axis.
+        Each row's key stream derives from its own ``rng_seed`` (a
+        fused row reproduces its standalone run exactly on matching
+        layouts)."""
+        base_keys = jnp.stack([jax.random.PRNGKey(s.rng_seed)
+                               for s in self.samplings])
+        dtype = ini_state.pos.dtype
+        cfc = jax.tree.map(lambda *xs: jnp.stack(xs),
+                           *[s._cast_params(dtype)
+                             for s in self.samplings])
+        move_spread = jnp.asarray(
+            [s.move_spread for s in self.samplings], dtype=dtype)
+        state = ini_state
+        block_idx = 0
+        fold = jax.vmap(jax.random.fold_in, in_axes=(0, None))
+        while True:
+            block_keys = fold(base_keys,
+                              int(block_offset) + block_idx)
+            state, props, ssf, obd, accept = self._block_fn(
+                state, block_keys, cfc, move_spread, num_steps_block)
+            use_ssf = self.samplings[0].ssf_est_spec is not None
+            use_obd = self.samplings[0].obd_est_spec is not None
+            yield vmc.SamplingBlock(
+                props, ssf if use_ssf else None,
+                np.asarray(accept), state,
+                obd if use_obd else None)
             block_idx += 1

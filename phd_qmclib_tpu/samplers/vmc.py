@@ -227,15 +227,17 @@ class Sampling:
 
     # -- the compiled block kernel ------------------------------------------
 
-    @cached_property
-    def _block_fn(self):
+    def make_run_block(self, axis_name: t.Optional[str] = None):
+        """The raw (unjitted, per-shard) block body — scan
+        ``num_steps_block`` Metropolis steps and reduce estimator sums
+        over ``axis_name`` once per block.  Used by :attr:`_block_fn`
+        and by :class:`~phd_qmclib_tpu.parallel.sweep.VmcSweep`."""
         funcs = self.core_funcs
         gaussian = self.gaussian
         use_ssf = self.ssf_est_spec is not None
         num_modes = self.ssf_est_spec.num_modes if use_ssf else 0
         use_obd = self.obd_est_spec is not None
         obd_offsets = np.asarray(self.obd_pos_offsets) if use_obd else None
-        axis_name = self.mesh_axis if self.mesh is not None else None
 
         def _psum(x):
             return jax.lax.psum(x, axis_name) if axis_name else x
@@ -301,6 +303,15 @@ class Sampling:
             accept_rate = _pmean(accepts.mean())
             return (final_state, PropsData(lps, es, accepts), ssf, obd,
                     accept_rate)
+
+        return run_block
+
+    @cached_property
+    def _block_fn(self):
+        use_ssf = self.ssf_est_spec is not None
+        use_obd = self.obd_est_spec is not None
+        axis_name = self.mesh_axis if self.mesh is not None else None
+        run_block = self.make_run_block(axis_name=axis_name)
 
         if self.mesh is None:
             return jax.jit(run_block,

@@ -196,3 +196,61 @@ def test_sweep_build_states_layout(sweep_mesh):
         for s in range(2):
             sl = masks[r, s * shard_size:(s + 1) * shard_size]
             assert not sl[:7].any() and sl[7:].all()
+
+
+def test_vmc_sweep_matches_sequential_rows():
+    """VmcSweep: rows vmap-fused on one device reproduce each row's
+    standalone run bit-for-bit (same seed, same key folds)."""
+    from phd_qmclib_tpu.parallel.sweep import VmcSweep
+    from phd_qmclib_tpu.samplers import vmc
+
+    nts, nblocks = 32, 2
+    ests = dict(ssf_est_spec=vmc.SSFEstSpec(num_modes=4),
+                obd_est_spec=vmc.OBDEstSpec(num_pos=5))
+    rows = tuple(
+        vmc.Sampling(_spec(gn), move_spread=0.2 + 0.02 * i,
+                     rng_seed=33 + i, num_walkers=16, **ests)
+        for i, gn in enumerate(GNS))
+    sweep = VmcSweep(rows)
+    conf_sets = [_confs(s.model_spec, 16) for s in rows]
+    state = sweep.build_states(conf_sets)
+    assert state.pos.shape == (4, 16, 8)
+
+    it = sweep.blocks(nts, state)
+    fused = [next(it) for _ in range(nblocks)]
+    assert fused[0].iter_ssf.shape == (4, nts, 4, 3)
+    assert fused[0].accept_rate.shape == (4,)
+
+    for r, gn in enumerate(GNS):
+        sampling = vmc.Sampling(_spec(gn), move_spread=0.2 + 0.02 * r,
+                                rng_seed=33 + r, num_walkers=16, **ests)
+        row_state = sampling.build_state(conf_sets[r])
+        rit = sampling.blocks(nts, row_state)
+        for b in range(nblocks):
+            block = next(rit)
+            np.testing.assert_allclose(
+                np.asarray(fused[b].iter_props.energy)[r],
+                np.asarray(block.iter_props.energy), rtol=1e-12,
+                err_msg=f"row {r} (gn={gn}) block {b}")
+            np.testing.assert_allclose(
+                np.asarray(fused[b].iter_ssf)[r],
+                np.asarray(block.iter_ssf), rtol=1e-12)
+            np.testing.assert_allclose(
+                np.asarray(fused[b].iter_obd)[r],
+                np.asarray(block.iter_obd), rtol=1e-12)
+            assert np.isclose(float(fused[b].accept_rate[r]),
+                              float(block.accept_rate), rtol=1e-12)
+
+
+def test_vmc_sweep_validation():
+    from phd_qmclib_tpu.parallel.sweep import VmcSweep
+    from phd_qmclib_tpu.samplers import vmc
+
+    with pytest.raises(ValueError, match="at least one"):
+        VmcSweep(())
+    rows = (vmc.Sampling(_spec(0.5), move_spread=0.2, rng_seed=1,
+                         num_walkers=16),
+            vmc.Sampling(_spec(1.0), move_spread=0.2, rng_seed=1,
+                         num_walkers=32))
+    with pytest.raises(ValueError, match="chain count"):
+        VmcSweep(rows)
