@@ -65,6 +65,89 @@ def measure_dmc(spec, num_pos, ini_pos, target, nts, nblocks, seed):
     return total / norm
 
 
+def fused_scan(args):
+    """All couplings fused: one VmcSweep dispatch stream for the
+    variational stage, one ParamSweep stream for the DMC stage —
+    4 x 2048 under-filled rows batch into full-chip dispatches."""
+    from phd_qmclib_tpu.parallel.sweep import ParamSweep, VmcSweep
+
+    N, L = args.nop, float(args.nop)
+    gns = args.couplings
+    num_pos = args.num_pos
+    offsets = np.linspace(0.0, L / 2, num_pos)
+    specs = [mrbp.Spec(lattice_depth=20.0, lattice_ratio=1.0,
+                       interaction_strength=gn, boson_number=N,
+                       supercell_size=L, tbf_contact_cutoff=0.4)
+             for gn in gns]
+
+    # -- VMC stage, fused -------------------------------------------------
+    vmc_rows = tuple(
+        vmc.Sampling(spec, move_spread=0.25, rng_seed=101 + i,
+                     num_walkers=args.walkers,
+                     obd_est_spec=vmc.OBDEstSpec(num_pos=num_pos))
+        for i, spec in enumerate(specs))
+    sweep_v = VmcSweep(vmc_rows)
+    conf_sets = []
+    for i, spec in enumerate(specs):
+        rng = np.random.default_rng(101 + i)
+        conf_sets.append(np.stack([
+            spec.init_get_sys_conf(
+                dist_type=mrbp.SysConfDistType.REGULAR, rng=rng)
+            for _ in range(args.walkers)]).astype(np.float32))
+    state = sweep_v.build_states(conf_sets)
+    it = sweep_v.blocks(args.nts, state)
+    for _ in range(6):
+        b = next(it)  # equilibration
+    n1_vmc = np.zeros((len(gns), num_pos))
+    for _ in range(args.blocks):
+        b = next(it)
+        n1_vmc += np.asarray(b.iter_obd, dtype=np.float64).mean(axis=1)
+    n1_vmc /= args.blocks * args.walkers
+    vmc_pos = np.asarray(b.last_state.pos)  # (R, W, N)
+
+    # -- DMC stage, fused -------------------------------------------------
+    target = args.walkers
+    dmc_rows = tuple(
+        dmc.Sampling(spec, time_step=1e-3,
+                     max_num_walkers=target + target // 8,
+                     target_num_walkers=target, rng_seed=202 + i,
+                     obd_est_spec=dmc.OBDEstSpec(num_pos=num_pos,
+                                                 as_pure_est=False))
+        for i, spec in enumerate(specs))
+    sweep_d = ParamSweep(dmc_rows)
+    d_state = sweep_d.build_states(list(vmc_pos), dtype=np.float32)
+    dit = sweep_d.blocks(d_state, args.nts, burn_in_blocks=2)
+    for _ in range(2):
+        next(dit)
+    n1_mix = np.zeros((len(gns), num_pos))
+    norm = np.zeros(len(gns))
+    for _ in range(args.blocks):
+        db = next(dit)
+        n1_mix += np.asarray(db.iter_obd, dtype=np.float64).sum(axis=1)
+        norm += np.asarray(db.iter_props.num_walkers,
+                           dtype=np.float64).sum(axis=0)
+    n1_mix /= norm[:, None]
+
+    prev_f0 = None
+    for r, gn in enumerate(gns):
+        n1_ext = analysis.extrapolated_estimate(n1_mix[r], n1_vmc[r])
+        _, occ_vmc = analysis.momentum_distribution(
+            offsets, n1_vmc[r], L, N)
+        _, occ_mix = analysis.momentum_distribution(
+            offsets, n1_mix[r], L, N)
+        _, occ_ext = analysis.momentum_distribution(
+            offsets, n1_ext, L, N)
+        f0 = occ_ext[0] / N
+        print(f"  {gn:6.1f} {occ_vmc[0] / N:8.4f} "
+              f"{occ_mix[0] / N:9.4f} {f0:8.4f} {n1_ext[-1]:8.4f}")
+        if prev_f0 is not None:
+            assert f0 < prev_f0 + 0.02, \
+                "condensate fraction should fall with coupling"
+        prev_f0 = f0
+    print("# PASS: condensate depletion monotone in the coupling "
+          "(fused)")
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--nop", type=int, default=32)
@@ -74,7 +157,22 @@ def main():
     parser.add_argument("--blocks", type=int, default=6)
     parser.add_argument("--couplings", type=float, nargs="+",
                         default=[0.5, 2.0, 8.0, 32.0])
+    parser.add_argument("--fused", action="store_true",
+                        help="fuse all couplings into one VmcSweep + "
+                             "ParamSweep dispatch stream")
     args = parser.parse_args()
+
+    if args.fused:
+        t0 = time.perf_counter()
+        N, L = args.nop, float(args.nop)
+        print(f"# OBDM fused scan: N={N}, L={L}, grid={args.num_pos}, "
+              f"{args.walkers} walkers/row, {args.blocks}x{args.nts} "
+              f"steps")
+        print(f"# {'gn':>6} {'f0_vmc':>8} {'f0_mixed':>9} "
+              f"{'f0_extr':>8} {'n1(L/2)':>8}")
+        fused_scan(args)
+        print(f"# elapsed {time.perf_counter() - t0:.1f} s")
+        return
 
     N = args.nop
     L = float(N)
