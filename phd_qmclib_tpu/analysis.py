@@ -8,8 +8,8 @@ import typing as t
 
 import numpy as np
 
-__all__ = ["momentum_distribution", "extrapolated_estimate",
-           "pair_correlation_from_ssf"]
+__all__ = ["effective_mass_from_cm_diffusion", "momentum_distribution",
+           "extrapolated_estimate", "pair_correlation_from_ssf"]
 
 
 def momentum_distribution(offsets: np.ndarray, n1: np.ndarray,
@@ -125,6 +125,56 @@ def pair_correlation_from_ssf(momenta: np.ndarray, rho2: np.ndarray,
                      + 4.0 * ((err[1:, None] * cos_kr) ** 2).sum(axis=0)) \
         / (nop - 1)
     return g2, g2_err
+
+
+def effective_mass_from_cm_diffusion(time_step: float,
+                                     iter_cmd: np.ndarray,
+                                     iter_num_walkers: np.ndarray,
+                                     boson_number: int,
+                                     fit_fraction: float = 0.5):
+    """Superfluid fraction / inverse effective mass ``m/m*`` from the
+    center-of-mass imaginary-time diffusion.
+
+    The ground-state-transformed DMC dynamics is a Fokker-Planck
+    process whose Bloch spectrum equals ``E(k) - E0`` of the
+    Hamiltonian, so the long-tau diffusion constant of the total
+    (center-of-mass) coordinate gives the curvature of the many-body
+    band: ``m/m* = N * d<W_cm^2>/dtau / 2`` (``= 1`` for ANY
+    interaction without a lattice, by Galilean invariance; equal to
+    the single-particle band-curvature ratio
+    :func:`phd_qmclib_tpu.ideal.effective_mass_ratio` for the ideal
+    lattice gas).  The ancestry transport of the accumulated
+    displacement makes the long-window average a forward-walked
+    estimate; with an approximate trial wavefunction a residual mixed
+    bias of the usual kind remains.
+
+    :param time_step: the DMC imaginary time step.
+    :param iter_cmd: ``(nts, 2)`` or ``(B, nts, 2)`` per-step
+        ``[sum W^2, sum W]`` accumulators
+        (``SamplingBlock.iter_cmd``); blocks are averaged.
+    :param iter_num_walkers: matching ``(nts,)`` / ``(B, nts)`` walker
+        counts (``iter_props.num_walkers``).
+    :param fit_fraction: fit the slope over the LAST fraction of the
+        window (the early window carries the transient of the
+        non-diffusive modes).
+    :return: ``(ratio, ratio_err)`` — slope-fit value and its standard
+        error (fit residuals only; block-to-block scatter dominates on
+        short runs).
+    """
+    cmd = np.asarray(iter_cmd, dtype=np.float64)
+    nw = np.asarray(iter_num_walkers, dtype=np.float64)
+    if cmd.ndim == 2:
+        cmd = cmd[None]
+        nw = nw[None]
+    w2 = (cmd[..., 0] / nw).mean(axis=0)     # <W_cm^2>(tau)
+    nts = w2.shape[0]
+    tau = (np.arange(nts) + 1.0) * float(time_step)
+    start = int(round((1.0 - fit_fraction) * nts))
+    t_fit, y_fit = tau[start:], w2[start:]
+    coeffs, cov = np.polyfit(t_fit, y_fit, 1, cov=True)
+    slope, slope_err = coeffs[0], float(np.sqrt(cov[0, 0]))
+    ratio = 0.5 * boson_number * slope
+    return ratio, 0.5 * boson_number * slope_err
 
 
 def extrapolated_estimate(mixed: np.ndarray, variational: np.ndarray,

@@ -24,7 +24,8 @@ except ImportError:  # pragma: no cover
     mp = None
     _HAVE_MPMATH = False
 
-__all__ = ["energy_relation", "eigen_energy"]
+__all__ = ["band_energy", "effective_mass_ratio", "energy_relation",
+           "eigen_energy"]
 
 
 def energy_relation(lattice_depth: float,
@@ -94,3 +95,49 @@ def eigen_energy(lattice_depth: float, lattice_ratio: float) -> float:
     func = partial(energy_relation, v0, r, momentum=0, ctx=mp)
     root = mp_solver(func, root)
     return float(mp.chop(root))
+
+
+def band_energy(lattice_depth: float, lattice_ratio: float,
+                momentum: float) -> float:
+    """First-band energy ``E(k)`` of the KP lattice at quasimomentum
+    ``k`` (in ``1/LKP`` units; the band spans ``k in [0, pi]``).
+
+    Same dispersion relation as :func:`eigen_energy` (which is the
+    ``k = 0`` band bottom) solved at finite ``k``.  No reference analog
+    (the reference only ever needs the band bottom); used for the exact
+    effective-mass target of the center-of-mass-diffusion estimator.
+    """
+    import cmath
+
+    v0 = float(lattice_depth)
+    r = float(lattice_ratio)
+    k = float(momentum)
+
+    def func(ez):
+        # cmath continues the relation above the barrier (E > v0),
+        # where sqrt(v0 - E) turns imaginary but the relation stays
+        # real (sinh(ix)/i = sin(x) etc.).
+        return energy_relation(v0, r, ez, k, ctx=cmath).real
+
+    upper = min(v0, (1 + r) ** 2 * math.pi ** 2)
+    lo, hi = 1e-12, max(upper - 1e-12, 2e-12)
+    # The first band rises from the k=0 bottom; widen the bracket
+    # upward if the band crosses ``upper`` (shallow lattices, where
+    # the band lives above the barrier).
+    while func(lo) * func(hi) > 0:
+        hi = lo + 2 * (hi - lo)
+        if hi > 4 * (1 + r) ** 2 * math.pi ** 2:  # pragma: no cover
+            raise ValueError("failed to bracket the first band")
+    return float(brentq(func, lo, hi, xtol=1e-14, rtol=8.9e-16))
+
+
+def effective_mass_ratio(lattice_depth: float, lattice_ratio: float,
+                         dk: float = 1e-3) -> float:
+    """Exact ``m/m*`` of the first KP band: half the band curvature at
+    ``k = 0`` (free dispersion ``E = k^2`` has curvature 2, so the
+    ratio is 1 without a lattice).  Central finite difference of
+    :func:`band_energy`."""
+    e0 = band_energy(lattice_depth, lattice_ratio, 0.0)
+    # E(k) is even in k: E(dk) == E(-dk).
+    e1 = band_energy(lattice_depth, lattice_ratio, dk)
+    return (e1 - e0) / dk ** 2

@@ -233,7 +233,8 @@ class ParamSweep:
             density = est.get("density") if not burning else None
             ssf = est.get("ssf") if not burning else None
             obd = est.get("obd") if not burning else None
-            yield SamplingBlock(props, density, ssf, state, obd)
+            cmd = est.get("cmd") if not burning else None
+            yield SamplingBlock(props, density, ssf, state, obd, cmd)
             block_idx += 1
 
 

@@ -115,6 +115,12 @@ class SamplingBlock(t.NamedTuple):
     iter_ssf: t.Optional[jnp.ndarray]      # (nts, num_modes, 3)
     last_state: State
     iter_obd: t.Optional[jnp.ndarray] = None  # (nts, num_pos)
+    #: Center-of-mass imaginary-time diffusion accumulators, shape
+    #: ``(nts, 2)``: per-step ``[sum_w W_cm^2, sum_w W_cm]`` over the
+    #: valid walkers, where ``W_cm`` is each walker's accumulated CM
+    #: displacement since the block start (ancestry-transported).
+    #: ``None`` unless ``cm_diffusion_est`` is enabled.
+    iter_cmd: t.Optional[jnp.ndarray] = None
 
 
 @dataclass(frozen=True)
@@ -223,6 +229,18 @@ class Sampling:
     #: force.  Only affects f32 runs; the stream differs from threefry's
     #: (statistically equivalent).
     hw_normals: t.Optional[bool] = None
+    #: Center-of-mass imaginary-time diffusion estimator: accumulate
+    #: each walker's CM displacement (drift + noise, pre-recast, so
+    #: windings count) through the branching ancestry and emit per-step
+    #: ``[sum W_cm^2, sum W_cm]`` over the ensemble.  The long-tau
+    #: slope of ``N <W_cm^2> / (2 tau)`` is the superfluid fraction /
+    #: inverse effective mass ``m/m*`` of the lattice gas (exact
+    #: band-curvature target: ``ideal.effective_mass_ratio``; Galilean
+    #: invariance pins it to 1 without a lattice for ANY interaction).
+    #: The accumulation window is one block — use long blocks
+    #: (``tau = nts * dt`` of order 1) for the asymptotic slope.  No
+    #: reference analog.
+    cm_diffusion_est: bool = False
     #: Estimator measurement cadence: evaluate density/S(k)/OBDM only
     #: every K-th time step (the walker dynamics — and the pure
     #: estimators' ancestry transport — still advance every step).  The
@@ -486,6 +504,7 @@ class Sampling:
         ssf_pure = use_ssf and ssf_spec.as_pure_est
         obd_pure = use_obd and obd_spec.as_pure_est
         obd_offsets = np.asarray(self.obd_pos_offsets) if use_obd else None
+        use_cmd = self.cm_diffusion_est and measure
         use_hw_normals = self.hw_normals if self.hw_normals is not None \
             else jax.default_backend() != "cpu"
 
@@ -616,6 +635,17 @@ class Sampling:
                 xi = sigma * jax.random.normal(k_diff, cpos.shape,
                                                dtype=cpos.dtype)
             npos = mrbp.recast(cpos + 2.0 * cdrift * dt + xi, cfc)
+            if use_cmd:
+                # Accumulate each walker's CM displacement (pre-recast,
+                # so windings count) through the ancestry — every step,
+                # including non-measured cadence steps.
+                cm_disp = (2.0 * cdrift * dt + xi).mean(axis=-1)
+                aux_cmd = extra["aux_cmd"][parent] + cm_disp
+                new_extra["aux_cmd"] = aux_cmd
+                if not transport_only:
+                    est_out["cmd"] = jnp.stack([
+                        jnp.where(valid, aux_cmd ** 2, 0.0).sum(),
+                        jnp.where(valid, aux_cmd, 0.0).sum()])
             nenergy, ndrift = funcs.energy_and_drift(npos, cfc)
             nweight = jnp.exp(
                 -dt * (0.5 * (nenergy + cenergy) - state.ref_energy))
@@ -671,6 +701,8 @@ class Sampling:
             if obd_spec is not None and obd_spec.as_pure_est:
                 extra0["aux_obd"] = jnp.zeros(
                     (max_w, obd_spec.num_pos), dtype=dtype)
+            if self.cm_diffusion_est and measure:
+                extra0["aux_cmd"] = jnp.zeros((max_w,), dtype=dtype)
             varying = tuple(a for a in (axis_name, *extra_varying_axes)
                             if a is not None)
             if varying and extra0:
@@ -833,7 +865,8 @@ class Sampling:
             density = est.get("density") if not burning else None
             ssf = est.get("ssf") if not burning else None
             obd = est.get("obd") if not burning else None
-            yield SamplingBlock(props, density, ssf, state, obd)
+            cmd = est.get("cmd") if not burning else None
+            yield SamplingBlock(props, density, ssf, state, obd, cmd)
             block_idx += 1
 
     def states(self, ini_state: State) -> t.Iterator[State]:

@@ -1,0 +1,89 @@
+"""Center-of-mass imaginary-time diffusion: superfluid fraction /
+effective mass.
+
+Two exact targets pin the estimator:
+
+1. **Galilean invariance** — without a lattice the total drift of a
+   translation-invariant trial wavefunction vanishes identically, so
+   the CM performs pure diffusion and ``m/m* = 1`` for ANY
+   interaction strength.
+2. **Ideal lattice gas** — the trial orbital is the exact ground
+   state, and the measured ratio must approach the single-particle
+   band-curvature value ``ideal.effective_mass_ratio`` (the
+   ground-state-transformed Fokker-Planck generator shares the
+   Hamiltonian's Bloch spectrum).
+"""
+import numpy as np
+import pytest
+
+from phd_qmclib_tpu import analysis, ideal
+from phd_qmclib_tpu.models import mrbp
+from phd_qmclib_tpu.samplers import dmc
+
+NOP = 8
+SC = 8.0
+
+
+def _measure(v0, gn, nts, nblocks, dt=2e-3, walkers=256, seed=11):
+    spec = mrbp.Spec(lattice_depth=v0, lattice_ratio=1.0,
+                     interaction_strength=gn, boson_number=NOP,
+                     supercell_size=SC, tbf_contact_cutoff=0.3)
+    sampling = dmc.Sampling(
+        spec, time_step=dt, max_num_walkers=walkers + walkers // 4,
+        target_num_walkers=walkers, rng_seed=seed,
+        cm_diffusion_est=True)
+    rng = np.random.default_rng(3)
+    confs = np.stack([spec.init_get_sys_conf(rng=rng)
+                      for _ in range(walkers)])
+    state = sampling.build_state(confs)
+    it = sampling.blocks(state, nts, burn_in_blocks=1)
+    next(it)
+    cmds, nws = [], []
+    for _ in range(nblocks):
+        b = next(it)
+        cmds.append(np.asarray(b.iter_cmd, dtype=np.float64))
+        nws.append(np.asarray(b.iter_props.num_walkers,
+                              dtype=np.float64))
+    return analysis.effective_mass_from_cm_diffusion(
+        dt, np.stack(cmds), np.stack(nws), NOP)
+
+
+def test_galilean_invariance_flat_interacting_gas():
+    # No lattice, strong interactions: the pair drift is antisymmetric
+    # so the total drift cancels walker by walker; the CM random walk
+    # has variance 2 tau / N exactly and the ratio is 1.  (Branching
+    # makes walkers share ancestors, so <W^2> fluctuates block to
+    # block far more than the naive 1/sqrt(walkers); average several
+    # blocks.)
+    ratio, err = _measure(v0=1e-6, gn=4.0, nts=192, nblocks=10)
+    assert ratio == pytest.approx(1.0, abs=0.07), (ratio, err)
+
+
+def test_ideal_lattice_gas_matches_band_curvature():
+    v0 = 10.0
+    target = ideal.effective_mass_ratio(v0, 1.0)
+    assert 0.9 < target < 1.0  # sanity of the exact value
+    ratio, err = _measure(v0=v0, gn=0.0, nts=512, nblocks=3)
+    assert ratio == pytest.approx(target, rel=0.15), \
+        (ratio, err, target)
+
+
+def test_cmd_output_shape_and_burn_gating():
+    spec = mrbp.Spec(lattice_depth=5.0, lattice_ratio=1.0,
+                     interaction_strength=1.0, boson_number=NOP,
+                     supercell_size=SC, tbf_contact_cutoff=0.3)
+    sampling = dmc.Sampling(spec, time_step=1e-3, max_num_walkers=40,
+                            target_num_walkers=32, rng_seed=1,
+                            cm_diffusion_est=True)
+    rng = np.random.default_rng(0)
+    confs = np.stack([spec.init_get_sys_conf(rng=rng)
+                      for _ in range(32)])
+    it = sampling.blocks(sampling.build_state(confs), 8,
+                         burn_in_blocks=1)
+    burn = next(it)
+    assert burn.iter_cmd is None
+    b = next(it)
+    assert np.asarray(b.iter_cmd).shape == (8, 2)
+    # <W^2> grows with tau within the block.
+    w2 = np.asarray(b.iter_cmd, dtype=np.float64)[:, 0]
+    assert w2[-1] > w2[0] > 0
