@@ -67,7 +67,8 @@ class ParamSweep:
             if (s.density_est_spec != ref.density_est_spec
                     or s.ssf_est_spec != ref.ssf_est_spec
                     or s.obd_est_spec != ref.obd_est_spec
-                    or s.est_every != ref.est_every):
+                    or s.est_every != ref.est_every
+                    or s.cm_diffusion_est != ref.cm_diffusion_est):
                 raise ValueError("all sweep rows must use the same "
                                  "estimator specs")
         if self.mesh is None:

@@ -87,3 +87,58 @@ def test_cmd_output_shape_and_burn_gating():
     # <W^2> grows with tau within the block.
     w2 = np.asarray(b.iter_cmd, dtype=np.float64)[:, 0]
     assert w2[-1] > w2[0] > 0
+
+
+def test_cmd_with_measurement_cadence():
+    """The CM displacement accumulates on EVERY step (including the
+    transport-only steps of an est_every cadence); outputs land once
+    per measured step and match the every-step run's subsamples."""
+    spec = mrbp.Spec(lattice_depth=5.0, lattice_ratio=1.0,
+                     interaction_strength=1.0, boson_number=NOP,
+                     supercell_size=SC, tbf_contact_cutoff=0.3)
+
+    def run(est_every):
+        sampling = dmc.Sampling(
+            spec, time_step=1e-3, max_num_walkers=40,
+            target_num_walkers=32, rng_seed=6, est_every=est_every,
+            cm_diffusion_est=True)
+        rng = np.random.default_rng(0)
+        confs = np.stack([spec.init_get_sys_conf(rng=rng)
+                          for _ in range(32)])
+        it = sampling.blocks(sampling.build_state(confs), 16)
+        return next(it)
+
+    every = run(1)
+    cad = run(4)
+    assert np.asarray(cad.iter_cmd).shape == (4, 2)
+    np.testing.assert_allclose(
+        np.asarray(cad.iter_cmd),
+        np.asarray(every.iter_cmd)[3::4], rtol=1e-12)
+
+
+def test_cmd_through_vmap_sweep():
+    """iter_cmd flows through the vmap-fused ParamSweep bit-exactly."""
+    from phd_qmclib_tpu.parallel.sweep import ParamSweep
+
+    def row(gn, seed):
+        spec = mrbp.Spec(lattice_depth=5.0, lattice_ratio=1.0,
+                         interaction_strength=gn, boson_number=NOP,
+                         supercell_size=SC, tbf_contact_cutoff=0.3)
+        return dmc.Sampling(spec, time_step=1e-3, max_num_walkers=40,
+                            target_num_walkers=32, rng_seed=seed,
+                            cm_diffusion_est=True)
+
+    rows = tuple(row(gn, 15) for gn in (0.5, 2.0))
+    sweep = ParamSweep(rows)
+    rng = np.random.default_rng(4)
+    conf_sets = [np.stack([r.model_spec.init_get_sys_conf(rng=rng)
+                           for _ in range(32)]) for r in rows]
+    state = sweep.build_states(conf_sets)
+    fused = next(sweep.blocks(state, 8))
+    assert np.asarray(fused.iter_cmd).shape == (2, 8, 2)
+    for r, sampling in enumerate(rows):
+        alone = next(sampling.blocks(
+            sampling.build_state(conf_sets[r]), 8))
+        np.testing.assert_allclose(
+            np.asarray(fused.iter_cmd)[r],
+            np.asarray(alone.iter_cmd), rtol=1e-12)
