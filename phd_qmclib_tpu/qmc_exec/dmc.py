@@ -418,19 +418,33 @@ class Proc(proc_base.Proc):
         t_start = _time.perf_counter()
         total_walker_steps = 0.0
         block_data = None
-        warned_collapse = False
+        probe_blocks = 1 if self.profile_dir is not None else 0
+        num_rebalances = 0
         for block_idx in range(num_blocks):
             block_data = next(blocks_iter)
             shard_nw = np.asarray(block_data.last_state.num_walkers)
-            if shard_nw.min() <= 0 and not warned_collapse:
+            if shard_nw.min() <= 0 and sampling.num_shards > 1:
                 # Per-shard combs cannot repopulate an empty shard; a
                 # collapsed shard silently biases the global ensemble
                 # while the controller only sees the global weight.
-                exec_logger.warning(
-                    f"walker population collapsed on a shard "
-                    f"(per-shard counts {shard_nw.tolist()}); enable "
-                    f"rebalance_every or raise target_num_walkers")
-                warned_collapse = True
+                # Remediate immediately: redistribute the surviving
+                # walkers evenly across the shards and continue the run
+                # from the rebalanced state (same RNG stream position).
+                balanced = sampling.rebalance(block_data.last_state)
+                consumed = burn_in_blocks + probe_blocks + block_idx + 1
+                blocks_iter = sampling.blocks(
+                    balanced, nts_block, burn_in_blocks=0,
+                    block_offset=self.block_offset + consumed)
+                block_data = block_data._replace(last_state=balanced)
+                num_rebalances += 1
+                if num_rebalances <= 3:
+                    exec_logger.warning(
+                        f"walker population collapsed on a shard "
+                        f"(per-shard counts {shard_nw.tolist()}); "
+                        f"rebalanced the surviving walkers evenly "
+                        f"across shards and resumed. Consider "
+                        f"rebalance_every or a larger "
+                        f"target_num_walkers.")
             bp = block_data.iter_props
             energy = np.asarray(bp.energy, dtype=np.float64)
             weight = np.asarray(bp.weight, dtype=np.float64)
@@ -452,7 +466,6 @@ class Proc(proc_base.Proc):
 
             if self.checkpoint_file is not None and \
                     (block_idx + 1) % self.checkpoint_every == 0:
-                probe_blocks = 1 if self.profile_dir is not None else 0
                 self._write_checkpoint(
                     block_data.last_state,
                     blocks_completed=block_idx + 1,

@@ -276,8 +276,17 @@ class _AnalysisMixin:
     @property
     def iac_times(self):
         """Integrated autocorrelation times per block size:
-        ``0.5 * B * var_B / var``."""
-        return 0.5 * self.block_sizes * self.vars / self._var_bcast()
+        ``0.5 * B * var_B / var``.
+
+        Zero-variance (constant) series — e.g. ``num_walkers`` pinned at
+        the cap, or S(0) — would hit 0/0 here; they are defined to have
+        the uncorrelated-limit IAC time of 0.5 instead of NaN.
+        """
+        var = np.asarray(self._var_bcast(), dtype=np.float64)
+        vars_ = np.asarray(self.vars, dtype=np.float64)
+        safe_var = np.where(var == 0.0, 1.0, var)
+        raw = 0.5 * self.block_sizes * vars_ / safe_var
+        return np.where(var == 0.0, 0.5, raw)
 
     def _var_bcast(self):
         return self.var
@@ -324,8 +333,8 @@ class Object(_AnalysisMixin):
         source_data = np.asarray(source_data, dtype=np.float64)
         assert source_data.ndim == 1
         if min_num_blocks < 2:
-            raise ValueError("the minimum number of blocks of the "
-                             "reblocking is two")
+            raise ValueError("min_num_blocks must be at least 2 for a "
+                             "blocking analysis")
         self.source_data = source_data
         self.min_num_blocks = min_num_blocks
         self.var_ddof = 1
@@ -387,8 +396,8 @@ class OTFObject(_AnalysisMixin):
             raise ValueError("source_data must be a 1d array")
         min_num_blocks = min_num_blocks or 2
         if min_num_blocks < 2:
-            raise ValueError("the minimum number of blocks of the "
-                             "reblocking is two")
+            raise ValueError("min_num_blocks must be at least 2 for a "
+                             "blocking analysis")
         criterion = source_data[NUM_BLOCKS_FIELD] >= min_num_blocks
         if not np.count_nonzero(criterion):
             raise ValueError("the source data is empty for the requested "
@@ -457,8 +466,8 @@ class OTFSet(_AnalysisMixin, Mapping):
         assert np.all(np.diff(block_size_set, axis=0) == 0)
         min_num_blocks = min_num_blocks or 2
         if min_num_blocks < 2:
-            raise ValueError("the minimum number of blocks of the "
-                             "reblocking is two")
+            raise ValueError("min_num_blocks must be at least 2 for a "
+                             "blocking analysis")
         data_num_blocks = source_data[NUM_BLOCKS_FIELD][0, :]
         criterion = data_num_blocks >= min_num_blocks
         if not np.count_nonzero(criterion):

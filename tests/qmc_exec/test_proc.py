@@ -186,3 +186,62 @@ class TestVmcProc:
         proc_input2 = vmc_exec.ProcInput.from_result(loaded, proc2)
         result2 = proc2.exec(proc_input2)
         assert np.isfinite(result2.data.blocks.energy.mean)
+
+
+def test_shard_collapse_auto_rebalance(caplog):
+    """A run that reaches a zero-population shard must auto-rebalance
+    and continue unbiased instead of only warning (a per-shard comb can
+    never repopulate an empty shard)."""
+    import logging
+
+    import jax.numpy as jnp
+
+    proc = make_dmc_proc(max_num_walkers=96, target_num_walkers=64,
+                         num_mesh_devices=0, num_blocks=4,
+                         burn_in_blocks=0, density_spec=None,
+                         ssf_spec=None)
+    sampling = proc.sampling
+    rng = np.random.default_rng(5)
+    confs = np.stack([proc.model_spec.init_get_sys_conf(rng=rng)
+                      for _ in range(64)])
+    state = sampling.build_state(confs)
+    # Collapse the ensemble onto the first shards: pack all valid
+    # walkers into a slot prefix (shards 0-5 full, 6-7 empty).
+    max_w, num_shards = 96, sampling.num_shards
+    shard_size = max_w // num_shards
+    pos = np.asarray(state.pos)
+    valid = ~np.asarray(state.masks)
+    n = int(valid.sum())
+    new_pos = np.zeros_like(pos)
+    new_e = np.zeros_like(np.asarray(state.energies))
+    new_d = np.zeros_like(np.asarray(state.drift))
+    new_pos[:n] = pos[valid]
+    new_e[:n] = np.asarray(state.energies)[valid]
+    new_d[:n] = np.asarray(state.drift)[valid]
+    counts = np.minimum(
+        np.maximum(n - np.arange(num_shards) * shard_size, 0),
+        shard_size).astype(np.int32)
+    slots = np.arange(max_w)
+    new_valid = (slots % shard_size) < counts[slots // shard_size]
+    state = state._replace(
+        pos=jnp.asarray(new_pos), drift=jnp.asarray(new_d),
+        energies=jnp.asarray(new_e),
+        weights=jnp.asarray(new_valid, dtype=new_pos.dtype),
+        masks=jnp.asarray(~new_valid),
+        num_walkers=jnp.asarray(counts))
+    assert counts.min() == 0
+
+    exec_logger = logging.getLogger("phd-qmclib-tpu")
+    exec_logger.propagate = True  # let caplog's root handler see it
+    try:
+        with caplog.at_level(logging.WARNING, logger="phd-qmclib-tpu"):
+            result = proc.exec(dmc_exec.ProcInput(state))
+    finally:
+        exec_logger.propagate = False
+    assert any("rebalanced" in rec.message for rec in caplog.records)
+    final_counts = np.asarray(result.state.num_walkers)
+    # Rebalanced and recovered: no shard left empty after the run.
+    assert final_counts.min() >= 1
+    e_per_n = result.data.blocks.energy.mean / \
+        proc.model_spec.boson_number
+    assert np.isfinite(e_per_n) and 0.0 < e_per_n < 30.0

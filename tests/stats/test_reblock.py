@@ -7,6 +7,8 @@ data, the optimal-block-size warning path must trigger on uncorrelated
 data of marginal length, and tables must merge/extend across simulated
 restarts.
 """
+import warnings
+
 import numpy as np
 import pytest
 
@@ -51,6 +53,34 @@ class TestObjectVsOTF:
         # The effective error must exceed the naive (uncorrelated) error.
         naive = np.sqrt(data.var(ddof=1) / len(data))
         assert otf.mean_eff_error > 1.5 * naive
+
+    def test_constant_series_is_defined_and_warning_free(self):
+        # A zero-variance series (e.g. num_walkers pinned at the cap, or
+        # S(0)) must yield defined statistics, no NaNs, and no
+        # RuntimeWarnings from 0/0 in the IAC times.
+        data = np.full(2 ** 10, 7.0)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", RuntimeWarning)
+            for obj in (reblock.Object(data),
+                        reblock.OTFObject.from_non_obj_data(data)):
+                assert obj.mean == pytest.approx(7.0)
+                assert obj.var == 0.0
+                assert np.all(np.isfinite(obj.iac_times))
+                # Uncorrelated-limit IAC by definition for constant data.
+                assert np.allclose(obj.iac_times, 0.5)
+                assert obj.opt_block_size in obj.block_sizes
+                assert obj.mean_eff_error == 0.0
+
+    def test_constant_column_in_set(self):
+        rng = np.random.default_rng(3)
+        tab = np.stack([rng.normal(size=2 ** 10),
+                        np.full(2 ** 10, 2.5)], axis=1)
+        oset = reblock.OTFSet.from_non_obj_data(tab)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", RuntimeWarning)
+            const = oset[1]
+            assert np.all(np.isfinite(const.iac_times))
+            assert const.mean_eff_error == 0.0
 
     def test_opt_block_size_warning(self):
         # Strongly correlated, short series: criterion unsatisfied.
