@@ -168,17 +168,21 @@ class OBDEstSpec:
 
 
 def branching_comb(weights: jnp.ndarray, num_walkers: jnp.ndarray,
-                   key) -> t.Tuple[jnp.ndarray, jnp.ndarray]:
+                   key=None, *, u: t.Optional[jnp.ndarray] = None) \
+        -> t.Tuple[jnp.ndarray, jnp.ndarray]:
     """Vectorized stochastic branching comb.
 
     Each valid parent ``i`` is cloned ``floor(w_i + u_i)`` times; the
     first ``max_num_walkers`` children survive.  Statistically identical
-    to the reference's serial comb (``qmc_base/dmc.py:621-653``).
+    to the reference's serial comb (``qmc_base/dmc.py:621-653``) — and
+    *exactly* identical given the same uniforms (pass them via ``u``;
+    the replay harness does).
 
     :return: ``(parent_idx (Wm,), new_num_walkers scalar)``.
     """
     max_w = weights.shape[-1]
-    u = jax.random.uniform(key, weights.shape, dtype=weights.dtype)
+    if u is None:
+        u = jax.random.uniform(key, weights.shape, dtype=weights.dtype)
     slots = jnp.arange(max_w)
     valid = slots < num_walkers
     n_clones = jnp.floor(weights + u).astype(jnp.int32)
@@ -252,6 +256,14 @@ class Sampling:
     #: every step.  Estimator outputs then carry one entry per
     #: MEASURED step (``num_time_steps_block // est_every``).
     est_every: int = 1
+    #: Reference-exact branching-weight semantics: use the *slot's*
+    #: previous-step energy as ``E_prev`` in
+    #: ``w = exp(-dt ((E_next + E_prev)/2 - E_ref))`` — reproducing the
+    #: reference's stale-slot read (``jastrow/dmc.py:846-847``; see
+    #: :mod:`~phd_qmclib_tpu.reference_replay`) — instead of the
+    #: parent's energy.  Needed for bit-exact replay
+    #: (:meth:`replay_states`); both are valid O(dt) discretizations.
+    ref_compat: bool = False
 
     def __post_init__(self):
         if self.rng_seed is None:
@@ -479,7 +491,8 @@ class Sampling:
     # -- the compiled step/block kernels ------------------------------------
 
     def make_step_fn(self, axis_name: t.Optional[str] = None,
-                     measure: bool = True, transport_only: bool = False):
+                     measure: bool = True, transport_only: bool = False,
+                     injected_noise: bool = False):
         """Build the single-time-step transition function.
 
         Returns ``step(state, key, scalars) -> (state', outputs)`` where
@@ -490,7 +503,10 @@ class Sampling:
         ``est_every > 1`` cadence), pure-estimator accumulators are
         still gathered through the branching parents — ancestry
         transport must happen every step — but no estimator values are
-        computed or emitted.
+        computed or emitted.  With ``injected_noise``, the ``key``
+        argument is instead a dict ``{"comb_u": (Wm,) uniforms,
+        "xi": (Wm, N) pre-scaled diffusion noise}`` — the
+        bit-comparable replay mode (:meth:`replay_states`).
         """
         funcs = self.core_funcs
         density_spec = self.density_est_spec if measure else None
@@ -517,13 +533,19 @@ class Sampling:
             nwc = scalars["nwc_factor"]
             target = scalars["target_num_walkers"]
 
-            k_comb, k_diff = jax.random.split(key)
             max_w = state.pos.shape[0]
             slots = jnp.arange(max_w)
 
             # 1) Branching comb on the previous step's weights.
-            parent, nw = branching_comb(state.weights, state.num_walkers,
-                                        k_comb)
+            if injected_noise:
+                k_diff = None
+                parent, nw = branching_comb(state.weights,
+                                            state.num_walkers,
+                                            u=key["comb_u"])
+            else:
+                k_comb, k_diff = jax.random.split(key)
+                parent, nw = branching_comb(state.weights,
+                                            state.num_walkers, k_comb)
             valid = slots < nw
 
             # 2) Children: cloned (pre-diffusion) parents with parent
@@ -620,7 +642,9 @@ class Sampling:
 
             # 5) Diffuse children with the PREVIOUS E_ref
             #    (jastrow/dmc.py:742-827).
-            if use_hw_normals and cpos.dtype == jnp.float32 \
+            if injected_noise:
+                xi = key["xi"]
+            elif use_hw_normals and cpos.dtype == jnp.float32 \
                     and cpos.shape[0] % 2 == 0:
                 # TPU hardware-PRNG Box-Muller normals (ops/prng.py):
                 # exact N(0,1), ~35% cheaper than the threefry pass at
@@ -647,8 +671,27 @@ class Sampling:
                         jnp.where(valid, aux_cmd ** 2, 0.0).sum(),
                         jnp.where(valid, aux_cmd, 0.0).sum()])
             nenergy, ndrift = funcs.energy_and_drift(npos, cfc)
+            if self.ref_compat:
+                # Reference-exact branching weight: E_prev is the energy
+                # the SLOT held on the previous step, not the parent's —
+                # the reference's ``evolve_system`` reads
+                # ``actual_state_energies[sys_idx]`` before the cloning
+                # write updates it (``jastrow/dmc.py:846-847`` vs
+                # ``:941``).  Both are valid O(dt) discretizations; the
+                # default uses the parent energy.  See
+                # ``reference_replay`` module docs.
+                e_prev = extra["ref_eprev"]
+                # Only live slots are written (the reference's masked
+                # tail keeps whatever the slot held before —
+                # ``jastrow/dmc.py:903-906`` writes nothing there), so
+                # a slot that goes dead and later revives sees its
+                # stale energy, exactly like the reference buffer.
+                new_extra["ref_eprev"] = jnp.where(valid, cenergy,
+                                                   e_prev)
+            else:
+                e_prev = cenergy
             nweight = jnp.exp(
-                -dt * (0.5 * (nenergy + cenergy) - state.ref_energy))
+                -dt * (0.5 * (nenergy + e_prev) - state.ref_energy))
             nweight = jnp.where(valid, nweight, 0.0)
 
             new_state = State(
@@ -703,6 +746,13 @@ class Sampling:
                     (max_w, obd_spec.num_pos), dtype=dtype)
             if self.cm_diffusion_est and measure:
                 extra0["aux_cmd"] = jnp.zeros((max_w,), dtype=dtype)
+            if self.ref_compat:
+                # Slot-wise previous-step energies.  NOTE: at a block
+                # boundary this re-seeds from the post-diffusion
+                # energies (the slot history is exact within a block;
+                # :meth:`replay_states` runs one uninterrupted scan and
+                # is exact everywhere).
+                extra0["ref_eprev"] = state.energies
             varying = tuple(a for a in (axis_name, *extra_varying_axes)
                             if a is not None)
             if varying and extra0:
@@ -875,6 +925,64 @@ class Sampling:
         use :meth:`blocks` for production."""
         for block in self.blocks(ini_state, num_time_steps_block=1):
             yield block.last_state
+
+    def replay_states(self, ini_state: State, comb_u: np.ndarray,
+                      diffusion_noise: np.ndarray) -> dict:
+        """Run the DMC dynamics with *injected* noise — the
+        bit-comparable reference-replay mode (SURVEY §5 RNG discipline;
+        see :mod:`phd_qmclib_tpu.reference_replay`).
+
+        ``comb_u``: raw branching-comb uniforms, ``(nts, Wm)`` (slot
+        order; undrawn slots may hold anything — they cannot influence
+        the comb outcome).  ``diffusion_noise``: pre-scaled Gaussian
+        displacements ``~N(0, sigma)``, ``(nts, Wm, N)``.  Combine with
+        ``ref_compat=True`` to reproduce the reference's trajectories
+        exactly (the production step machinery is reused verbatim, so
+        the match certifies the production sampler).
+
+        Returns a dict of per-step arrays: ``num_walkers, energy,
+        weight, ref_energy, accum_energy`` (the yielded ensemble
+        scalars), ``pos, energies, weights`` (the post-diffusion
+        ensemble) and ``parent`` (the branching table).
+        """
+        if self.mesh is not None:
+            raise ValueError("replay_states is a single-device "
+                             "verification mode")
+        dtype = ini_state.pos.dtype
+        comb_u = jnp.asarray(comb_u, dtype=dtype)
+        xi = jnp.asarray(diffusion_noise, dtype=dtype)
+        step = self.make_step_fn(measure=False, injected_noise=True)
+        cfc = self._cast_params(dtype)
+        scalars = self._scalars(dtype)
+        extra0 = {}
+        if self.ref_compat:
+            extra0["ref_eprev"] = ini_state.energies
+
+        @jax.jit
+        def run(state, extra, comb_u, xi):
+            def body(carry, inputs):
+                st, ex = carry
+                idx, cu, x = inputs
+                parent, _ = branching_comb(st.weights, st.num_walkers,
+                                           u=cu)
+                new_state, new_extra, props, _ = step(
+                    st, ex, {"comb_u": cu, "xi": x}, idx, scalars, cfc)
+                energy, weight, nw, ref_e, accum_e = props
+                out = {
+                    "num_walkers": nw, "energy": energy,
+                    "weight": weight, "ref_energy": ref_e,
+                    "accum_energy": accum_e, "pos": new_state.pos,
+                    "energies": new_state.energies,
+                    "weights": new_state.weights, "parent": parent,
+                }
+                return (new_state, new_extra), out
+            steps = jnp.arange(comb_u.shape[0])
+            (final_state, _), out = jax.lax.scan(
+                body, (state, extra), (steps, comb_u, xi))
+            return final_state, out
+
+        _, out = run(ini_state, extra0, comb_u, xi)
+        return out
 
     def state_data_blocks(self, ini_state: State,
                           num_time_steps_block: int, thin: int = 1,

@@ -245,20 +245,17 @@ class Sampling:
         def _pmean(x):
             return jax.lax.pmean(x, axis_name) if axis_name else x
 
-        def step(carry: State, key, cfc, move_spread):
-            k_move, k_acc = jax.random.split(key)
+        def step_core(carry: State, disp, u, cfc):
+            """One Metropolis step given the pre-drawn noise.
+
+            Shared by the production (key-driven) path and the
+            injected-noise replay path (:meth:`replay_chain`), so both
+            perform identical arithmetic.
+            """
             pos = carry.pos
-            if gaussian:
-                disp = move_spread * jax.random.normal(
-                    k_move, pos.shape, dtype=pos.dtype)
-            else:
-                disp = move_spread * (jax.random.uniform(
-                    k_move, pos.shape, dtype=pos.dtype) - 0.5)
             prop = mrbp.recast(pos + disp, cfc)
 
             lp_prop, e_prop = funcs.log_psi_and_energy(prop, cfc)
-            u = jax.random.uniform(k_acc, carry.wf_abs_log.shape,
-                                   dtype=pos.dtype)
             # Metropolis condition, reference qmc_base/vmc.py:636.
             accept = lp_prop > 0.5 * jnp.log(u) + carry.wf_abs_log
 
@@ -288,6 +285,19 @@ class Sampling:
                    new_obd.sum(axis=0) if use_obd else 0.0)
             return new_state, out
 
+        def step(carry: State, key, cfc, move_spread):
+            k_move, k_acc = jax.random.split(key)
+            pos = carry.pos
+            if gaussian:
+                disp = move_spread * jax.random.normal(
+                    k_move, pos.shape, dtype=pos.dtype)
+            else:
+                disp = move_spread * (jax.random.uniform(
+                    k_move, pos.shape, dtype=pos.dtype) - 0.5)
+            u = jax.random.uniform(k_acc, carry.wf_abs_log.shape,
+                                   dtype=pos.dtype)
+            return step_core(carry, disp, u, cfc)
+
         def run_block(state: State, block_key, cfc, move_spread,
                       num_steps_block: int):
             if axis_name is not None:
@@ -304,6 +314,7 @@ class Sampling:
             return (final_state, PropsData(lps, es, accepts), ssf, obd,
                     accept_rate)
 
+        run_block.step_core = step_core
         return run_block
 
     @cached_property
@@ -380,6 +391,51 @@ class Sampling:
                                 float(accept_rate), state,
                                 obd if self.obd_est_spec else None)
             block_idx += 1
+
+    def replay_chain(self, ini_state: State, moves_u: np.ndarray,
+                     accept_u: np.ndarray):
+        """Drive the sampler with *injected* noise instead of
+        ``jax.random`` draws — the bit-comparable reference-replay mode
+        (SURVEY §5 RNG discipline; see
+        :mod:`phd_qmclib_tpu.reference_replay`).
+
+        ``moves_u``: raw uniforms of the per-particle move draws, shape
+        ``(nts, N)`` for a single chain or ``(nts, W, N)`` batched.
+        ``accept_u``: raw Metropolis uniforms, shape ``(nts,)`` or
+        ``(nts, W)``.  The displacement/acceptance arithmetic is the
+        production step's own (``make_run_block.step_core``), so a
+        trajectory match against the NumPy replay certifies the
+        production sampler.
+
+        Returns ``(pos (nts, W, N), wf_abs_log (nts, W),
+        accepted (nts, W))`` — the post-step chain states.
+        """
+        moves_u = jnp.asarray(moves_u, dtype=ini_state.pos.dtype)
+        accept_u = jnp.asarray(accept_u, dtype=ini_state.pos.dtype)
+        if moves_u.ndim == 2:
+            moves_u = moves_u[:, None, :]
+        if accept_u.ndim == 1:
+            accept_u = accept_u[:, None]
+        step_core = self.make_run_block().step_core
+        cfc = self._cast_params(ini_state.pos.dtype)
+        move_spread = jnp.asarray(self.move_spread,
+                                  dtype=ini_state.pos.dtype)
+
+        @jax.jit
+        def run(state, moves_u, accept_u):
+            def body(carry, noise):
+                mu, au = noise
+                if self.gaussian:
+                    disp = move_spread * mu
+                else:
+                    disp = move_spread * (mu - 0.5)
+                new_state, _ = step_core(carry, disp, au, cfc)
+                return new_state, (new_state.pos, new_state.wf_abs_log,
+                                   new_state.move_stat)
+            _, traj = jax.lax.scan(body, state, (moves_u, accept_u))
+            return traj
+
+        return run(ini_state, moves_u, accept_u)
 
     def as_chain(self, num_steps: int, ini_state: State) -> SamplingBlock:
         """The VMC sampling as a single block of ``num_steps`` steps
