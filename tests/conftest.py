@@ -20,3 +20,30 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Build the native reblocking cascade if it is missing or stale, so the
+# native path is always exercised (a silently-skipped native test is an
+# unverified native path).  Fails loudly if the toolchain is broken.
+def _ensure_native_built():
+    import subprocess
+
+    root = os.path.join(os.path.dirname(__file__), os.pardir)
+    src = os.path.join(root, "csrc", "reblock.cpp")
+    out = os.path.join(root, "phd_qmclib_tpu", "_native",
+                       "libreblock.so")
+    if os.path.exists(out) and \
+            os.path.getmtime(out) >= os.path.getmtime(src):
+        return
+    subprocess.run(["make", "-C", os.path.join(root, "csrc")],
+                   check=True, capture_output=True)
+
+
+_ensure_native_built()
+
+# Persistent XLA compilation cache: the suite compiles hundreds of
+# (mostly identical across runs) CPU executables; caching them on disk
+# cuts repeat-run wall time substantially on this 1-CPU host.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), os.pardir,
+                               ".jax_cache_cpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)

@@ -3,13 +3,14 @@ specs (the kind of coverage the reference lacks entirely)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from phd_qmclib_tpu.models import mrbp
 
 
-def test_invariants_over_random_specs():
+def _run_invariants(num_specs):
     rng = np.random.default_rng(20260816)
-    for trial in range(12):
+    for trial in range(num_specs):
         v0 = float(rng.uniform(0.5, 80.0))
         r = float(rng.uniform(0.2, 3.0))
         gn = float(rng.uniform(0.05, 20.0))
@@ -45,3 +46,13 @@ def test_invariants_over_random_specs():
         e_shift = funcs.energy(mrbp.recast(pos + 1.0, cfc), cfc)
         np.testing.assert_allclose(np.asarray(e_shift),
                                    np.asarray(e), rtol=1e-9)
+
+
+@pytest.mark.slow
+def test_invariants_over_random_specs():
+    _run_invariants(num_specs=12)
+
+
+def test_invariants_quick_fuzz():
+    """Fast-tier fuzz: a 3-spec subsample of the slow sweep."""
+    _run_invariants(num_specs=3)

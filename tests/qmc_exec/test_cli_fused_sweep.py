@@ -46,6 +46,7 @@ def _config(tmp_path, fused: bool, subdir: str):
     return path, out
 
 
+@pytest.mark.slow
 def test_fused_sweep_config_matches_sequential(tmp_path):
     fused_cfg, fused_dir = _config(tmp_path, True, "fused")
     seq_cfg, seq_dir = _config(tmp_path, False, "seq")

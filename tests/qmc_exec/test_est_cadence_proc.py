@@ -35,6 +35,7 @@ def _exec(proc):
     return proc.exec(inp)
 
 
+@pytest.mark.slow
 def test_mixed_cadence_mean_matches_series_subsample():
     full = _exec(_proc(1, keep=True, as_pure=False))
     cad = _exec(_proc(K, keep=False, as_pure=False))
@@ -56,6 +57,7 @@ def test_mixed_cadence_mean_matches_series_subsample():
 
 
 @pytest.mark.parametrize("as_pure", [False, True])
+@pytest.mark.slow
 def test_keep_iter_invariant_at_cadence(as_pure):
     on = _exec(_proc(K, keep=True, as_pure=as_pure))
     off = _exec(_proc(K, keep=False, as_pure=as_pure))

@@ -31,6 +31,7 @@ def _input(proc):
         dmc_exec.ModelSysConfSpec(dist_type="RANDOM"), proc)
 
 
+@pytest.mark.slow
 def test_fused_exec_matches_standalone_rows():
     procs = tuple(_proc(gn) for gn in GNS)
     inputs = [_input(p) for p in procs]
@@ -66,3 +67,18 @@ def test_sweep_proc_validation():
     with pytest.raises(ValueError, match="one ProcInput"):
         procs = tuple(_proc(gn) for gn in GNS)
         SweepProc(procs).exec([_input(procs[0])])
+
+
+def test_fused_exec_smoke():
+    """Fast-tier coverage: a tiny fused SweepProc run produces one
+    finite, well-formed result per row (the exact row-by-row
+    equivalence gate is the ``slow`` test above)."""
+    procs = tuple(_proc(gn, num_blocks=2, num_time_steps_block=6,
+                        burn_in_blocks=0, density_spec=None,
+                        ssf_spec=None, obd_spec=None)
+                  for gn in GNS)
+    results = SweepProc(procs).exec([_input(p) for p in procs])
+    assert len(results) == len(GNS)
+    es = [r.data.blocks.energy.mean / 6 for r in results]
+    assert all(np.isfinite(e) for e in es)
+    assert es[0] < es[1]  # monotone EOS in gn

@@ -48,6 +48,7 @@ def _measure(v0, gn, nts, nblocks, dt=2e-3, walkers=256, seed=11):
         dt, np.stack(cmds), np.stack(nws), NOP)
 
 
+@pytest.mark.slow
 def test_galilean_invariance_flat_interacting_gas():
     # No lattice, strong interactions: the pair drift is antisymmetric
     # so the total drift cancels walker by walker; the CM random walk

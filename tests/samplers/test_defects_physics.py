@@ -10,6 +10,7 @@ density must flow INTO the weak defect barriers relative to the
 regular ones, and the energy must drop below the clean lattice's.
 """
 import numpy as np
+import pytest
 
 from phd_qmclib_tpu.models import mrbp
 from phd_qmclib_tpu.samplers import dmc
@@ -21,6 +22,7 @@ DEFECT_V = 1.0
 BINS = 64
 
 
+@pytest.mark.slow
 def test_dmc_density_flows_into_weak_defect_barriers():
     spec = mrbp.Spec(lattice_depth=V0, lattice_ratio=1.0,
                      interaction_strength=0.5, boson_number=NOP,

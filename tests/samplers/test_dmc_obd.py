@@ -58,6 +58,7 @@ def test_block_shapes_and_normalization(pure):
     assert np.all(obd > 0.0)
 
 
+@pytest.mark.slow
 def test_ideal_gas_pure_equals_mixed_equals_analytic():
     # Ideal gas: f1 is the exact ground state, so the mixed and the
     # pure (forward-walking) estimators must both equal the analytic

@@ -71,6 +71,7 @@ class TestShardedDmc:
         e_per = float(b.iter_props.accum_energy[-1]) / NOP
         assert e0 - 0.5 < e_per < e0 + 2.0
 
+    @pytest.mark.slow
     def test_sharded_matches_single_device_statistically(self, mesh):
         # Same physics on 1 vs 8 devices: growth energies agree within
         # combined statistical error.

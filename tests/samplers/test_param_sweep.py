@@ -47,6 +47,7 @@ def test_static_structure_enforced(sweep_mesh):
         ParamSweep(tuple(rows), sweep_mesh)
 
 
+@pytest.mark.slow
 def test_sweep_matches_sequential_rows(sweep_mesh):
     """The fused 2-D dispatch reproduces each coupling's sequential
     sharded run exactly (same seed, same per-shard key folds)."""
@@ -95,6 +96,7 @@ def test_sweep_matches_sequential_rows(sweep_mesh):
     assert np.all(np.diff(e_per_n) > 0), e_per_n
 
 
+@pytest.mark.slow
 def test_sweep_carries_estimators_including_obdm(sweep_mesh):
     """Estimator outputs (density, S(k), OBDM — mixed and pure) flow
     through the fused sweep dispatch and match each row's standalone
@@ -140,6 +142,7 @@ def test_sweep_carries_estimators_including_obdm(sweep_mesh):
     assert np.all(n1[:, 0] > 0)
 
 
+@pytest.mark.slow
 def test_vmap_fused_sweep_matches_sequential_rows():
     """mesh=None: rows vmap-fused on one device must reproduce each
     row's standalone single-device run bit-for-bit (same seed, same
@@ -198,6 +201,7 @@ def test_sweep_build_states_layout(sweep_mesh):
             assert not sl[:7].any() and sl[7:].all()
 
 
+@pytest.mark.slow
 def test_vmc_sweep_matches_sequential_rows():
     """VmcSweep: rows vmap-fused on one device reproduce each row's
     standalone run bit-for-bit (same seed, same key folds)."""
@@ -254,3 +258,21 @@ def test_vmc_sweep_validation():
                          num_walkers=32))
     with pytest.raises(ValueError, match="chain count"):
         VmcSweep(rows)
+
+
+def test_sweep_exec_smoke(sweep_mesh):
+    """Fast-tier coverage of the fused sweep execution path (the full
+    bit-exactness gates are the ``slow``-marked tests above)."""
+    rows = tuple(dmc.Sampling(_spec(gn), 1e-3, 32, 16, rng_seed=3)
+                 for gn in GNS)
+    sweep = ParamSweep(rows, sweep_mesh)
+    state = sweep.build_states(
+        [_confs(s.model_spec, 16) for s in rows])
+    block = next(sweep.blocks(state, 4))
+    e = np.asarray(block.iter_props.energy, dtype=np.float64)
+    w = np.asarray(block.iter_props.weight, dtype=np.float64)
+    assert e.shape == (4, len(GNS))
+    e_per_n = e[-1] / w[-1] / 8
+    assert np.all(np.isfinite(e_per_n))
+    # Equation of state is monotone in the coupling.
+    assert np.all(np.diff(e_per_n) > 0), e_per_n

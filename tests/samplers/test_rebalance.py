@@ -128,6 +128,7 @@ def test_sharded_run_recovers_from_imbalance(model_spec, mesh):
     assert np.isfinite(e_per_n) and 0.0 < e_per_n < 30.0
 
 
+@pytest.mark.slow
 def test_rebalancing_is_statistically_unbiased(model_spec, mesh):
     """Same sampling with and without rebalancing: the estimated
     energies agree within the combined statistical error."""

@@ -142,6 +142,7 @@ class TestSamplerEstimator:
         assert confs.shape == (4, 8, NOP)
         assert block.last_state.obd_parts.shape == (8, 3)
 
+    @pytest.mark.slow
     def test_strong_coupling_equilibrium_bound(self):
         # Cauchy-Schwarz: n1(sz) <= 1 in equilibrium.  The ratio
         # estimator is heavy-tailed out of equilibrium (a near-contact
