@@ -16,6 +16,7 @@ any continuous parameter (coupling, lattice depth, time step, ...) as
 long as the STATIC structure (boson number, defect layout, ideal/free
 flags, estimator shapes) is shared — enforced at construction.
 """
+import dataclasses
 import typing as t
 from dataclasses import dataclass
 from functools import cached_property
@@ -68,7 +69,8 @@ class ParamSweep:
                     or s.ssf_est_spec != ref.ssf_est_spec
                     or s.obd_est_spec != ref.obd_est_spec
                     or s.est_every != ref.est_every
-                    or s.cm_diffusion_est != ref.cm_diffusion_est):
+                    or s.cm_diffusion_est != ref.cm_diffusion_est
+                    or s.cm_window_blocks != ref.cm_window_blocks):
                 raise ValueError("all sweep rows must use the same "
                                  "estimator specs")
         if self.mesh is None:
@@ -101,14 +103,8 @@ class ParamSweep:
             # exact per-shard layout of a standalone sharded run (bit
             # reproducibility of each row); mesh=None (vmap fusion)
             # keeps the single-device layout.
-            row = dmc.Sampling(
-                sampling.model_spec, sampling.time_step,
-                sampling.max_num_walkers, sampling.target_num_walkers,
-                sampling.num_walkers_control_factor, sampling.rng_seed,
-                density_est_spec=sampling.density_est_spec,
-                ssf_est_spec=sampling.ssf_est_spec,
-                obd_est_spec=sampling.obd_est_spec, mesh=self.mesh,
-                mesh_axis=self.walker_axis)
+            row = dataclasses.replace(sampling, mesh=self.mesh,
+                                      mesh_axis=self.walker_axis)
             states.append(row.build_state(confs, dtype=dtype))
         return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
 
@@ -157,7 +153,9 @@ class ParamSweep:
             masks=row_spec(True), energy=P(sweep), weight=P(sweep),
             num_walkers=row_spec(True), ref_energy=P(sweep),
             accum_energy=P(sweep), total_energy=P(sweep),
-            total_weight=P(sweep))
+            total_weight=P(sweep),
+            cmd_accum=(row_spec(True)
+                       if self.samplings[0].cm_diffusion_est else None))
         props_spec = PropsData(*(P(None, sweep) for _ in range(5)))
 
         def per_shard(state, block_keys, scalars, cfc,
@@ -224,8 +222,19 @@ class ParamSweep:
         cfc = self._stacked_cfc(dtype)
         state = ini_state
         block_idx = 0
+        cmd_window = self.samplings[0].cm_window_blocks
         fold = jax.vmap(jax.random.fold_in, in_axes=(0, None))
         while True:
+            if self.samplings[0].cm_diffusion_est:
+                # Same CM-diffusion window policy as the per-row
+                # sampler (Sampling.blocks): reset at the first
+                # measured block and every cm_window_blocks after.
+                measured_idx = block_idx - burn_in_blocks
+                if measured_idx == 0 or (
+                        cmd_window and measured_idx > 0
+                        and measured_idx % cmd_window == 0):
+                    state = state._replace(
+                        cmd_accum=jnp.zeros_like(state.cmd_accum))
             block_keys = fold(base_keys,
                               int(block_offset) + block_idx)
             state, props, est = self._block_fn(

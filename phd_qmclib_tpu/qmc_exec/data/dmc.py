@@ -16,6 +16,7 @@ import numpy as np
 from ...stats import reblock
 
 __all__ = [
+    "CMDiffusionBlocks",
     "DensityBlocks",
     "EnergyBlocks",
     "NumWalkersBlocks",
@@ -462,6 +463,75 @@ class SSFBlocks:
 
 
 @dataclass(frozen=True)
+class CMDiffusionBlocks:
+    """Center-of-mass imaginary-time diffusion windows.
+
+    The DMC sampler accumulates each walker's ancestry-transported CM
+    displacement ``W_cm`` over measurement windows of
+    ``window_blocks * num_time_steps_block`` steps
+    (``samplers.dmc.Sampling.cm_diffusion_est`` /
+    ``cm_window_blocks``); this class stores the ensemble-averaged
+    ``<W_cm^2>(tau)`` series of every window and derives the
+    superfluid fraction / inverse effective mass ``m/m*`` from the
+    long-``tau`` diffusion slope (exact targets:
+    ``ideal.effective_mass_ratio`` for the ideal lattice gas; 1 for
+    any gas without a lattice).  No reference analog — the reference
+    has no transport observable at all.
+    """
+    #: ``(num_windows, window_len)`` ensemble ``<W_cm^2>`` per
+    #: measured step.
+    w2_series: np.ndarray
+    #: Imaginary-time spacing between consecutive series entries
+    #: (``est_every * time_step``).
+    tau_step: float
+    boson_number: int
+
+    @property
+    def num_windows(self) -> int:
+        return self.w2_series.shape[0]
+
+    @property
+    def tau_grid(self) -> np.ndarray:
+        """Imaginary times of the series entries."""
+        n = self.w2_series.shape[1]
+        return (np.arange(n) + 1.0) * self.tau_step
+
+    def effective_mass_ratio(self, fit_fraction: float = 0.5):
+        """``(m/m*, fit_err)`` from the mean-window diffusion slope:
+        ``m/m* = N * d<W_cm^2>/dtau / 2``
+        (see ``analysis.effective_mass_from_cm_diffusion``)."""
+        w2 = self.w2_series.mean(axis=0)
+        tau = self.tau_grid
+        start = int(round((1.0 - fit_fraction) * len(tau)))
+        coeffs, cov = np.polyfit(tau[start:], w2[start:], 1, cov=True)
+        half_n = 0.5 * self.boson_number
+        return (half_n * coeffs[0],
+                half_n * float(np.sqrt(cov[0, 0])))
+
+    def hdf5_export(self, group: h5py.Group):
+        group.create_dataset("w2_series", data=np.asarray(self.w2_series))
+        group.attrs["tau_step"] = self.tau_step
+        group.attrs["boson_number"] = self.boson_number
+
+    @classmethod
+    def from_hdf5_data(cls, group: h5py.Group):
+        return cls(group.get("w2_series")[()],
+                   float(group.attrs["tau_step"]),
+                   int(group.attrs["boson_number"]))
+
+    def __add__(self, other: "CMDiffusionBlocks") -> "CMDiffusionBlocks":
+        if not isinstance(other, CMDiffusionBlocks):
+            raise TypeError("'other' must be a CMDiffusionBlocks")
+        if other.w2_series.shape[1] != self.w2_series.shape[1] \
+                or other.tau_step != self.tau_step:
+            raise ValueError("cannot merge CM-diffusion data with "
+                             "different window shapes")
+        return CMDiffusionBlocks(
+            np.concatenate([self.w2_series, other.w2_series]),
+            self.tau_step, self.boson_number)
+
+
+@dataclass(frozen=True)
 class PropsDataSeries:
     """Full per-step data series (``keep_iter_data`` mode).
 
@@ -473,6 +543,9 @@ class PropsDataSeries:
     ssf: t.Optional[np.ndarray] = None
     density: t.Optional[np.ndarray] = None
     obd: t.Optional[np.ndarray] = None
+    #: ``(num_blocks, nts_measured, 2)`` raw per-step CM-diffusion
+    #: accumulators ``[sum W^2, sum W]``.
+    cmd: t.Optional[np.ndarray] = None
 
     @property
     def energy(self):
@@ -505,6 +578,8 @@ class PropsDataSeries:
             group.create_dataset("density", data=np.asarray(self.density))
         if self.obd is not None:
             group.create_dataset("one_body_dm", data=np.asarray(self.obd))
+        if self.cmd is not None:
+            group.create_dataset("cm_diffusion", data=np.asarray(self.cmd))
 
     @classmethod
     def from_hdf5_data(cls, group: h5py.Group):
@@ -514,11 +589,13 @@ class PropsDataSeries:
         ssf_ds = group.get("ss_factor")
         density_ds = group.get("density")
         obd_ds = group.get("one_body_dm")
+        cmd_ds = group.get("cm_diffusion")
         return cls(iter_props,
                    ssf=ssf_ds[()] if ssf_ds is not None else None,
                    density=density_ds[()]
                    if density_ds is not None else None,
-                   obd=obd_ds[()] if obd_ds is not None else None)
+                   obd=obd_ds[()] if obd_ds is not None else None,
+                   cmd=cmd_ds[()] if cmd_ds is not None else None)
 
 
 @dataclass(frozen=True)
@@ -531,6 +608,7 @@ class PropsDataBlocks:
     density: t.Optional[DensityBlocks] = None
     ss_factor: t.Optional[SSFBlocks] = None
     one_body_dm: t.Optional[OBDBlocks] = None
+    cm_diffusion: t.Optional[CMDiffusionBlocks] = None
 
     def hdf5_export(self, group: h5py.Group):
         self.energy.hdf5_export(group.require_group("energy"))
@@ -543,6 +621,9 @@ class PropsDataBlocks:
         if self.one_body_dm is not None:
             self.one_body_dm.hdf5_export(
                 group.require_group("one_body_dm"))
+        if self.cm_diffusion is not None:
+            self.cm_diffusion.hdf5_export(
+                group.require_group("cm_diffusion"))
 
     @classmethod
     def from_hdf5_data(cls, group: h5py.Group):
@@ -559,8 +640,11 @@ class PropsDataBlocks:
         obd_group = group.get("one_body_dm")
         one_body_dm = OBDBlocks.from_hdf5_data(obd_group) \
             if obd_group is not None else None
+        cmd_group = group.get("cm_diffusion")
+        cm_diffusion = CMDiffusionBlocks.from_hdf5_data(cmd_group) \
+            if cmd_group is not None else None
         return cls(energy, weight, num_walkers, density, ss_factor,
-                   one_body_dm)
+                   one_body_dm, cm_diffusion)
 
     def merge(self, other: "PropsDataBlocks") -> "PropsDataBlocks":
         """Concatenate block data from a continuation run."""
@@ -582,10 +666,15 @@ class PropsDataBlocks:
             obd = other.one_body_dm
         elif other.one_body_dm is not None:
             obd = obd + other.one_body_dm
+        cmd = self.cm_diffusion
+        if cmd is None:
+            cmd = other.cm_diffusion
+        elif other.cm_diffusion is not None:
+            cmd = cmd + other.cm_diffusion
         return PropsDataBlocks(self.energy + other.energy,
                                self.weight + other.weight,
                                self.num_walkers + other.num_walkers,
-                               density, ssf, obd)
+                               density, ssf, obd, cmd)
 
 
 @dataclass(frozen=True)

@@ -21,6 +21,7 @@ from .logging import exec_logger
 from ..constants import ER
 
 __all__ = [
+    "CMDiffusionEstSpec",
     "DensityEstSpec",
     "ModelSysConfSpec",
     "OBDEstSpec",
@@ -33,6 +34,7 @@ __all__ = [
 DensityEstSpec = proc_base.DensityEstSpec
 SSFEstSpec = proc_base.SSFEstSpec
 OBDEstSpec = proc_base.OBDEstSpec
+CMDiffusionEstSpec = proc_base.CMDiffusionEstSpec
 ModelSysConfSpec = proc_base.ModelSysConfSpec
 
 
@@ -95,6 +97,9 @@ class Proc(proc_base.Proc):
     density_spec: t.Optional[DensityEstSpec] = None
     ssf_spec: t.Optional[SSFEstSpec] = None
     obd_spec: t.Optional[OBDEstSpec] = None
+    #: Center-of-mass imaginary-time diffusion (superfluid fraction /
+    #: effective mass); see :class:`CMDiffusionEstSpec`.
+    cm_diffusion_spec: t.Optional[CMDiffusionEstSpec] = None
     #: Compute dtype on device ("float32" for TPU, "float64" on CPU).
     dtype: str = "float32"
     #: Multi-chip: shard walkers over this many local devices (None =
@@ -151,6 +156,34 @@ class Proc(proc_base.Proc):
         if self.num_time_steps_block % self.est_every:
             raise ValueError("num_time_steps_block must be divisible "
                              "by est_every")
+        if self.cm_diffusion_spec is not None:
+            wb = self.cm_diffusion_spec.window_blocks
+            if wb is not None:
+                wb = int(wb)
+                measured = self.num_blocks
+                if wb < 1 or measured % wb:
+                    raise ValueError(
+                        "cm_diffusion_spec.window_blocks must divide "
+                        "num_blocks")
+        for name, spec in (("density_spec", self.density_spec),
+                           ("ssf_spec", self.ssf_spec),
+                           ("obd_spec", self.obd_spec)):
+            pfw = getattr(spec, "pfw_num_time_steps", None)
+            if pfw is None:
+                continue
+            pfw = int(pfw)
+            if not spec.as_pure_est:
+                raise ValueError(
+                    f"{name}: pfw_num_time_steps only applies to pure "
+                    f"(forward-walking) estimators")
+            if not 0 < pfw <= self.num_time_steps_block:
+                raise ValueError(
+                    f"{name}: pfw_num_time_steps must be in "
+                    f"(0, num_time_steps_block]")
+            if pfw % self.est_every:
+                raise ValueError(
+                    f"{name}: pfw_num_time_steps must be divisible by "
+                    f"est_every")
 
     # -- config plumbing -----------------------------------------------------
 
@@ -176,17 +209,17 @@ class Proc(proc_base.Proc):
         density_spec = DensityEstSpec(**density_config) \
             if density_config is not None else None
         ssf_config = self_config.pop("ssf_spec", None)
-        if ssf_config is not None:
-            ssf_config = dict(ssf_config)
-            ssf_config.pop("pfw_num_time_steps", None)
-            ssf_spec = SSFEstSpec(**ssf_config)
-        else:
-            ssf_spec = None
+        ssf_spec = SSFEstSpec(**ssf_config) \
+            if ssf_config is not None else None
         obd_config = self_config.pop("obd_spec", None)
         obd_spec = OBDEstSpec(**obd_config) \
             if obd_config is not None else None
+        cmd_config = self_config.pop("cm_diffusion_spec", None)
+        cm_diffusion_spec = CMDiffusionEstSpec(**cmd_config) \
+            if cmd_config is not None else None
         return cls(model_spec=model_spec, density_spec=density_spec,
-                   ssf_spec=ssf_spec, obd_spec=obd_spec, **self_config)
+                   ssf_spec=ssf_spec, obd_spec=obd_spec,
+                   cm_diffusion_spec=cm_diffusion_spec, **self_config)
 
     def as_config(self) -> dict:
         config = {
@@ -216,20 +249,26 @@ class Proc(proc_base.Proc):
             "rebalance_every": self.rebalance_every,
             "est_every": self.est_every,
         }
+        def _est_config(spec, size_key, size_val):
+            est = {size_key: size_val, "as_pure_est": spec.as_pure_est}
+            if spec.pfw_num_time_steps is not None:
+                est["pfw_num_time_steps"] = spec.pfw_num_time_steps
+            return est
+
         if self.density_spec is not None:
-            config["density_spec"] = {
-                "num_bins": self.density_spec.num_bins,
-                "as_pure_est": self.density_spec.as_pure_est,
-            }
+            config["density_spec"] = _est_config(
+                self.density_spec, "num_bins", self.density_spec.num_bins)
         if self.ssf_spec is not None:
-            config["ssf_spec"] = {
-                "num_modes": self.ssf_spec.num_modes,
-                "as_pure_est": self.ssf_spec.as_pure_est,
-            }
+            config["ssf_spec"] = _est_config(
+                self.ssf_spec, "num_modes", self.ssf_spec.num_modes)
         if self.obd_spec is not None:
-            config["obd_spec"] = {
-                "num_pos": self.obd_spec.num_pos,
-                "as_pure_est": self.obd_spec.as_pure_est,
+            config["obd_spec"] = _est_config(
+                self.obd_spec, "num_pos", self.obd_spec.num_pos)
+        if self.cm_diffusion_spec is not None:
+            config["cm_diffusion_spec"] = {
+                # 0 encodes "whole run" (None is not an HDF5 attr).
+                "window_blocks":
+                    self.cm_diffusion_spec.window_blocks or 0,
             }
         return {k: v for k, v in config.items() if v is not None}
 
@@ -256,31 +295,45 @@ class Proc(proc_base.Proc):
 
     # -- sampling ------------------------------------------------------------
 
+    @property
+    def should_eval_cm_diffusion(self) -> bool:
+        return self.cm_diffusion_spec is not None
+
+    def _pfw(self, spec) -> int:
+        """Pure-estimator forward-walking window: the configured
+        ``pfw_num_time_steps``, default one block (the reference's only
+        behavior, ``mrbp_qmc/dmc_exec/proc.py:331-365``)."""
+        return int(spec.pfw_num_time_steps
+                   or self.num_time_steps_block)
+
     @cached_property
     def sampling(self) -> dmc_sampler.Sampling:
-        """The bound sampler; the pure-estimator forward-walking window
-        is one block (``mrbp_qmc/dmc_exec/proc.py:331-365``)."""
-        pfw_num_time_steps = self.num_time_steps_block
+        """The bound sampler (``mrbp_qmc/dmc_exec/proc.py:331-365``)."""
         density_est_spec = dmc_sampler.DensityEstSpec(
             self.density_spec.num_bins, self.density_spec.as_pure_est,
-            pfw_num_time_steps) if self.should_eval_density else None
+            self._pfw(self.density_spec)) \
+            if self.should_eval_density else None
         ssf_est_spec = dmc_sampler.SSFEstSpec(
             self.ssf_spec.num_modes, self.ssf_spec.as_pure_est,
-            pfw_num_time_steps) if self.should_eval_ssf else None
+            self._pfw(self.ssf_spec)) if self.should_eval_ssf else None
         obd_est_spec = dmc_sampler.OBDEstSpec(
             self.obd_spec.num_pos, self.obd_spec.as_pure_est,
-            pfw_num_time_steps) if self.should_eval_obd else None
+            self._pfw(self.obd_spec)) if self.should_eval_obd else None
         mesh = None
         if self.num_mesh_devices is not None:
             from ..parallel import make_walker_mesh
             mesh = make_walker_mesh(self.num_mesh_devices or None)
+        cmd = self.cm_diffusion_spec
         return dmc_sampler.Sampling(
             self.model_spec, self.time_step, self.max_num_walkers,
             self.target_num_walkers, self.num_walkers_control_factor,
             self.rng_seed, density_est_spec=density_est_spec,
             ssf_est_spec=ssf_est_spec, obd_est_spec=obd_est_spec,
             mesh=mesh, rebalance_every=self.rebalance_every,
-            est_every=self.est_every)
+            est_every=self.est_every,
+            cm_diffusion_est=cmd is not None,
+            cm_window_blocks=(cmd.window_blocks
+                              if cmd is not None else 1))
 
     def describe_model_spec(self):
         spec = self.model_spec
@@ -374,6 +427,7 @@ class Proc(proc_base.Proc):
         should_eval_density = self.should_eval_density
         should_eval_ssf = self.should_eval_ssf
         should_eval_obd = self.should_eval_obd
+        should_eval_cmd = self.should_eval_cm_diffusion
 
         if not isinstance(proc_input, ProcInput):
             raise proc_base.ProcInputError(
@@ -462,7 +516,10 @@ class Proc(proc_base.Proc):
                           if should_eval_ssf else None),
                 iter_obd=(np.asarray(block_data.iter_obd,
                                      dtype=np.float64)
-                          if should_eval_obd else None))
+                          if should_eval_obd else None),
+                iter_cmd=(np.asarray(block_data.iter_cmd,
+                                     dtype=np.float64)
+                          if should_eval_cmd else None))
 
             if self.checkpoint_file is not None and \
                     (block_idx + 1) % self.checkpoint_every == 0:
@@ -524,6 +581,15 @@ class _BlockAccumulator:
         if proc.should_eval_obd:
             self.obd_blocks_data = np.zeros(
                 est_shape + (proc.obd_spec.num_pos,))
+        self.cmd_w2_data = None
+        self.cmd_raw_data = None
+        if proc.should_eval_cm_diffusion:
+            # Ensemble <W_cm^2> per measured step, per block; windows
+            # are stitched from consecutive blocks in package().
+            self.cmd_w2_data = np.zeros((num_blocks, num_measured))
+            if keep:
+                self.cmd_raw_data = np.zeros(
+                    (num_blocks, num_measured, 2))
         self.pure_est_reduce_factor = np.ones(num_blocks)
         # Mixed-estimator normalization under a measurement cadence:
         # the sum of the measured steps\' weights per block.
@@ -532,11 +598,18 @@ class _BlockAccumulator:
 
     def add(self, block_idx: int, energy, weight, num_walkers,
             ref_energy, accum_energy, iter_density=None, iter_ssf=None,
-            iter_obd=None):
+            iter_obd=None, iter_cmd=None):
         """Fold one block's per-step arrays (shape ``(nts, ...)``)."""
         proc = self.proc
         props = self.props
         nts_block = proc.num_time_steps_block
+        if iter_cmd is not None:
+            # Normalize per measured step: <W_cm^2> = sum W^2 / nw.
+            nw_meas = np.asarray(num_walkers, dtype=np.float64)[
+                proc.est_every - 1::proc.est_every]
+            self.cmd_w2_data[block_idx] = iter_cmd[:, 0] / nw_meas
+            if self.cmd_raw_data is not None:
+                self.cmd_raw_data[block_idx] = iter_cmd
         if proc.keep_iter_data:
             props["energy"][block_idx] = energy
             props["weight"][block_idx] = weight
@@ -608,11 +681,20 @@ class _BlockAccumulator:
             proc.obd_spec.as_pure_est, factor, **est_kw) \
             if proc.should_eval_obd else None
 
+        cmd_blocks = None
+        if proc.should_eval_cm_diffusion:
+            wb = proc.cm_diffusion_spec.window_blocks or proc.num_blocks
+            num_windows = proc.num_blocks // wb
+            w2 = self.cmd_w2_data.reshape(num_windows, -1)
+            cmd_blocks = dmc_data.CMDiffusionBlocks(
+                w2, tau_step=proc.est_every * proc.time_step,
+                boson_number=proc.model_spec.boson_number)
+
         data_blocks = dmc_data.PropsDataBlocks(
             energy_blocks, weight_blocks, num_walkers_blocks,
-            density_blocks, ssf_blocks, obd_blocks)
+            density_blocks, ssf_blocks, obd_blocks, cmd_blocks)
         data_series = dmc_data.PropsDataSeries(
             props_data, self.ssf_blocks_data, self.density_blocks_data,
-            self.obd_blocks_data) \
+            self.obd_blocks_data, self.cmd_raw_data) \
             if proc.keep_iter_data else None
         return dmc_data.SamplingData(data_blocks, data_series)

@@ -130,6 +130,10 @@ class HDF5FileHandler(IOHandler, metaclass=ABCMeta):
         obd_group = group.get("obd_spec")
         if obd_group is not None:
             proc_config["obd_spec"] = dict(obd_group.attrs.items())
+        cmd_group = group.get("cm_diffusion_spec")
+        if cmd_group is not None:
+            proc_config["cm_diffusion_spec"] = dict(
+                cmd_group.attrs.items())
         proc_config.update(group.attrs.items())
         # h5py returns numpy scalars/bytes; normalize.
         proc_config = _normalize_h5_config(proc_config)
@@ -151,6 +155,10 @@ class HDF5FileHandler(IOHandler, metaclass=ABCMeta):
         obd_config = config.pop("obd_spec", None)
         if obd_config is not None:
             group.require_group("obd_spec").attrs.update(**obd_config)
+        cmd_config = config.pop("cm_diffusion_spec", None)
+        if cmd_config is not None:
+            group.require_group("cm_diffusion_spec").attrs.update(
+                **{k: v for k, v in cmd_config.items() if v is not None})
         group.attrs.update(config)
 
     @abstractmethod

@@ -42,24 +42,58 @@ class ModelSysConfSpec:
 
 @dataclass(frozen=True)
 class DensityEstSpec:
-    """Density estimator config (``mrbp_qmc/dmc_exec/proc.py:70-79``)."""
+    """Density estimator config (``mrbp_qmc/dmc_exec/proc.py:70-79``).
+
+    ``pfw_num_time_steps``: pure-estimator forward-walking window in
+    time steps, up to one block; ``None`` uses a whole block.  The
+    reference silently discards this key and always pins the window to
+    one block (``mrbp_qmc/dmc_exec/proc.py:274, 337``) — but longer
+    windows within the block budget measurably reduce the residual
+    mixed-estimator bias (BASELINE.md, TG S(k) study), so it is a real
+    knob here.
+    """
     num_bins: int
     as_pure_est: bool = True
+    pfw_num_time_steps: t.Optional[int] = None
 
 
 @dataclass(frozen=True)
 class SSFEstSpec:
-    """S(k) estimator config (``mrbp_qmc/dmc_exec/proc.py:82-91``)."""
+    """S(k) estimator config (``mrbp_qmc/dmc_exec/proc.py:82-91``).
+    See :class:`DensityEstSpec` for ``pfw_num_time_steps``."""
     num_modes: int
     as_pure_est: bool = True
+    pfw_num_time_steps: t.Optional[int] = None
 
 
 @dataclass(frozen=True)
 class OBDEstSpec:
     """One-body density matrix estimator config (beyond the reference,
-    which stubs the OBDM machinery out - ``qmc_base/vmc.py:444-450``)."""
+    which stubs the OBDM machinery out - ``qmc_base/vmc.py:444-450``).
+    See :class:`DensityEstSpec` for ``pfw_num_time_steps``."""
     num_pos: int
     as_pure_est: bool = True
+    pfw_num_time_steps: t.Optional[int] = None
+
+
+@dataclass(frozen=True)
+class CMDiffusionEstSpec:
+    """Center-of-mass imaginary-time diffusion (superfluid fraction /
+    effective mass) estimator config.  No reference analog.
+
+    ``window_blocks``: measurement-window length in blocks (the CM
+    accumulator persists across block boundaries within a window, so
+    ``tau`` reaches ``window_blocks * num_time_steps_block *
+    time_step``); ``None`` (or 0, the HDF5-attrs encoding) = one
+    window spanning the whole run.
+    """
+    window_blocks: t.Optional[int] = 1
+
+    def __post_init__(self):
+        if self.window_blocks is not None:
+            wb = int(self.window_blocks)
+            object.__setattr__(self, "window_blocks",
+                               wb if wb > 0 else None)
 
 
 class ProcInputError(ValueError):

@@ -86,6 +86,13 @@ class State(t.NamedTuple):
     accum_energy: jnp.ndarray   # scalar: running growth-energy estimate
     total_energy: jnp.ndarray   # scalar: controller accumulator
     total_weight: jnp.ndarray   # scalar: controller accumulator
+    #: CM-diffusion accumulator (``cm_diffusion_est``): each walker's
+    #: ancestry-transported center-of-mass displacement since the
+    #: current measurement window opened, shape ``(Wm,)``.  Lives in
+    #: the State (not the per-block scratch) so the window can span
+    #: blocks (``cm_window_blocks``).  ``None`` when disabled; not
+    #: persisted to HDF5 (a restart opens a fresh window).
+    cmd_accum: t.Optional[jnp.ndarray] = None
 
     @property
     def max_num_walkers(self) -> int:
@@ -245,6 +252,13 @@ class Sampling:
     #: (``tau = nts * dt`` of order 1) for the asymptotic slope.  No
     #: reference analog.
     cm_diffusion_est: bool = False
+    #: Measurement-window length for ``cm_diffusion_est``, in blocks:
+    #: the CM accumulator resets every ``cm_window_blocks`` measured
+    #: blocks, so the observable window is ``tau = K * nts * dt``.
+    #: ``1`` = per-block window (round-2 behavior); ``None`` = one
+    #: window spanning the whole run (deep lattices need long windows
+    #: for the asymptotic diffusion slope — benchmarks/effective_mass).
+    cm_window_blocks: t.Optional[int] = 1
     #: Estimator measurement cadence: evaluate density/S(k)/OBDM only
     #: every K-th time step (the walker dynamics — and the pure
     #: estimators' ancestry transport — still advance every step).  The
@@ -409,7 +423,9 @@ class Sampling:
             energy=f(state_energy), weight=f(state_weight),
             num_walkers=jnp.asarray(shard_counts, dtype=jnp.int32),
             ref_energy=f(ref_energy), accum_energy=f(energy_mean),
-            total_energy=f(0.0), total_weight=f(0.0))
+            total_energy=f(0.0), total_weight=f(0.0),
+            cmd_accum=(jnp.zeros(pos.shape[0], dtype=pos.dtype)
+                       if self.cm_diffusion_est else None))
 
     def _cast_params(self, dtype) -> mrbp.CFCParams:
         return jax.tree.map(lambda x: jnp.asarray(x, dtype=dtype),
@@ -472,11 +488,15 @@ class Sampling:
             energies = jnp.where(new_valid, permute(state.energies), 0.0)
             drift = jnp.where(new_valid[:, None], permute(state.drift),
                               0.0)
+            cmd_accum = None
+            if state.cmd_accum is not None:
+                cmd_accum = _sharded(jnp.where(
+                    new_valid, permute(state.cmd_accum), 0.0))
             return state._replace(
                 pos=_sharded(permute(state.pos)),
                 drift=_sharded(drift), energies=_sharded(energies),
                 weights=_sharded(weights), masks=_sharded(~new_valid),
-                num_walkers=_sharded(counts))
+                num_walkers=_sharded(counts), cmd_accum=cmd_accum)
 
         return jax.jit(rebalance)
 
@@ -520,7 +540,7 @@ class Sampling:
         ssf_pure = use_ssf and ssf_spec.as_pure_est
         obd_pure = use_obd and obd_spec.as_pure_est
         obd_offsets = np.asarray(self.obd_pos_offsets) if use_obd else None
-        use_cmd = self.cm_diffusion_est and measure
+        use_cmd = self.cm_diffusion_est
         use_hw_normals = self.hw_normals if self.hw_normals is not None \
             else jax.default_backend() != "cpu"
 
@@ -659,17 +679,20 @@ class Sampling:
                 xi = sigma * jax.random.normal(k_diff, cpos.shape,
                                                dtype=cpos.dtype)
             npos = mrbp.recast(cpos + 2.0 * cdrift * dt + xi, cfc)
+            aux_cmd = state.cmd_accum
             if use_cmd:
                 # Accumulate each walker's CM displacement (pre-recast,
                 # so windings count) through the ancestry — every step,
-                # including non-measured cadence steps.
+                # including non-measured cadence steps and burn-in (the
+                # accumulator rides the State so measurement windows
+                # can span blocks; ``blocks()`` zeroes it at window
+                # boundaries).
                 cm_disp = (2.0 * cdrift * dt + xi).mean(axis=-1)
-                aux_cmd = extra["aux_cmd"][parent] + cm_disp
-                new_extra["aux_cmd"] = aux_cmd
-                if not transport_only:
+                aux_cmd = aux_cmd[parent] + cm_disp
+                if measure and not transport_only:
                     est_out["cmd"] = jnp.stack([
-                        jnp.where(valid, aux_cmd ** 2, 0.0).sum(),
-                        jnp.where(valid, aux_cmd, 0.0).sum()])
+                        _psum(jnp.where(valid, aux_cmd ** 2, 0.0).sum()),
+                        _psum(jnp.where(valid, aux_cmd, 0.0).sum())])
             nenergy, ndrift = funcs.energy_and_drift(npos, cfc)
             if self.ref_compat:
                 # Reference-exact branching weight: E_prev is the energy
@@ -701,7 +724,8 @@ class Sampling:
                 num_walkers=jnp.reshape(nw, state.num_walkers.shape)
                 .astype(jnp.int32),
                 ref_energy=new_ref, accum_energy=accum_energy,
-                total_energy=total_energy, total_weight=total_weight)
+                total_energy=total_energy, total_weight=total_weight,
+                cmd_accum=aux_cmd)
             props = (state_energy, state_weight,
                      _psum(nw.astype(jnp.int32)), new_ref, accum_energy)
             return new_state, new_extra, props, est_out
@@ -744,8 +768,6 @@ class Sampling:
             if obd_spec is not None and obd_spec.as_pure_est:
                 extra0["aux_obd"] = jnp.zeros(
                     (max_w, obd_spec.num_pos), dtype=dtype)
-            if self.cm_diffusion_est and measure:
-                extra0["aux_cmd"] = jnp.zeros((max_w,), dtype=dtype)
             if self.ref_compat:
                 # Slot-wise previous-step energies.  NOTE: at a block
                 # boundary this re-seeds from the post-diffusion
@@ -843,7 +865,8 @@ class Sampling:
             pos=P(ax), drift=P(ax), energies=P(ax), weights=P(ax),
             masks=P(ax), energy=P(), weight=P(), num_walkers=P(ax),
             ref_energy=P(), accum_energy=P(), total_energy=P(),
-            total_weight=P())
+            total_weight=P(),
+            cmd_accum=P(ax) if self.cm_diffusion_est else None)
 
         def sharded_block(state, block_key, scalars, cfc,
                           num_time_steps_block: int):
@@ -900,11 +923,22 @@ class Sampling:
         scalars = self._scalars(dtype)
         rebalance_every = self.rebalance_every \
             if self.num_shards > 1 else None
+        cmd_window = self.cm_window_blocks
         block_idx = 0
         while True:
             if (rebalance_every and block_idx
                     and block_idx % rebalance_every == 0):
                 state = self.rebalance(state)
+            if self.cm_diffusion_est:
+                # Open a fresh CM-diffusion window at the first
+                # measured block and every ``cm_window_blocks``
+                # measured blocks thereafter.
+                measured_idx = block_idx - burn_in_blocks
+                if measured_idx == 0 or (
+                        cmd_window and measured_idx > 0
+                        and measured_idx % cmd_window == 0):
+                    state = state._replace(
+                        cmd_accum=jnp.zeros_like(state.cmd_accum))
             block_key = jax.random.fold_in(base_key,
                                            int(block_offset) + block_idx)
             burning = block_idx < burn_in_blocks

@@ -143,3 +143,44 @@ def test_cmd_through_vmap_sweep():
         np.testing.assert_allclose(
             np.asarray(fused.iter_cmd)[r],
             np.asarray(alone.iter_cmd), rtol=1e-12)
+
+
+def test_cross_block_window_continues_accumulation():
+    """With ``cm_window_blocks > 1`` the CM accumulator persists across
+    block boundaries (tau no longer capped at ``nts * dt``); with the
+    default per-block window it resets."""
+    spec = mrbp.Spec(lattice_depth=5.0, lattice_ratio=1.0,
+                     interaction_strength=0.0, boson_number=NOP,
+                     supercell_size=SC, tbf_contact_cutoff=0.3)
+
+    def run(window):
+        sampling = dmc.Sampling(
+            spec, time_step=2e-3, max_num_walkers=160,
+            target_num_walkers=128, rng_seed=9,
+            cm_diffusion_est=True, cm_window_blocks=window)
+        rng = np.random.default_rng(5)
+        confs = np.stack([spec.init_get_sys_conf(rng=rng)
+                          for _ in range(128)])
+        state = sampling.build_state(confs)
+        it = sampling.blocks(state, 16, burn_in_blocks=1)
+        next(it)
+        blocks = [next(it) for _ in range(2)]
+        w2 = []
+        for b in blocks:
+            cmd = np.asarray(b.iter_cmd, dtype=np.float64)
+            nw = np.asarray(b.iter_props.num_walkers, dtype=np.float64)
+            w2.append(cmd[:, 0] / nw)
+        return w2
+
+    per_block = run(1)
+    spanning = run(2)
+
+    # Identical dynamics/noise within the first window.
+    np.testing.assert_allclose(per_block[0], spanning[0], rtol=1e-12)
+    # Per-block window: block 2 restarts near zero (one step of CM
+    # diffusion).  Spanning window: block 2 continues from block 1's
+    # accumulated <W^2>.
+    assert per_block[1][0] < 0.5 * per_block[0][-1]
+    assert spanning[1][0] > 0.8 * spanning[0][-1]
+    # And <W^2> keeps growing roughly linearly over the joined window.
+    assert spanning[1][-1] > 1.5 * spanning[0][-1]
