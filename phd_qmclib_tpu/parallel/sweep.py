@@ -273,7 +273,8 @@ class VmcSweep:
             if (s.num_walkers != ref.num_walkers
                     or s.gaussian != ref.gaussian
                     or s.ssf_est_spec != ref.ssf_est_spec
-                    or s.obd_est_spec != ref.obd_est_spec):
+                    or s.obd_est_spec != ref.obd_est_spec
+                    or s.est_every != ref.est_every):
                 raise ValueError("all sweep rows must share chain count "
                                  "and estimator specs")
             if s.mesh is not None or ref.mesh is not None:

@@ -150,14 +150,16 @@ class CLIApp:
     meta: AppMeta
     app_spec: t.Sequence[AppSpec]
     fused_sweep: bool = False
+    sampling_type: str = "dmc"
 
     @classmethod
     def from_config(cls, config: t.Mapping, sampling_type: str):
         self_config = dict(config.items())
         app_meta = AppMeta.from_config(self_config.get("meta", {}))
         fused_sweep = bool(self_config.pop("fused_sweep", False))
-        if fused_sweep and sampling_type != "dmc":
-            raise ValueError("fused_sweep supports DMC procedures only")
+        if fused_sweep and sampling_type not in ("dmc", "vmc"):
+            raise ValueError("fused_sweep supports DMC and VMC "
+                             "procedures only")
         app_spec_data = self_config.pop("app_spec")
         app_spec_set = []
         for proc_num, app_spec_config in enumerate(app_spec_data):
@@ -167,16 +169,20 @@ class CLIApp:
             app_spec_set.append(
                 AppSpec.from_config(app_spec_config, sampling_type))
         return cls(meta=app_meta, app_spec=app_spec_set,
-                   fused_sweep=fused_sweep)
+                   fused_sweep=fused_sweep,
+                   sampling_type=sampling_type)
 
     def _exec_fused(self):
-        from .sweep import SweepProc
+        from .sweep import SweepProc, VmcSweepProc
 
+        sweep_cls = VmcSweepProc if self.sampling_type == "vmc" \
+            else SweepProc
         exec_logger.info(
-            f"Executing {len(self.app_spec)} DMC procedures as one "
-            f"fused sweep...")
+            f"Executing {len(self.app_spec)} "
+            f"{self.sampling_type.upper()} procedures as one fused "
+            f"sweep...")
         pairs = [spec.build_input() for spec in self.app_spec]
-        sweep_proc = SweepProc(tuple(proc for proc, _ in pairs))
+        sweep_proc = sweep_cls(tuple(proc for proc, _ in pairs))
         results = sweep_proc.exec([pi for _, pi in pairs])
         for spec, result in zip(self.app_spec, results):
             spec.proc_output.dump(result)

@@ -19,12 +19,13 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..parallel.sweep import ParamSweep
+from ..parallel.sweep import ParamSweep, VmcSweep
 from ..samplers import dmc as dmc_sampler
 from .dmc import Proc, ProcInput, ProcResult, _BlockAccumulator
 from .logging import exec_logger
+from . import vmc as vmc_exec
 
-__all__ = ["SweepProc"]
+__all__ = ["SweepProc", "VmcSweepProc"]
 
 
 @dataclass(frozen=True)
@@ -56,7 +57,9 @@ class SweepProc:
                 and p.block_offset == ref.block_offset
                 and p.density_spec == ref.density_spec
                 and p.ssf_spec == ref.ssf_spec
-                and p.obd_spec == ref.obd_spec)
+                and p.obd_spec == ref.obd_spec
+                and p.est_every == ref.est_every
+                and p.cm_diffusion_spec == ref.cm_diffusion_spec)
             if not same:
                 raise ValueError(
                     "all sweep procedures must share block structure "
@@ -120,6 +123,8 @@ class SweepProc:
                 if block_data.iter_ssf is not None else None
             obd = np.asarray(block_data.iter_obd, dtype=np.float64) \
                 if block_data.iter_obd is not None else None
+            cmd = np.asarray(block_data.iter_cmd, dtype=np.float64) \
+                if block_data.iter_cmd is not None else None
             for r, acc in enumerate(accumulators):
                 acc.add(block_idx, energy[:, r], weight[:, r],
                         num_walkers[:, r], ref_energy[:, r],
@@ -127,8 +132,107 @@ class SweepProc:
                         iter_density=density[r]
                         if density is not None else None,
                         iter_ssf=ssf[r] if ssf is not None else None,
-                        iter_obd=obd[r] if obd is not None else None)
+                        iter_obd=obd[r] if obd is not None else None,
+                        iter_cmd=cmd[r] if cmd is not None else None)
         exec_logger.info("Fused DMC sweep completed.")
+
+        results = []
+        for r, (proc, acc) in enumerate(zip(procs, accumulators)):
+            row_state = jax.tree.map(lambda x, r=r: x[r],
+                                     block_data.last_state) \
+                if block_data is not None else proc_inputs[r].state
+            results.append(proc.build_result(row_state, acc.package()))
+        return results
+
+
+@dataclass(frozen=True)
+class VmcSweepProc:
+    """Run R VMC procedures as one vmap-fused single-device sweep.
+
+    The VMC analog of :class:`SweepProc`, built on
+    :class:`~phd_qmclib_tpu.parallel.sweep.VmcSweep`: rows share block
+    structure, chain count and estimator specs; continuous model
+    parameters, ``move_spread`` and ``rng_seed`` vary per row.
+    """
+
+    procs: t.Tuple[vmc_exec.Proc, ...]
+
+    def __post_init__(self):
+        if not self.procs:
+            raise ValueError("need at least one procedure")
+        ref = self.procs[0]
+        for p in self.procs[1:]:
+            same = (
+                p.num_blocks == ref.num_blocks
+                and p.num_steps_block == ref.num_steps_block
+                and p.burn_in_blocks == ref.burn_in_blocks
+                and p.keep_iter_data == ref.keep_iter_data
+                and p.block_offset == ref.block_offset
+                and p.num_walkers == ref.num_walkers
+                and p.est_every == ref.est_every
+                and p.ssf_spec == ref.ssf_spec
+                and p.obd_spec == ref.obd_spec)
+            if not same:
+                raise ValueError(
+                    "all sweep procedures must share block structure, "
+                    "chain count and estimator specs")
+        for p in self.procs:
+            if p.num_mesh_devices is not None:
+                raise ValueError(
+                    "fused sweep rows are single-device; drop "
+                    "num_mesh_devices")
+
+    @property
+    def sweep(self) -> VmcSweep:
+        return VmcSweep(tuple(p.sampling for p in self.procs))
+
+    def exec(self, proc_inputs: t.Sequence[vmc_exec.ProcInput]) \
+            -> t.List[vmc_exec.ProcResult]:
+        """Advance every row through its full procedure; one device
+        dispatch per block covers all rows."""
+        import jax
+        import jax.numpy as jnp
+
+        procs = self.procs
+        if len(proc_inputs) != len(procs):
+            raise ValueError("one ProcInput per procedure")
+        ref = procs[0]
+        num_blocks = ref.num_blocks
+        ns_block = ref.num_steps_block
+        burn_in_blocks = ref.burn_in_blocks
+
+        exec_logger.info(
+            f"Starting fused VMC sweep ({len(procs)} rows)...")
+        sweep = self.sweep
+        state = jax.tree.map(lambda *xs: jnp.stack(xs),
+                             *[pi.state for pi in proc_inputs])
+        blocks_iter = sweep.blocks(ns_block, state,
+                                   block_offset=ref.block_offset)
+        for _ in range(burn_in_blocks):
+            next(blocks_iter)
+        if burn_in_blocks:
+            exec_logger.info("Burn-in stage completed.")
+
+        accumulators = [vmc_exec._VmcBlockAccumulator(p) for p in procs]
+        block_data = None
+        for block_idx in range(num_blocks):
+            block_data = next(blocks_iter)
+            bp = block_data.iter_props
+            # Fused arrays have a leading row axis (R, nts, ...).
+            lp = np.asarray(bp.wf_abs_log, dtype=np.float64)
+            energy = np.asarray(bp.energy, dtype=np.float64)
+            mv = np.asarray(bp.move_stat, dtype=np.float64)
+            accept = np.asarray(block_data.accept_rate, dtype=np.float64)
+            ssf = np.asarray(block_data.iter_ssf, dtype=np.float64) \
+                if block_data.iter_ssf is not None else None
+            obd = np.asarray(block_data.iter_obd, dtype=np.float64) \
+                if block_data.iter_obd is not None else None
+            for r, acc in enumerate(accumulators):
+                acc.add(block_idx, lp[r], energy[r], mv[r],
+                        float(accept[r]),
+                        iter_ssf=ssf[r] if ssf is not None else None,
+                        iter_obd=obd[r] if obd is not None else None)
+        exec_logger.info("Fused VMC sweep completed.")
 
         results = []
         for r, (proc, acc) in enumerate(zip(procs, accumulators)):

@@ -107,6 +107,17 @@ class Proc(proc_base.Proc):
     #: Multi-chip: shard chains over this many local devices (None =
     #: single device, 0 = all available devices).
     num_mesh_devices: t.Optional[int] = None
+    #: Mid-procedure checkpointing: dump the chain state to this HDF5
+    #: file every ``checkpoint_every`` blocks (DMC parity; the
+    #: reference only stubs the hook, ``qmc_exec/proc.py:127-129``).
+    checkpoint_file: t.Optional[str] = None
+    checkpoint_every: int = 16
+    #: Estimator measurement cadence: evaluate the S(k)/OBDM grids only
+    #: every K-th step (``samplers.vmc.Sampling.est_every`` — the OBDM
+    #: grid is the expensive per-step term).  Estimator series then
+    #: carry ``num_steps_block // est_every`` entries per block; chain
+    #: dynamics are identical for any K.
+    est_every: int = 1
     verbose: bool = False
 
     # VMC has no density estimator in the reference either.
@@ -127,6 +138,12 @@ class Proc(proc_base.Proc):
         else:
             _set(self, "burn_in_blocks", int(self.burn_in_blocks))
         _set(self, "block_offset", int(self.block_offset))
+        _set(self, "est_every", int(self.est_every))
+        if self.est_every < 1:
+            raise ValueError("est_every must be a positive integer")
+        if self.num_steps_block % self.est_every:
+            raise ValueError("num_steps_block must be divisible by "
+                             "est_every")
 
     @classmethod
     def from_config(cls, config: t.Mapping) -> "Proc":
@@ -171,6 +188,7 @@ class Proc(proc_base.Proc):
             "num_walkers": self.num_walkers,
             "dtype": self.dtype,
             "num_mesh_devices": self.num_mesh_devices,
+            "est_every": self.est_every,
         }
         if self.ssf_spec is not None:
             config["ssf_spec"] = {"num_modes": self.ssf_spec.num_modes}
@@ -210,7 +228,8 @@ class Proc(proc_base.Proc):
         return vmc_sampler.Sampling(
             self.model_spec, self.move_spread, self.rng_seed,
             ssf_est_spec=ssf_est_spec, obd_est_spec=obd_est_spec,
-            num_walkers=self.num_walkers, mesh=mesh)
+            num_walkers=self.num_walkers, mesh=mesh,
+            est_every=self.est_every)
 
     def describe_model_spec(self):
         spec = self.model_spec
@@ -227,6 +246,51 @@ class Proc(proc_base.Proc):
     def build_result(self, state: vmc_sampler.State,
                      sampling_data: vmc_data.SamplingData) -> ProcResult:
         return ProcResult(state, self, sampling_data)
+
+    def _write_checkpoint(self, state, blocks_completed: int = 0,
+                          stream_consumed: int = 0):
+        """Atomic state checkpoint (DMC parity, ``dmc.Proc``): temp
+        file + rename; the stored proc_spec describes the continuation
+        (advanced ``block_offset``, remaining ``num_blocks``, no
+        burn-in)."""
+        import os
+
+        import h5py
+
+        from . import io as io_mod
+
+        handler = io_mod.VmcHDF5FileHandler(self.checkpoint_file,
+                                            group="checkpoint",
+                                            dump_replace=True)
+        config = self.as_config()
+        config["block_offset"] = self.block_offset + stream_consumed
+        config["burn_in_blocks"] = 0
+        config["num_blocks"] = max(1, self.num_blocks - blocks_completed)
+        tmp_path = f"{self.checkpoint_file}.tmp"
+        with h5py.File(tmp_path, "w") as fp:
+            handler.save_state(state, fp.require_group(
+                "checkpoint/vmc/state"))
+            handler.save_proc(config, fp.require_group(
+                "checkpoint/vmc/proc_spec"))
+        os.replace(tmp_path, self.checkpoint_file)
+        exec_logger.info(f"checkpoint written to {self.checkpoint_file}")
+
+    @classmethod
+    def restore_checkpoint(cls, checkpoint_file: str) \
+            -> t.Tuple["Proc", ProcInput]:
+        """Load a mid-run checkpoint: ``(proc, proc_input)`` ready for
+        ``proc.exec``."""
+        import h5py
+
+        from . import io as io_mod
+
+        handler = io_mod.VmcHDF5FileHandler(checkpoint_file,
+                                            group="checkpoint")
+        with h5py.File(checkpoint_file, "r") as fp:
+            proc = handler.load_proc(fp.get("checkpoint/vmc/proc_spec"))
+            state = handler.load_state(fp.get("checkpoint/vmc/state"),
+                                       proc)
+        return proc, ProcInput(state)
 
     def exec(self, proc_input: ProcInput) -> ProcResult:
         """Run the VMC sampling (reference driver:
@@ -257,68 +321,117 @@ class Proc(proc_base.Proc):
                 next(blocks_iter)
             exec_logger.info("Burn-in stage completed.")
 
-        shape = (num_blocks, ns_block) if keep_iter_data else (num_blocks,)
-        wf_abs_log = np.zeros(shape)
-        energy = np.zeros(shape)
-        move_stat = np.zeros(shape)
-        ssf_data = None
-        if should_eval_ssf:
-            num_modes = self.ssf_spec.num_modes
-            ssf_shape = shape + (num_modes, 3)
-            ssf_data = np.zeros(ssf_shape)
-        obd_data = None
-        if should_eval_obd:
-            obd_data = np.zeros(shape + (self.obd_spec.num_pos,))
+        accumulator = _VmcBlockAccumulator(self)
 
         block_data = None
-        accept_rates = []
         for block_idx in range(num_blocks):
             block_data = next(blocks_iter)
+            if self.checkpoint_file is not None and \
+                    (block_idx + 1) % self.checkpoint_every == 0:
+                self._write_checkpoint(
+                    block_data.last_state,
+                    blocks_completed=block_idx + 1,
+                    stream_consumed=(burn_in_blocks + block_idx + 1))
             bp = block_data.iter_props
-            e = np.asarray(bp.energy, dtype=np.float64)
-            lp = np.asarray(bp.wf_abs_log, dtype=np.float64)
-            mv = np.asarray(bp.move_stat, dtype=np.float64)
-            accept_rates.append(block_data.accept_rate)
-            if keep_iter_data:
-                # Per-step chain means (over the walker axis).
-                energy[block_idx] = e.mean(axis=1)
-                wf_abs_log[block_idx] = lp.mean(axis=1)
-                move_stat[block_idx] = mv.mean(axis=1)
-                if should_eval_ssf:
-                    ssf_data[block_idx] = np.asarray(
-                        block_data.iter_ssf) / num_walkers
-                if should_eval_obd:
-                    obd_data[block_idx] = np.asarray(
-                        block_data.iter_obd) / num_walkers
-            else:
-                energy[block_idx] = e.mean()
-                wf_abs_log[block_idx] = lp.mean()
-                move_stat[block_idx] = mv.mean()
-                if should_eval_ssf:
-                    ssf_data[block_idx] = np.asarray(
-                        block_data.iter_ssf).mean(axis=0) / num_walkers
-                if should_eval_obd:
-                    obd_data[block_idx] = np.asarray(
-                        block_data.iter_obd).mean(axis=0) / num_walkers
+            accumulator.add(
+                block_idx,
+                np.asarray(bp.wf_abs_log, dtype=np.float64),
+                np.asarray(bp.energy, dtype=np.float64),
+                np.asarray(bp.move_stat, dtype=np.float64),
+                block_data.accept_rate,
+                iter_ssf=(np.asarray(block_data.iter_ssf,
+                                     dtype=np.float64)
+                          if should_eval_ssf else None),
+                iter_obd=(np.asarray(block_data.iter_obd,
+                                     dtype=np.float64)
+                          if should_eval_obd else None))
 
         exec_logger.info("VMC sampling completed.")
         exec_logger.info(
-            f"Mean acceptance rate: {float(np.mean(accept_rates)):.4f}")
+            f"Mean acceptance rate: {accumulator.mean_accept_rate:.4f}")
 
-        props_data = vmc_data.PropsData(wf_abs_log, energy, move_stat)
-        reduce_data = bool(keep_iter_data)
-        energy_blocks = vmc_data.EnergyBlocks.from_data(props_data,
-                                                        reduce_data)
-        ssf_blocks = vmc_data.SSFBlocks.from_data(ssf_data, reduce_data) \
-            if should_eval_ssf else None
-        obd_blocks = vmc_data.OBDBlocks.from_data(obd_data, reduce_data) \
-            if should_eval_obd else None
-        data_blocks = vmc_data.PropsDataBlocks(energy_blocks, ssf_blocks,
-                                               obd_blocks)
-        data_series = vmc_data.PropsDataSeries(props_data, ssf_data,
-                                               obd_data) \
-            if keep_iter_data else None
-        sampling_data = vmc_data.SamplingData(data_blocks, data_series)
+        sampling_data = accumulator.package()
         last_state = block_data.last_state if block_data is not None \
             else proc_input.state
         return self.build_result(last_state, sampling_data)
+
+
+class _VmcBlockAccumulator:
+    """Per-block reductions + result packaging of one VMC procedure
+    (reference ``qmc_exec/vmc/proc.py:187-250``), factored out of
+    :meth:`Proc.exec` so the fused-sweep driver
+    (:class:`phd_qmclib_tpu.qmc_exec.sweep.VmcSweepProc`) can run one
+    accumulator per sweep row over a single fused block stream."""
+
+    def __init__(self, proc: "Proc"):
+        self.proc = proc
+        num_blocks = proc.num_blocks
+        ns_block = proc.num_steps_block
+        keep = proc.keep_iter_data
+        shape = (num_blocks, ns_block) if keep else (num_blocks,)
+        num_measured = ns_block // proc.est_every
+        est_shape = (num_blocks, num_measured) if keep \
+            else (num_blocks,)
+        self.wf_abs_log = np.zeros(shape)
+        self.energy = np.zeros(shape)
+        self.move_stat = np.zeros(shape)
+        self.ssf_data = None
+        if proc.should_eval_ssf:
+            self.ssf_data = np.zeros(
+                est_shape + (proc.ssf_spec.num_modes, 3))
+        self.obd_data = None
+        if proc.should_eval_obd:
+            self.obd_data = np.zeros(
+                est_shape + (proc.obd_spec.num_pos,))
+        self.accept_rates = []
+
+    def add(self, block_idx: int, wf_abs_log, energy, move_stat,
+            accept_rate: float, iter_ssf=None, iter_obd=None):
+        """Fold one block's per-step, per-walker arrays
+        (``(nts, W)`` / est ``(nts_measured, ...)``)."""
+        proc = self.proc
+        num_walkers = proc.num_walkers
+        self.accept_rates.append(accept_rate)
+        if proc.keep_iter_data:
+            # Per-step chain means (over the walker axis).
+            self.energy[block_idx] = energy.mean(axis=1)
+            self.wf_abs_log[block_idx] = wf_abs_log.mean(axis=1)
+            self.move_stat[block_idx] = move_stat.mean(axis=1)
+            if iter_ssf is not None:
+                self.ssf_data[block_idx] = iter_ssf / num_walkers
+            if iter_obd is not None:
+                self.obd_data[block_idx] = iter_obd / num_walkers
+        else:
+            self.energy[block_idx] = energy.mean()
+            self.wf_abs_log[block_idx] = wf_abs_log.mean()
+            self.move_stat[block_idx] = move_stat.mean()
+            if iter_ssf is not None:
+                self.ssf_data[block_idx] = \
+                    iter_ssf.mean(axis=0) / num_walkers
+            if iter_obd is not None:
+                self.obd_data[block_idx] = \
+                    iter_obd.mean(axis=0) / num_walkers
+
+    @property
+    def mean_accept_rate(self) -> float:
+        return float(np.mean(self.accept_rates))
+
+    def package(self) -> vmc_data.SamplingData:
+        proc = self.proc
+        props_data = vmc_data.PropsData(self.wf_abs_log, self.energy,
+                                        self.move_stat)
+        reduce_data = bool(proc.keep_iter_data)
+        energy_blocks = vmc_data.EnergyBlocks.from_data(props_data,
+                                                        reduce_data)
+        ssf_blocks = vmc_data.SSFBlocks.from_data(self.ssf_data,
+                                                  reduce_data) \
+            if proc.should_eval_ssf else None
+        obd_blocks = vmc_data.OBDBlocks.from_data(self.obd_data,
+                                                  reduce_data) \
+            if proc.should_eval_obd else None
+        data_blocks = vmc_data.PropsDataBlocks(energy_blocks,
+                                               ssf_blocks, obd_blocks)
+        data_series = vmc_data.PropsDataSeries(
+            props_data, self.ssf_data, self.obd_data) \
+            if proc.keep_iter_data else None
+        return vmc_data.SamplingData(data_blocks, data_series)

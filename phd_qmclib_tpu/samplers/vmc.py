@@ -134,8 +134,18 @@ class Sampling:
     #: reduce over the mesh).  ``None`` = single device.
     mesh: t.Optional[jax.sharding.Mesh] = None
     mesh_axis: str = "walkers"
+    #: Estimator measurement cadence: evaluate the S(k)/OBDM grids only
+    #: every K-th step (the OBDM grid costs ``num_pos`` extra wf-ratio
+    #: passes per step; consecutive Metropolis steps are highly
+    #: correlated, so K of 4-8 recovers most of the estimator cost at
+    #: negligible statistical price).  Estimator outputs then carry
+    #: one entry per measured step (``num_steps_block // est_every``).
+    #: The chain dynamics (moves, energies) are identical for any K.
+    est_every: int = 1
 
     def __post_init__(self):
+        if self.est_every < 1:
+            raise ValueError("est_every must be a positive integer")
         if self.rng_seed is None:
             object.__setattr__(self, "rng_seed",
                                int(utils.get_random_rng_seed()))
@@ -245,58 +255,69 @@ class Sampling:
         def _pmean(x):
             return jax.lax.pmean(x, axis_name) if axis_name else x
 
-        def step_core(carry: State, disp, u, cfc):
-            """One Metropolis step given the pre-drawn noise.
+        cadence = self.est_every
 
-            Shared by the production (key-driven) path and the
-            injected-noise replay path (:meth:`replay_chain`), so both
-            perform identical arithmetic.
-            """
-            pos = carry.pos
-            prop = mrbp.recast(pos + disp, cfc)
+        def make_step_core(with_est: bool):
+            est_ssf = use_ssf and with_est
+            est_obd = use_obd and with_est
 
-            lp_prop, e_prop = funcs.log_psi_and_energy(prop, cfc)
-            # Metropolis condition, reference qmc_base/vmc.py:636.
-            accept = lp_prop > 0.5 * jnp.log(u) + carry.wf_abs_log
+            def step_core(carry: State, disp, u, cfc):
+                """One Metropolis step given the pre-drawn noise.
 
-            new_pos = jnp.where(accept[:, None], prop, pos)
-            new_lp = jnp.where(accept, lp_prop, carry.wf_abs_log)
-            new_e = jnp.where(accept, e_prop, carry.energy)
-            if use_ssf:
-                parts_prop = funcs.fourier_density_parts_harmonics(
-                    num_modes, prop, cfc)
-                new_parts = jnp.where(accept[:, None, None], parts_prop,
-                                      carry.ssf_parts)
-            else:
-                new_parts = None
-            if use_obd:
-                offsets = jnp.asarray(obd_offsets, dtype=pos.dtype)
-                obd_prop = funcs.one_body_density_grid(offsets, prop, cfc)
-                new_obd = jnp.where(accept[:, None], obd_prop,
-                                    carry.obd_parts)
-            else:
-                new_obd = None
-            new_state = State(new_pos, new_lp, new_e, accept, new_parts,
-                              new_obd)
-            # Estimator sums are shard-local; the block runner reduces
-            # once per block.
-            out = (new_lp, new_e, accept,
-                   new_parts.sum(axis=0) if use_ssf else 0.0,
-                   new_obd.sum(axis=0) if use_obd else 0.0)
-            return new_state, out
+                Shared by the production (key-driven) path and the
+                injected-noise replay path (:meth:`replay_chain`), so
+                both perform identical arithmetic.
+                """
+                pos = carry.pos
+                prop = mrbp.recast(pos + disp, cfc)
 
-        def step(carry: State, key, cfc, move_spread):
-            k_move, k_acc = jax.random.split(key)
-            pos = carry.pos
-            if gaussian:
-                disp = move_spread * jax.random.normal(
-                    k_move, pos.shape, dtype=pos.dtype)
-            else:
-                disp = move_spread * (jax.random.uniform(
-                    k_move, pos.shape, dtype=pos.dtype) - 0.5)
-            u = jax.random.uniform(k_acc, carry.wf_abs_log.shape,
-                                   dtype=pos.dtype)
-            return step_core(carry, disp, u, cfc)
+                lp_prop, e_prop = funcs.log_psi_and_energy(prop, cfc)
+                # Metropolis condition, reference qmc_base/vmc.py:636.
+                accept = lp_prop > 0.5 * jnp.log(u) + carry.wf_abs_log
+
+                new_pos = jnp.where(accept[:, None], prop, pos)
+                new_lp = jnp.where(accept, lp_prop, carry.wf_abs_log)
+                new_e = jnp.where(accept, e_prop, carry.energy)
+                if est_ssf:
+                    parts_prop = funcs.fourier_density_parts_harmonics(
+                        num_modes, prop, cfc)
+                    new_parts = jnp.where(accept[:, None, None],
+                                          parts_prop, carry.ssf_parts)
+                else:
+                    new_parts = None
+                if est_obd:
+                    offsets = jnp.asarray(obd_offsets, dtype=pos.dtype)
+                    obd_prop = funcs.one_body_density_grid(offsets, prop,
+                                                           cfc)
+                    new_obd = jnp.where(accept[:, None], obd_prop,
+                                        carry.obd_parts)
+                else:
+                    new_obd = None
+                new_state = State(new_pos, new_lp, new_e, accept,
+                                  new_parts, new_obd)
+                # Estimator sums are shard-local; the block runner
+                # reduces once per block.
+                out = (new_lp, new_e, accept,
+                       new_parts.sum(axis=0) if est_ssf else 0.0,
+                       new_obd.sum(axis=0) if est_obd else 0.0)
+                return new_state, out
+
+            def step(carry: State, key, cfc, move_spread):
+                k_move, k_acc = jax.random.split(key)
+                pos = carry.pos
+                if gaussian:
+                    disp = move_spread * jax.random.normal(
+                        k_move, pos.shape, dtype=pos.dtype)
+                else:
+                    disp = move_spread * (jax.random.uniform(
+                        k_move, pos.shape, dtype=pos.dtype) - 0.5)
+                u = jax.random.uniform(k_acc, carry.wf_abs_log.shape,
+                                       dtype=pos.dtype)
+                return step_core(carry, disp, u, cfc)
+
+            return step_core, step
+
+        step_core, step = make_step_core(with_est=(cadence == 1))
 
         def run_block(state: State, block_key, cfc, move_spread,
                       num_steps_block: int):
@@ -304,8 +325,53 @@ class Sampling:
                 block_key = jax.random.fold_in(
                     block_key, jax.lax.axis_index(axis_name))
             keys = jax.random.split(block_key, num_steps_block)
-            final_state, (lps, es, accepts, ssf, obd) = jax.lax.scan(
-                lambda c, k: step(c, k, cfc, move_spread), state, keys)
+
+            if cadence == 1:
+                final_state, (lps, es, accepts, ssf, obd) = jax.lax.scan(
+                    lambda c, k: step(c, k, cfc, move_spread), state,
+                    keys)
+            else:
+                # Measurement cadence: advance the chains in chunks of
+                # ``cadence`` plain Metropolis steps (no estimator
+                # work), then evaluate the S(k)/OBDM grids on the
+                # chunk-final configurations.  The values are identical
+                # to the every-step scheme's entries at the measured
+                # steps (the carried parts always equal
+                # ``parts(current pos)``), and the chain dynamics use
+                # the exact same key sequence as ``cadence == 1``.
+                if num_steps_block % cadence:
+                    raise ValueError("num_steps_block must be divisible "
+                                     "by est_every")
+                # Parts are not carried in cadence mode.
+                state = state._replace(ssf_parts=None, obd_parts=None)
+                keys_c = keys.reshape((num_steps_block // cadence,
+                                       cadence) + keys.shape[1:])
+
+                def chunk(carry, chunk_keys):
+                    new_state, (lps, es, accepts, _, _) = jax.lax.scan(
+                        lambda c, k: step(c, k, cfc, move_spread),
+                        carry, chunk_keys)
+                    pos = new_state.pos
+                    ssf_sum = 0.0
+                    obd_sum = 0.0
+                    if use_ssf:
+                        parts = funcs.fourier_density_parts_harmonics(
+                            num_modes, pos, cfc)
+                        ssf_sum = parts.sum(axis=0)
+                    if use_obd:
+                        offsets = jnp.asarray(obd_offsets,
+                                              dtype=pos.dtype)
+                        obd_sum = funcs.one_body_density_grid(
+                            offsets, pos, cfc).sum(axis=0)
+                    return new_state, (lps, es, accepts, ssf_sum,
+                                       obd_sum)
+
+                final_state, (lps, es, accepts, ssf, obd) = \
+                    jax.lax.scan(chunk, state, keys_c)
+                lps, es, accepts = (
+                    x.reshape((num_steps_block,) + x.shape[2:])
+                    for x in (lps, es, accepts))
+
             if axis_name is not None and use_ssf:
                 ssf = _psum(ssf)
             if axis_name is not None and use_obd:

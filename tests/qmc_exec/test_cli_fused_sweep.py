@@ -72,7 +72,68 @@ def test_fused_sweep_config_matches_sequential(tmp_path):
                 np.asarray(sf["dmc/dmc/state/confs"]), rtol=1e-12)
 
 
-def test_fused_sweep_rejected_for_vmc():
-    with pytest.raises(ValueError, match="DMC"):
-        cli_app.CLIApp.from_config(
-            {"fused_sweep": True, "app_spec": []}, "vmc")
+def _vmc_config(tmp_path, fused: bool, subdir: str):
+    out = tmp_path / subdir
+    out.mkdir()
+    spec = {
+        "meta": {"name": "vmc fused sweep test"},
+        "app_spec": [],
+    }
+    if fused:
+        spec["fused_sweep"] = True
+    for i, gn in enumerate([0.5, 2.0]):
+        spec["app_spec"].append({
+            "proc": {
+                "model_spec": {
+                    "lattice_depth": 10, "lattice_ratio": 1,
+                    "interaction_strength": gn, "boson_number": 5,
+                    "supercell_size": 5.0, "tbf_contact_cutoff": 0.3,
+                },
+                "move_spread": 0.25, "num_blocks": 2,
+                "num_steps_block": 32, "burn_in_blocks": 1,
+                "num_walkers": 8, "rng_seed": 61 + i,
+                "dtype": "float64",
+                "ssf_spec": {"num_modes": 3},
+            },
+            "proc_input": {"type": "MODEL_SYS_CONF",
+                           "dist_type": "RANDOM"},
+            "proc_output": {"type": "HDF5_FILE",
+                            "location": str(out / f"row{i}.h5"),
+                            "group": "vmc"},
+        })
+    path = tmp_path / f"{subdir}.yml"
+    path.write_text(yaml.safe_dump(spec))
+    return path, out
+
+
+def test_vmc_fused_sweep_config_matches_sequential(tmp_path):
+    """VMC fused-sweep parity with the sequential CLI run (the VMC
+    analog of the DMC gate above; rows vmap-fuse via VmcSweep)."""
+    fused_cfg, fused_dir = _vmc_config(tmp_path, True, "vfused")
+    seq_cfg, seq_dir = _vmc_config(tmp_path, False, "vseq")
+
+    fused_app = cli_app.CLIApp.from_config(Loader().load(fused_cfg),
+                                           "vmc")
+    assert fused_app.fused_sweep
+    fused_app.exec()
+    seq_app = cli_app.CLIApp.from_config(Loader().load(seq_cfg), "vmc")
+    seq_app.exec()
+
+    for i in range(2):
+        with h5py.File(fused_dir / f"row{i}.h5", "r") as ff, \
+                h5py.File(seq_dir / f"row{i}.h5", "r") as sf:
+            np.testing.assert_allclose(
+                np.asarray(ff["vmc/vmc/data/blocks/energy/totals"]),
+                np.asarray(sf["vmc/vmc/data/blocks/energy/totals"]),
+                rtol=1e-12, err_msg=f"row {i} energy")
+            np.testing.assert_allclose(
+                np.asarray(
+                    ff["vmc/vmc/data/blocks/ss_factor/"
+                       "fdk_sqr_abs/totals"]),
+                np.asarray(
+                    sf["vmc/vmc/data/blocks/ss_factor/"
+                       "fdk_sqr_abs/totals"]),
+                rtol=1e-12, err_msg=f"row {i} ssf")
+            np.testing.assert_allclose(
+                np.asarray(ff["vmc/vmc/state/sys_conf"]),
+                np.asarray(sf["vmc/vmc/state/sys_conf"]), rtol=1e-12)
