@@ -14,7 +14,11 @@ import json
 import numpy as np
 
 
-def measure(v0, gn, nop, walkers, nts, blocks, dt):
+def measure(v0, gn, nop, walkers, nts, blocks, dt, window_blocks=1):
+    """Measure m/m*; with ``window_blocks > 1`` the CM accumulation
+    window spans that many consecutive blocks (``cm_window_blocks``),
+    extending tau to ``window_blocks * nts * dt`` — deep lattices need
+    the longer window to reach the asymptotic diffusion slope."""
     from phd_qmclib_tpu import analysis
     from phd_qmclib_tpu.models import mrbp
     from phd_qmclib_tpu.samplers import dmc
@@ -24,7 +28,8 @@ def measure(v0, gn, nop, walkers, nts, blocks, dt):
                      supercell_size=float(nop), tbf_contact_cutoff=0.3)
     sampling = dmc.Sampling(
         spec, time_step=dt, max_num_walkers=walkers + walkers // 8,
-        target_num_walkers=walkers, rng_seed=7, cm_diffusion_est=True)
+        target_num_walkers=walkers, rng_seed=7, cm_diffusion_est=True,
+        cm_window_blocks=window_blocks)
     rng = np.random.default_rng(1)
     confs = np.stack([spec.init_get_sys_conf(rng=rng)
                       for _ in range(walkers)]).astype(np.float32)
@@ -34,13 +39,15 @@ def measure(v0, gn, nop, walkers, nts, blocks, dt):
     for _ in range(burn):
         next(it)
     cmds, nws = [], []
-    for _ in range(blocks):
+    for _ in range(blocks * window_blocks):
         b = next(it)
         cmds.append(np.asarray(b.iter_cmd, dtype=np.float64))
         nws.append(np.asarray(b.iter_props.num_walkers,
                               dtype=np.float64))
-    return analysis.effective_mass_from_cm_diffusion(
-        dt, np.stack(cmds), np.stack(nws), nop)
+    # Stitch each window's blocks into one continuous tau series.
+    cmd = np.stack(cmds).reshape(blocks, window_blocks * nts, 2)
+    nw = np.stack(nws).reshape(blocks, window_blocks * nts)
+    return analysis.effective_mass_from_cm_diffusion(dt, cmd, nw, nop)
 
 
 def main():
@@ -50,25 +57,37 @@ def main():
     parser.add_argument("--nts", type=int, default=1024)
     parser.add_argument("--blocks", type=int, default=4)
     parser.add_argument("--dt", type=float, default=1e-3)
+    parser.add_argument("--window-blocks", type=int, default=1,
+                        help="CM window length in blocks "
+                             "(tau = window_blocks * nts * dt)")
+    parser.add_argument("--v0", type=float, default=None,
+                        help="measure only this lattice depth")
     args = parser.parse_args()
 
     from phd_qmclib_tpu import ideal
 
+    wb = args.window_blocks
     print(f"# m/m* via CM imaginary-time diffusion: N={args.nop}, "
           f"{args.walkers} walkers, window tau="
-          f"{args.nts * args.dt:.2f}")
-    for v0 in [2.0, 10.0, 20.0, 40.0]:
+          f"{wb * args.nts * args.dt:.2f}")
+    v0_list = [args.v0] if args.v0 is not None else [2.0, 10.0, 20.0,
+                                                    40.0]
+    for v0 in v0_list:
         exact = ideal.effective_mass_ratio(v0, 1.0)
         ratio, err = measure(v0, 0.0, args.nop, args.walkers,
-                             args.nts, args.blocks, args.dt)
+                             args.nts, args.blocks, args.dt,
+                             window_blocks=wb)
         print(json.dumps({"v0": v0, "gn": 0.0, "measured": ratio,
                           "fit_err": err, "exact_band": exact,
                           "rel_dev": abs(ratio - exact) / exact}))
     # Interacting points (no exact target; repulsion delocalizes the
     # gas, pushing m/m* back toward 1).
     for gn in [1.0, 4.0]:
+        if args.v0 is not None:
+            break
         ratio, err = measure(20.0, gn, args.nop, args.walkers,
-                             args.nts, args.blocks, args.dt)
+                             args.nts, args.blocks, args.dt,
+                             window_blocks=wb)
         print(json.dumps({"v0": 20.0, "gn": gn, "measured": ratio,
                           "fit_err": err,
                           "exact_band_ideal": 0.8245}))
