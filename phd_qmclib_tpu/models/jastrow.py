@@ -410,7 +410,28 @@ def build_core_funcs(*,
                                       0.0).sum(axis=-1)
             return jnp.exp(num - base).sum(axis=-1) / nop
 
-        return jax.vmap(at_offset, out_axes=-1)(jnp.asarray(szs))
+        szs_arr = jnp.asarray(szs)
+        num_offsets = szs_arr.shape[0]
+        # Each offset costs one (batch, N, N) shifted-pair pass; vmap
+        # over ALL offsets at once materializes (M, batch, N, N)
+        # temporaries — 8.6 GB at 16k walkers x N=64 x 32 offsets,
+        # which kills compilation.  Chunk the offset axis under the
+        # same element budget as the walker tiling.
+        batch = 1
+        for dim in pos.shape[:-1]:
+            batch *= int(dim)
+        per_offset = max(1, batch * nop * nop)
+        chunk = max(1, min(num_offsets, PAIR_TILE_ELEMS // per_offset))
+        if chunk >= num_offsets:
+            return jax.vmap(at_offset, out_axes=-1)(szs_arr)
+        pad = (-num_offsets) % chunk
+        szs_pad = jnp.concatenate(
+            [szs_arr, jnp.zeros((pad,), szs_arr.dtype)])
+        groups = szs_pad.reshape(-1, chunk)
+        out = jax.lax.map(
+            lambda g: jax.vmap(at_offset, out_axes=-1)(g), groups)
+        out = jnp.moveaxis(out, 0, -2).reshape(pos.shape[:-1] + (-1,))
+        return out[..., :num_offsets]
 
     # -- Fourier density ---------------------------------------------------
     def fourier_density(kz, pos, cfc: CFCParams):

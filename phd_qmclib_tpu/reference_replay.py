@@ -221,7 +221,8 @@ class VmcReplayResult(t.NamedTuple):
 
 
 def vmc_replay(spec, move_spread: float, rng_seed: int,
-               ini_pos: np.ndarray, num_steps: int) -> VmcReplayResult:
+               ini_pos: np.ndarray, num_steps: int,
+               gaussian: bool = False) -> VmcReplayResult:
     """Replay the reference VMC chain (``qmc_base/vmc.py:556-648`` with
     the mrbp uniform-move ``mrbp_qmc/vmc.py:205-235``).
 
@@ -229,6 +230,13 @@ def vmc_replay(spec, move_spread: float, rng_seed: int,
     particle order - ``jastrow/vmc.py:200-226``), then exactly one
     acceptance uniform (``rand()`` inside the Metropolis condition at
     ``qmc_base/vmc.py:636`` - evaluated unconditionally).
+
+    With ``gaussian=True`` this replays the ``vmc_ndf`` variant
+    instead (``qmc_base/vmc_ndf.py:43-59``,
+    ``mrbp_qmc/vmc_ndf.py:38-45``): each move draw is
+    ``normal(0, move_spread)`` (``move_spread`` = ``sigma`` =
+    ``sqrt(time_step)``), recorded in ``moves_u`` as the PRE-SCALED
+    displacement.
     """
     kern = MRBPKernels(spec)
     rs = np.random.RandomState(rng_seed)
@@ -249,9 +257,13 @@ def vmc_replay(spec, move_spread: float, rng_seed: int,
     for s in range(num_steps):
         prop = np.empty(nop)
         for i in range(nop):
-            u = rs.random_sample()
-            moves_u[s, i] = u
-            disp = (u - 0.5) * move_spread
+            if gaussian:
+                disp = rs.normal(0.0, move_spread)
+                moves_u[s, i] = disp
+            else:
+                u = rs.random_sample()
+                moves_u[s, i] = u
+                disp = (u - 0.5) * move_spread
             prop[i] = kern.recast(pos[i] + disp)
         wf_prop = kern.wf_abs_log(prop)
         u_acc = rs.random_sample()

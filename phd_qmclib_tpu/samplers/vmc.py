@@ -465,8 +465,11 @@ class Sampling:
         (SURVEY §5 RNG discipline; see
         :mod:`phd_qmclib_tpu.reference_replay`).
 
-        ``moves_u``: raw uniforms of the per-particle move draws, shape
-        ``(nts, N)`` for a single chain or ``(nts, W, N)`` batched.
+        ``moves_u``: raw uniforms of the per-particle move draws
+        (with ``gaussian=True``: the PRE-SCALED Gaussian
+        displacements, as the reference's ``normal(0, sigma)`` draws),
+        shape ``(nts, N)`` for a single chain or ``(nts, W, N)``
+        batched.
         ``accept_u``: raw Metropolis uniforms, shape ``(nts,)`` or
         ``(nts, W)``.  The displacement/acceptance arithmetic is the
         production step's own (``make_run_block.step_core``), so a
@@ -492,7 +495,8 @@ class Sampling:
             def body(carry, noise):
                 mu, au = noise
                 if self.gaussian:
-                    disp = move_spread * mu
+                    # Injected draws are the pre-scaled displacements.
+                    disp = mu
                 else:
                     disp = move_spread * (mu - 0.5)
                 new_state, _ = step_core(carry, disp, au, cfc)

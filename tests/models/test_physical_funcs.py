@@ -65,3 +65,27 @@ def test_legacy_alias_package():
     from phd_qmclib_tpu.multirods_qmc import bloch_phonon
     assert bloch_phonon.Spec is mrbp.Spec
     assert bloch_phonon.core_funcs is mrbp.core_funcs
+
+
+def test_obdm_grid_offset_chunking_matches_vmap(monkeypatch):
+    """The offset-chunked OBDM grid (bounded temporaries at production
+    shapes) is exactly the all-offsets vmap."""
+    import phd_qmclib_tpu.models.jastrow as jmod
+    from phd_qmclib_tpu.models import mrbp
+
+    spec = mrbp.Spec(lattice_depth=8.0, lattice_ratio=1.0,
+                     interaction_strength=2.0, boson_number=6,
+                     supercell_size=6.0, tbf_contact_cutoff=0.3)
+    rng = np.random.default_rng(7)
+    pos = jnp.asarray(rng.uniform(0, 6.0, size=(5, 6)))
+    szs = jnp.asarray(np.linspace(0.0, 3.0, 7))
+    cfc = spec.cfc_params
+
+    funcs = mrbp.core_funcs(spec)
+    full = funcs.one_body_density_grid(szs, pos, cfc)
+    # Force chunk = 1 offset per map step (the budget is read at trace
+    # time, so the same kernel namespace re-traces onto the map path).
+    monkeypatch.setattr(jmod, "PAIR_TILE_ELEMS", 1)
+    chunked = funcs.one_body_density_grid(szs, pos, cfc)
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(full),
+                               rtol=1e-13)

@@ -172,3 +172,31 @@ class TestDmcReplay:
                                    ref.ref_energy, rtol=1e-10)
         np.testing.assert_allclose(np.asarray(out["accum_energy"]),
                                    ref.accum_energy, rtol=1e-10)
+
+
+class TestVmcGaussianReplay:
+    """The ``vmc_ndf`` (Gaussian-proposal) variant replays bit-exactly
+    too (``qmc_base/vmc_ndf.py:43-59``; ``sigma = sqrt(time_step)``,
+    ``mrbp_qmc/vmc_ndf.py:38-45``)."""
+
+    def test_trajectory_matches(self, model_spec):
+        num_steps = 800
+        sigma = float(np.sqrt(1e-3))
+        rng = np.random.default_rng(6)
+        ini_pos = np.sort(rng.uniform(0, 16.0, size=16))
+
+        ref = replay.vmc_replay(model_spec, move_spread=sigma,
+                                rng_seed=313, ini_pos=ini_pos,
+                                num_steps=num_steps, gaussian=True)
+        sampling = vmc.Sampling(model_spec, move_spread=sigma,
+                                rng_seed=313, num_walkers=1,
+                                gaussian=True)
+        state = sampling.build_state(ini_pos)
+        pos, wf, accepted = sampling.replay_chain(
+            state, ref.moves_u, ref.accept_u)
+        np.testing.assert_array_equal(np.asarray(accepted)[:, 0],
+                                      ref.accepted)
+        np.testing.assert_array_equal(np.asarray(pos)[:, 0],
+                                      ref.pos[1:])
+        rate = ref.accepted.mean()
+        assert 0.5 < rate < 0.999  # sqrt(dt) moves: high acceptance
