@@ -96,11 +96,15 @@ def build_core_funcs(*,
 
     if two_body_pair_terms is None:
         def two_body_pair_terms(r, cfc, need_log=True,
-                                need_derivs=True):  # noqa: F811
+                                need_derivs=True,
+                                need_kin=False):  # noqa: F811
+            ldz = two_body_log_dz(r, cfc) if need_derivs else None
+            third = None
+            if need_derivs:
+                ldz2 = two_body_log_dz2(r, cfc)
+                third = -ldz2 + ldz ** 2 if need_kin else ldz2
             return (jnp.log(jnp.abs(two_body(r, cfc)))
-                    if need_log else None,
-                    two_body_log_dz(r, cfc) if need_derivs else None,
-                    two_body_log_dz2(r, cfc) if need_derivs else None)
+                    if need_log else None, ldz, third)
 
     def _supercell(cfc):
         return cfc.model_params.supercell_size
@@ -213,11 +217,11 @@ def build_core_funcs(*,
 
         if not is_ideal:
             d, r, off_diag = _pair_geometry(pos, cfc)
-            _, tb_ldz, tb_ldz2 = two_body_pair_terms(
-                r, cfc, need_log=False, need_derivs=True)
-            # (sgn * f'/f)^2 == (f'/f)^2: the sign only matters in drift.
-            kin_pair = jnp.where(off_diag, -tb_ldz2 + tb_ldz ** 2, 0.0)
-            kin = kin + kin_pair.sum(axis=(-1, -2))
+            _, tb_ldz, tb_kin = two_body_pair_terms(
+                r, cfc, need_log=False, need_derivs=True,
+                need_kin=True)
+            kin = kin + jnp.where(off_diag, tb_kin,
+                                  0.0).sum(axis=(-1, -2))
             drift_pair = jnp.where(off_diag, tb_ldz * sign(d), 0.0)
             drift_v = drift_v + drift_pair.sum(axis=-1)
 
@@ -253,12 +257,13 @@ def build_core_funcs(*,
 
         if not is_ideal:
             d, r, off_diag = _pair_geometry(pos, cfc)
-            log_tb, tb_ldz, tb_ldz2 = two_body_pair_terms(
-                r, cfc, need_log=True, need_derivs=True)
+            log_tb, tb_ldz, tb_kin = two_body_pair_terms(
+                r, cfc, need_log=True, need_derivs=True,
+                need_kin=True)
             lp = lp + 0.5 * jnp.where(off_diag, log_tb,
                                       0.0).sum(axis=(-1, -2))
-            kin_pair = jnp.where(off_diag, -tb_ldz2 + tb_ldz ** 2, 0.0)
-            kin = kin + kin_pair.sum(axis=(-1, -2))
+            kin = kin + jnp.where(off_diag, tb_kin,
+                                  0.0).sum(axis=(-1, -2))
             drift_pair = jnp.where(off_diag, tb_ldz * sign(d), 0.0)
             drift_v = drift_v + drift_pair.sum(axis=-1)
 

@@ -583,8 +583,21 @@ def _sincos_poly32(x):
 
 
 def _two_body_pair_terms(rz, cfc: CFCParams, need_log: bool = True,
-                         need_derivs: bool = True):
+                         need_derivs: bool = True,
+                         need_kin: bool = False):
     """Fused ``(log|f2|, f2'/f2, f2''/f2)`` with ONE sincos per pair.
+
+    With ``need_kin`` the third slot returns the per-pair kinetic term
+    ``-f2''/f2 + (f2'/f2)^2`` directly instead of ``f2''/f2``, via the
+    branch-uniform identity (both branches are trig)::
+
+        inside : k2^2 (1 + tan^2)   = -(-k2^2) + (k2 tan)^2
+        outside: (pi/L)^2 b (1+cot^2) = -((pi/L)^2 b((b-1)cot^2-1))
+                                        + ((pi/L) b cot)^2
+
+    i.e. ``kin = C (1 + v^2)`` with one branch-selected constant -
+    three fewer VPU ops per pair than assembling ``-ldz2 + ldz^2``
+    from the separate pieces in the O(N^2) hot loop.
 
     Both branches of the phonon pair function are trigonometric:
     ``f2 = am*cos(k2(r - r_off))`` inside the cutoff and
@@ -631,6 +644,10 @@ def _two_body_pair_terms(rz, cfc: CFCParams, need_log: bool = True,
         den = jnp.where(in_cut, c, s)
         v = num / den  # tan(arg) inside the cutoff, cot(arg) outside
         ldz = jnp.where(in_cut, -k2, pref * beta) * v
+        if need_kin:
+            kin_c = jnp.where(in_cut, k2 * k2 * one,
+                              pref ** 2 * beta * one)
+            return None, ldz, kin_c * (1.0 + v * v)
         ldz2 = jnp.where(in_cut, -k2 * k2 * one,
                          pref ** 2 * beta * ((beta - 1) * v * v - 1))
         return None, ldz, ldz2
@@ -647,11 +664,20 @@ def _two_body_pair_terms(rz, cfc: CFCParams, need_log: bool = True,
     s_i = jnp.where(in_cut, s, jnp.zeros_like(rz))
     c_i = jnp.where(in_cut, c, one)
 
+    ldz2 = None
     if need_derivs:
-        cot = c_o / s_o
-        ldz = jnp.where(in_cut, -k2 * s_i / c_i, pref * beta * cot)
-        ldz2 = jnp.where(in_cut, -k2 * k2 * one,
-                         pref ** 2 * beta * ((beta - 1) * cot ** 2 - 1))
+        # One divide serves both branches here too.
+        num = jnp.where(in_cut, s_i, c_o)
+        den = jnp.where(in_cut, c_i, s_o)
+        v = num / den
+        ldz = jnp.where(in_cut, -k2, pref * beta) * v
+        if need_kin:
+            kin_c = jnp.where(in_cut, k2 * k2 * one,
+                              pref ** 2 * beta * one)
+            ldz2 = kin_c * (1.0 + v * v)
+        else:
+            ldz2 = jnp.where(in_cut, -k2 * k2 * one,
+                             pref ** 2 * beta * ((beta - 1) * v * v - 1))
     if need_log:
         # ONE log per pair: log|f2| = p * log(x) with the base and the
         # exponent branch-selected (inside: x = |am| cos, p = 1;
