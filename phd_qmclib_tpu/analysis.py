@@ -127,6 +127,67 @@ def pair_correlation_from_ssf(momenta: np.ndarray, rho2: np.ndarray,
     return g2, g2_err
 
 
+def density_from_ssf(momenta: np.ndarray, rho_re: np.ndarray,
+                     rho_im: np.ndarray, z_grid: np.ndarray,
+                     supercell_size: float,
+                     boson_number: int,
+                     re_err: t.Optional[np.ndarray] = None,
+                     im_err: t.Optional[np.ndarray] = None):
+    """Density profile ``n(z)`` from the measured ``<Re rho_k>`` /
+    ``<Im rho_k>`` S(k) parts — a second zero-runtime-cost observable
+    from data the S(k) estimator already stores (companion of
+    :func:`pair_correlation_from_ssf`).
+
+    With ``rho_k = sum_i exp(i k z_i)`` at ``k_j = 2 pi j / L``, the
+    density is the (band-limited) Fourier synthesis::
+
+        n_M(z) = (1/L) [N + 2 sum_{j>=1} (<Re rho_kj> cos(k_j z)
+                                          + <Im rho_kj> sin(k_j z))]
+
+    normalized so ``integral n = N``.  Truncation to M modes smooths
+    features sharper than ``L/M`` — for lattice gases the profile is
+    essentially band-limited to a few harmonics of the lattice
+    wavevector, so modest M already reproduces the binned histogram
+    estimator (tested against it in ``tests/test_analysis.py``); as a
+    kernel (rather than binned) estimator it has no bin-discretization
+    bias.
+
+    :param momenta: the measured mode grid ``arange(M) * 2 pi / L``
+        (must start at ``k = 0``).
+    :param rho_re: per-walker ``<Re rho_k>`` means on that grid
+        (``SSFBlocks.fdk_real_part.mean``).
+    :param rho_im: per-walker ``<Im rho_k>`` means
+        (``SSFBlocks.fdk_imag_part.mean``).
+    :param z_grid: positions at which to evaluate ``n``.
+    :return: ``n`` on ``z_grid`` (and errors when ``re_err``/``im_err``
+        are given).
+    """
+    momenta = np.asarray(momenta, dtype=np.float64)
+    rho_re = np.asarray(rho_re, dtype=np.float64)
+    rho_im = np.asarray(rho_im, dtype=np.float64)
+    z_grid = np.asarray(z_grid, dtype=np.float64)
+    if abs(momenta[0]) > 1e-12:
+        raise ValueError("mode grid must start at k = 0")
+    cos_kz = np.cos(momenta[1:, None] * z_grid[None, :])  # (M-1, Z)
+    sin_kz = np.sin(momenta[1:, None] * z_grid[None, :])
+    n = (boson_number
+         + 2.0 * (rho_re[1:, None] * cos_kz
+                  + rho_im[1:, None] * sin_kz).sum(axis=0)) \
+        / supercell_size
+    if re_err is None and im_err is None:
+        return n
+    re_e = np.zeros_like(rho_re) if re_err is None \
+        else np.asarray(re_err, dtype=np.float64)
+    im_e = np.zeros_like(rho_im) if im_err is None \
+        else np.asarray(im_err, dtype=np.float64)
+    re_e = np.where(np.isfinite(re_e), re_e, 0.0)
+    im_e = np.where(np.isfinite(im_e), im_e, 0.0)
+    n_err = 2.0 * np.sqrt(((re_e[1:, None] * cos_kz) ** 2
+                           + (im_e[1:, None] * sin_kz) ** 2)
+                          .sum(axis=0)) / supercell_size
+    return n, n_err
+
+
 def effective_mass_from_cm_diffusion(time_step: float,
                                      iter_cmd: np.ndarray,
                                      iter_num_walkers: np.ndarray,

@@ -441,6 +441,22 @@ class SSFBlocks:
             boson_number, supercell_size,
             rho2_err=self.fdk_sqr_abs_part.mean_error)
 
+    def density_profile(self, z_grid: np.ndarray, boson_number: int,
+                        supercell_size: float):
+        """``(n, n_err)`` on ``z_grid`` from the stored
+        ``<Re rho_k>``/``<Im rho_k>`` parts (band-limited Fourier
+        synthesis; see
+        :func:`phd_qmclib_tpu.analysis.density_from_ssf`) — a density
+        profile at zero runtime cost from S(k)-only runs."""
+        from ...analysis import density_from_ssf
+        num_modes = self.fdk_real_part.totals.shape[-1]
+        momenta = np.arange(num_modes) * 2 * np.pi / supercell_size
+        return density_from_ssf(
+            momenta, self.fdk_real_part.mean, self.fdk_imag_part.mean,
+            z_grid, supercell_size, boson_number,
+            re_err=self.fdk_real_part.mean_error,
+            im_err=self.fdk_imag_part.mean_error)
+
     def hdf5_export(self, group: h5py.Group):
         self.fdk_sqr_abs_part.hdf5_export(
             group.require_group("fdk_sqr_abs"))

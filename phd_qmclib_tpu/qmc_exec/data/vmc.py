@@ -185,6 +185,21 @@ class SSFBlocks:
             boson_number, supercell_size,
             rho2_err=self.fdk_sqr_abs_part.mean_error)
 
+    def density_profile(self, z_grid: np.ndarray, boson_number: int,
+                        supercell_size: float):
+        """``(n, n_err)`` on ``z_grid`` from the stored Re/Im parts
+        (see :func:`phd_qmclib_tpu.analysis.density_from_ssf`) — VMC
+        has no binned density estimator (matching the reference), so
+        this is ITS density profile, free from the S(k) data."""
+        from ...analysis import density_from_ssf
+        num_modes = self.fdk_real_part.totals.shape[-1]
+        momenta = np.arange(num_modes) * 2 * np.pi / supercell_size
+        return density_from_ssf(
+            momenta, self.fdk_real_part.mean, self.fdk_imag_part.mean,
+            z_grid, supercell_size, boson_number,
+            re_err=self.fdk_real_part.mean_error,
+            im_err=self.fdk_imag_part.mean_error)
+
     def hdf5_export(self, group: h5py.Group):
         self.fdk_sqr_abs_part.hdf5_export(
             group.require_group("fdk_sqr_abs"))

@@ -3,6 +3,7 @@ import numpy as np
 import pytest
 
 from phd_qmclib_tpu import analysis
+from phd_qmclib_tpu.models import mrbp
 
 
 class TestMomentumDistribution:
@@ -188,3 +189,89 @@ class TestPairCorrelationFromSSF:
             momenta, vpart.mean, r, N, L, rho2_err=vpart.mean_error)
         np.testing.assert_allclose(g2_v, vref[0])
         np.testing.assert_allclose(g2_v, 1.0, atol=0.1)
+
+
+class TestDensityFromSSF:
+    """Density profile synthesized from the stored S(k) Re/Im parts
+    must match the binned histogram estimator from the SAME run."""
+
+    @pytest.fixture(scope="class")
+    def result(self):
+        from phd_qmclib_tpu.qmc_exec import dmc as dmc_exec
+
+        spec = mrbp.Spec(lattice_depth=12.0, lattice_ratio=1.0,
+                         interaction_strength=1.0, boson_number=8,
+                         supercell_size=8.0, tbf_contact_cutoff=0.3)
+        proc = dmc_exec.Proc(
+            model_spec=spec, time_step=1e-3, max_num_walkers=192,
+            target_num_walkers=160, num_blocks=4,
+            num_time_steps_block=48, burn_in_blocks=2, rng_seed=21,
+            dtype="float64",
+            density_spec=dmc_exec.DensityEstSpec(num_bins=16,
+                                                 as_pure_est=False),
+            ssf_spec=dmc_exec.SSFEstSpec(num_modes=25,
+                                         as_pure_est=False))
+        return proc.exec(dmc_exec.ProcInput.from_model_sys_conf_spec(
+            dmc_exec.ModelSysConfSpec(dist_type="RANDOM"), proc))
+
+    def test_matches_binned_histogram(self, result):
+        blocks = result.data.blocks
+        nop, sc = 8, 8.0
+        bins = 16
+        width = sc / bins
+        # The histogram measures BIN AVERAGES of a strongly-varying
+        # lattice profile; average the synthesized profile over each
+        # bin with a fine sub-grid before comparing.
+        sub = 32
+        z = (np.arange(bins * sub) + 0.5) * (width / sub)
+        n_fine, _ = blocks.ss_factor.density_profile(z, nop, sc)
+        n_fourier = n_fine.reshape(bins, sub).mean(axis=1)
+        binned = blocks.density.mean / width  # counts -> density
+        assert np.allclose(n_fourier, binned,
+                           atol=0.08 * nop / sc), \
+            np.abs(n_fourier - binned).max()
+
+    def test_normalization_and_errors(self, result):
+        blocks = result.data.blocks
+        z = np.linspace(0, 8.0, 4001)
+        n, n_err = blocks.ss_factor.density_profile(z, 8, 8.0)
+        # integral n dz == N (the k=0 mode pins it).
+        assert np.trapezoid(n, z) == pytest.approx(8.0, rel=1e-3)
+        assert np.all(np.isfinite(n_err))
+        # The profile is lattice-periodic: one maximum per well.
+        assert n.max() > 1.2 * n.min()
+
+
+def test_vmc_density_from_ssf_matches_exact_orbital():
+    """VMC has no binned density estimator (reference parity); the
+    Fourier synthesis from its S(k) parts IS its density profile.  For
+    the ideal lattice gas the trial orbital is exact, so the sampled
+    density must equal ``N |phi|^2 / integral |phi|^2``."""
+    from phd_qmclib_tpu.qmc_exec import vmc as vmc_exec
+
+    nop, sc = 8, 8.0
+    spec = mrbp.Spec(lattice_depth=10.0, lattice_ratio=1.0,
+                     interaction_strength=0.0, boson_number=nop,
+                     supercell_size=sc, tbf_contact_cutoff=0.3)
+    proc = vmc_exec.Proc(model_spec=spec, move_spread=0.4,
+                         num_blocks=6, num_steps_block=512,
+                         burn_in_blocks=2, rng_seed=5, num_walkers=64,
+                         dtype="float64",
+                         ssf_spec=vmc_exec.SSFEstSpec(num_modes=25))
+    result = proc.exec(vmc_exec.ProcInput.from_model_sys_conf_spec(
+        vmc_exec.ModelSysConfSpec(dist_type="RANDOM"), proc))
+
+    z = np.linspace(0.0, 1.0, 201)  # one lattice period
+    n, n_err = result.data.blocks.ss_factor.density_profile(z, nop, sc)
+
+    import jax.numpy as jnp
+    from phd_qmclib_tpu.models.mrbp import core_funcs
+    funcs = core_funcs(spec)
+    # Ideal gas: density is exactly proportional to |phi|^2 of the KP
+    # orbital; compare unit-mass normalized shapes over one period.
+    phi2 = np.asarray(jnp.exp(
+        2.0 * funcs.log_psi(jnp.asarray(z)[:, None], spec.cfc_params)))
+    n_norm = n / np.trapezoid(n, z)
+    e_norm = phi2 / np.trapezoid(phi2, z)
+    assert np.abs(n_norm - e_norm).max() < 0.08 * e_norm.max(), \
+        np.abs(n_norm - e_norm).max()
