@@ -309,8 +309,11 @@ def main():
     # O(N^2) pair work (validated: E/N identical to the 25%-headroom
     # run, cap never reached).
     parser.add_argument("--max-walkers", type=int, default=17408)
-    parser.add_argument("--nts", type=int, default=128)
-    parser.add_argument("--blocks", type=int, default=4)
+    # Production block length (the Proc default, matching the
+    # reference's 512): per-block host fetches are ~5% of wall time at
+    # 128 steps/block and ~1% at 512.
+    parser.add_argument("--nts", type=int, default=512)
+    parser.add_argument("--blocks", type=int, default=2)
     parser.add_argument("--estimators", action="store_true",
                         help="measure with the production estimator load "
                              "(pure 128-bin density + 64-mode S(k))")

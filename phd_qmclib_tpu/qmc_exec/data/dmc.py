@@ -39,8 +39,16 @@ FDK_SQR_ABS, FDK_REAL, FDK_IMAG = 0, 1, 2
 
 def _rel_var(rb) -> np.ndarray:
     """Relative variance of a reblocked series' mean:
-    ``var / (mean^2 * n_eff)``."""
-    return rb.var / (rb.mean ** 2 * rb.eff_size)
+    ``var / (mean^2 * n_eff)``.
+
+    Zero-mean series (e.g. ``Im rho_k`` of a symmetric density) have no
+    defined RELATIVE error — the delta method returns NaN there, which
+    downstream consumers (``analysis.density_from_ssf``,
+    ``pair_correlation_from_ssf``) treat as "no contribution"; the
+    spurious divide warning is suppressed.
+    """
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return rb.var / (rb.mean ** 2 * rb.eff_size)
 
 
 def _ratio_mean_error(ratio, num_rb, den_rb, cross_rb) -> np.ndarray:
@@ -59,10 +67,13 @@ def _ratio_mean_error(ratio, num_rb, den_rb, cross_rb) -> np.ndarray:
     """
     rel = _rel_var(num_rb)
     if den_rb is not None:
-        cov_rel = ((cross_rb.mean - num_rb.mean * den_rb.mean)
-                   / (num_rb.mean * den_rb.mean * cross_rb.eff_size))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cov_rel = ((cross_rb.mean - num_rb.mean * den_rb.mean)
+                       / (num_rb.mean * den_rb.mean
+                          * cross_rb.eff_size))
         rel = rel + _rel_var(den_rb) - 2.0 * cov_rel
-    return np.abs(ratio) * np.sqrt(rel)
+    with np.errstate(invalid="ignore"):
+        return np.abs(ratio) * np.sqrt(rel)
 
 
 class PropsData(t.NamedTuple):

@@ -403,15 +403,14 @@ class Sampling:
 
         pos = jnp.asarray(pos)
         cfc = self._cast_params(pos.dtype)
-        funcs = self.core_funcs
-        energies, drift = funcs.energy_and_drift(pos, cfc)
+        # One jitted dispatch (eager evaluation would issue every op of
+        # the O(N^2) kernel as its own executable — painful when
+        # compilation is a remote service).
+        energies, drift, weights, e_sum, w_sum = self._prepare_fn(
+            pos, jnp.asarray(valid), cfc)
 
-        weights = jnp.asarray(valid, dtype=pos.dtype)
-        energies = jnp.where(jnp.asarray(valid), energies, 0.0)
-        drift = jnp.where(jnp.asarray(valid)[:, None], drift, 0.0)
-
-        state_energy = float((energies * weights).sum())
-        state_weight = float(weights.sum())
+        state_energy = float(e_sum)
+        state_weight = float(w_sum)
         energy_mean = state_energy / state_weight
         if ref_energy is None:
             ref_energy = energy_mean
@@ -430,6 +429,23 @@ class Sampling:
     def _cast_params(self, dtype) -> mrbp.CFCParams:
         return jax.tree.map(lambda x: jnp.asarray(x, dtype=dtype),
                             self.cfc_params)
+
+    @cached_property
+    def _prepare_fn(self):
+        """Jitted ensemble preparation (``prepare_state_data``,
+        reference ``qmc_base/jastrow/dmc.py:1029-1174``)."""
+        funcs = self.core_funcs
+
+        @jax.jit
+        def prepare(pos, valid, cfc):
+            energies, drift = funcs.energy_and_drift(pos, cfc)
+            weights = valid.astype(pos.dtype)
+            energies = jnp.where(valid, energies, 0.0)
+            drift = jnp.where(valid[:, None], drift, 0.0)
+            return (energies, drift, weights,
+                    (energies * weights).sum(), weights.sum())
+
+        return prepare
 
     @cached_property
     def _rebalance_fn(self):

@@ -215,18 +215,11 @@ class Sampling:
 
         pos = jnp.asarray(pos)
         cfc = self._cast_params(pos.dtype)
-        funcs = self.core_funcs
-        wf_abs_log, energy = funcs.log_psi_and_energy(pos, cfc)
-        if self.ssf_est_spec is not None:
-            momenta = jnp.asarray(self.ssf_momenta, dtype=pos.dtype)
-            ssf_parts = funcs.fourier_density_parts(momenta, pos, cfc)
-        else:
-            ssf_parts = None
-        if self.obd_est_spec is not None:
-            offsets = jnp.asarray(self.obd_pos_offsets, dtype=pos.dtype)
-            obd_parts = funcs.one_body_density_grid(offsets, pos, cfc)
-        else:
-            obd_parts = None
+        # One jitted dispatch (eager evaluation would issue every op of
+        # the O(N^2) kernels as its own executable — painful when
+        # compilation is a remote service).
+        wf_abs_log, energy, ssf_parts, obd_parts = self._prepare_fn(
+            pos, cfc)
         move_stat = jnp.ones(pos.shape[0], dtype=bool)
         return State(pos, wf_abs_log, energy, move_stat, ssf_parts,
                      obd_parts)
@@ -234,6 +227,29 @@ class Sampling:
     def _cast_params(self, dtype) -> mrbp.CFCParams:
         return jax.tree.map(lambda x: jnp.asarray(x, dtype=dtype),
                             self.cfc_params)
+
+    @cached_property
+    def _prepare_fn(self):
+        """Jitted initial-state evaluation (wavefunction, energy and
+        estimator parts in one dispatch)."""
+        funcs = self.core_funcs
+        use_ssf = self.ssf_est_spec is not None
+        use_obd = self.obd_est_spec is not None
+        momenta = np.asarray(self.ssf_momenta) if use_ssf else None
+        offsets = np.asarray(self.obd_pos_offsets) if use_obd else None
+
+        @jax.jit
+        def prepare(pos, cfc):
+            wf_abs_log, energy = funcs.log_psi_and_energy(pos, cfc)
+            ssf_parts = funcs.fourier_density_parts(
+                jnp.asarray(momenta, dtype=pos.dtype), pos, cfc) \
+                if use_ssf else None
+            obd_parts = funcs.one_body_density_grid(
+                jnp.asarray(offsets, dtype=pos.dtype), pos, cfc) \
+                if use_obd else None
+            return wf_abs_log, energy, ssf_parts, obd_parts
+
+        return prepare
 
     # -- the compiled block kernel ------------------------------------------
 
