@@ -265,11 +265,15 @@ def parent_main(args) -> int:
                     "--target", str(args.target),
                     "--max-walkers", str(args.max_walkers)]
 
-    # Attempt 1: the full requested configuration.
+    # Attempt 1: the full requested configuration.  It gets nearly the
+    # whole budget: under a degraded relay the warmup cost is dominated
+    # by cached-executable LOADS (observed 10-45 s each), which a
+    # smaller second attempt pays all over again — the per-block
+    # PARTIAL salvage is the real safety net.
     full_args = passthrough + ["--nts", str(args.nts),
                                "--blocks", str(args.blocks)]
     final, partial = _run_attempt(
-        full_args, timeout_s=max(60.0, min(remaining() - 90.0, 330.0)))
+        full_args, timeout_s=max(60.0, remaining() - 60.0))
     if final is not None:
         print(json.dumps(final))
         return 0
@@ -280,7 +284,8 @@ def parent_main(args) -> int:
         return 0
 
     # Attempt 2: same physical configuration (same N, same ensemble -
-    # same steady-state rate), minimal timed work.
+    # same steady-state rate), minimal timed work.  Only reached when
+    # attempt 1 died without even one timed block.
     if remaining() > 45.0 and not args.quick:
         short_args = passthrough + ["--nts", "16", "--blocks", "1"]
         final, partial = _run_attempt(
