@@ -94,6 +94,22 @@ def _make_cli(sampling_type: str, prefix: str):
         app = cli_app.CLIApp.from_config(config_data, sampling_type)
         app.exec()
 
+    @cli.command(name="analyze")
+    @click.argument("result_path", type=config_path_type)
+    @click.option("-g", "--group", default=None,
+                  help="result group inside the file (default: every "
+                       f"{sampling_type} result stored)")
+    @click.option("--full", is_flag=True, default=False,
+                  help="print full per-bin/per-mode estimator tables")
+    def analyze(result_path: str, group: str = None, full: bool = False):
+        """Report the physics stored in an HDF5 result file (energy
+        with reblocked errors, population, S(k), density, OBDM,
+        effective mass).  Beyond the reference, which leaves result
+        inspection to notebook code."""
+        from .qmc_exec.report import report_hdf5
+        click.echo(report_hdf5(result_path, group=group,
+                               sampling_type=sampling_type, full=full))
+
     return cli
 
 

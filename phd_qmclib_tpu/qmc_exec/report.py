@@ -1,0 +1,243 @@
+"""Human-readable reports of stored QMC results.
+
+``report_hdf5`` loads a result written by the DMC/VMC procedures (or by
+the reference — the file layout is shared) and renders the physics in
+physical units: ground-state energy with reblocked errors, population
+statistics, S(k), density profile, OBDM/condensate numbers, and the
+CM-diffusion effective mass.  No reference analog — the reference
+leaves result inspection to ad-hoc notebook code; this module is the
+CLI-facing "what did this run measure" view (``mrbp-dmc analyze``).
+"""
+import typing as t
+
+import h5py
+import numpy as np
+
+__all__ = ["report_hdf5", "describe_dmc", "describe_vmc",
+           "find_result_groups"]
+
+
+def _fmt(value, err=None, prec: int = 6) -> str:
+    if err is None or not np.isfinite(err):
+        return f"{value:.{prec}g}"
+    return f"{value:.{prec}g} +/- {err:.3g}"
+
+
+def _model_lines(model_spec) -> t.List[str]:
+    lines = [
+        f"model       N = {model_spec.boson_number} bosons, "
+        f"L = {model_spec.supercell_size:g} (one boson per "
+        f"{model_spec.supercell_size / model_spec.boson_number:g} wells)",
+        f"            v0 = {model_spec.lattice_depth:g}, "
+        f"r = {model_spec.lattice_ratio:g}, "
+        f"gn = {model_spec.interaction_strength:g}, "
+        f"rm = {model_spec.tbf_contact_cutoff:g}",
+    ]
+    if getattr(model_spec, "num_defects", 0):
+        lines.append(f"            defects: {model_spec.num_defects} "
+                     f"x magnitude {model_spec.defect_magnitude:g}")
+    return lines
+
+
+def _ssf_lines(ssf_blocks, nop: int, sc_size: float,
+               full: bool) -> t.List[str]:
+    mean = np.asarray(ssf_blocks.mean, dtype=np.float64) / nop
+    err = np.asarray(ssf_blocks.mean_error, dtype=np.float64) / nop
+    num_modes = mean.shape[0]
+    momenta = np.arange(num_modes) * 2 * np.pi / sc_size
+    shown = num_modes if full else min(num_modes, 8)
+    lines = [f"S(k)        {num_modes} modes, k_j = 2 pi j / L "
+             f"(normalized per particle):"]
+    for j in range(shown):
+        lines.append(f"            k = {momenta[j]:8.4f}   "
+                     f"S = {_fmt(mean[j], err[j])}")
+    if shown < num_modes:
+        lines.append(f"            ... ({num_modes - shown} more modes; "
+                     f"use full=True)  S(k_max) = "
+                     f"{_fmt(mean[-1], err[-1])}")
+    return lines
+
+
+def _density_lines(density_blocks, nop: int, sc_size: float,
+                   full: bool) -> t.List[str]:
+    mean = np.asarray(density_blocks.mean, dtype=np.float64)
+    err = np.asarray(density_blocks.mean_error, dtype=np.float64)
+    num_bins = mean.shape[0]
+    bin_size = sc_size / num_bins
+    n_z = mean / bin_size                     # particles per unit length
+    total = float(mean.sum())
+    lines = [
+        f"density     {num_bins} bins; integral = {total:.6g} "
+        f"(sum rule: N = {nop})",
+        f"            n(z): min = {n_z.min():.6g}, "
+        f"max = {n_z.max():.6g}, "
+        f"contrast (max-min)/(max+min) = "
+        f"{(n_z.max() - n_z.min()) / max(n_z.max() + n_z.min(), 1e-300):.4g}",
+    ]
+    if full:
+        for b in range(num_bins):
+            z = (b + 0.5) * bin_size
+            lines.append(f"            z = {z:8.4f}   "
+                         f"n = {_fmt(n_z[b], err[b] / bin_size)}")
+    return lines
+
+
+def _obd_lines(obd_blocks, nop: int, sc_size: float, num_pos: int,
+               full: bool) -> t.List[str]:
+    from ..analysis import momentum_distribution
+
+    mean = np.asarray(obd_blocks.mean, dtype=np.float64)
+    err = np.asarray(obd_blocks.mean_error, dtype=np.float64)
+    offsets = np.linspace(0.0, 0.5 * sc_size, num_pos)
+    lines = [
+        f"OBDM        n1 on {num_pos} displacements over [0, L/2]: "
+        f"n1(0) = {_fmt(mean[0], err[0])}, "
+        f"n1(L/2) = {_fmt(mean[-1], err[-1])}",
+    ]
+    if num_pos >= 2:
+        momenta, occ, occ_err = momentum_distribution(
+            offsets, mean, sc_size, nop, n1_err=err)
+        lines.append(f"            condensate fraction "
+                     f"n(k=0)/N = {_fmt(occ[0] / nop, occ_err[0] / nop)}")
+    if full:
+        for i in range(num_pos):
+            lines.append(f"            sz = {offsets[i]:8.4f}   "
+                         f"n1 = {_fmt(mean[i], err[i])}")
+    return lines
+
+
+def describe_dmc(result, full: bool = False) -> str:
+    """Render a DMC ``ProcResult`` as a physics report."""
+    proc = result.proc
+    blocks = result.data.blocks
+    nop = proc.model_spec.boson_number
+    sc = proc.model_spec.supercell_size
+    num_blocks = len(blocks.energy.totals)
+
+    lines = ["== DMC result =="]
+    lines += _model_lines(proc.model_spec)
+    lines.append(
+        f"sampling    dt = {proc.time_step:g}, "
+        f"{proc.target_num_walkers} target walkers "
+        f"(max {proc.max_num_walkers}), "
+        f"{num_blocks} blocks x {proc.num_time_steps_block} steps"
+        + (f", est_every = {proc.est_every}" if proc.est_every > 1
+           else "") + f", dtype = {proc.dtype}")
+    e_mean = float(blocks.energy.mean)
+    e_err = float(blocks.energy.mean_error)
+    lines.append(f"energy      E/N = {_fmt(e_mean / nop, e_err / nop)}"
+                 f"   (E = {_fmt(e_mean, e_err)} per walker)")
+    state = result.state
+    if state is not None and hasattr(state, "accum_energy"):
+        lines.append(
+            f"growth      accumulated growth energy/N = "
+            f"{float(np.asarray(state.accum_energy)) / nop:.6g}, "
+            f"last E_ref/N = "
+            f"{float(np.asarray(state.ref_energy)) / nop:.6g}")
+    # Walker/weight totals are per-block SUMS over the block's steps
+    # (the reference's convention, ``qmc_exec/data/dmc.py:263-267``) —
+    # unless the file stores the full per-step series
+    # (``keep_iter_data``), where each entry covers one step.
+    entries = len(blocks.num_walkers.totals)
+    steps_per_entry = proc.num_time_steps_block \
+        if entries < proc.num_blocks * proc.num_time_steps_block else 1
+    nw_mean = float(blocks.num_walkers.mean) / steps_per_entry
+    nw_err = float(blocks.num_walkers.mean_error) / steps_per_entry
+    lines.append(
+        f"population  <walkers> = {_fmt(nw_mean, nw_err)} "
+        f"({100.0 * nw_mean / proc.target_num_walkers:.2f}% of target), "
+        f"<weight>/step = "
+        f"{float(blocks.weight.mean) / steps_per_entry:.6g}")
+    if blocks.density is not None:
+        lines += _density_lines(blocks.density, nop, sc, full)
+    if blocks.ss_factor is not None:
+        lines += _ssf_lines(blocks.ss_factor, nop, sc, full)
+    if blocks.one_body_dm is not None and proc.obd_spec is not None:
+        lines += _obd_lines(blocks.one_body_dm, nop, sc,
+                            proc.obd_spec.num_pos, full)
+    if blocks.cm_diffusion is not None:
+        ratio, ratio_err = blocks.cm_diffusion.effective_mass_ratio()
+        lines.append(f"transport   m/m* (superfluid fraction) = "
+                     f"{_fmt(ratio, ratio_err)} from "
+                     f"{blocks.cm_diffusion.num_windows} CM-diffusion "
+                     f"windows")
+    return "\n".join(lines)
+
+
+def describe_vmc(result, full: bool = False) -> str:
+    """Render a VMC ``ProcResult`` as a physics report."""
+    proc = result.proc
+    blocks = result.data.blocks
+    nop = proc.model_spec.boson_number
+    sc = proc.model_spec.supercell_size
+    num_blocks = len(blocks.energy.totals)
+
+    lines = ["== VMC result =="]
+    lines += _model_lines(proc.model_spec)
+    lines.append(
+        f"sampling    move_spread = {proc.move_spread:g}, "
+        f"{proc.num_walkers} chain(s), "
+        f"{num_blocks} blocks x {proc.num_steps_block} steps"
+        + (f", est_every = {proc.est_every}" if proc.est_every > 1
+           else "") + f", dtype = {proc.dtype}")
+    e_mean = float(blocks.energy.mean)
+    e_err = float(blocks.energy.mean_error)
+    lines.append(f"energy      E/N = {_fmt(e_mean / nop, e_err / nop)}"
+                 f"   (variational upper bound)")
+    if blocks.ss_factor is not None:
+        lines += _ssf_lines(blocks.ss_factor, nop, sc, full)
+    if blocks.one_body_dm is not None and proc.obd_spec is not None:
+        lines += _obd_lines(blocks.one_body_dm, nop, sc,
+                            proc.obd_spec.num_pos, full)
+    return "\n".join(lines)
+
+
+def find_result_groups(location: str) -> t.List[t.Tuple[str, str]]:
+    """``(group, sampling_type)`` pairs stored in an HDF5 result file."""
+    found = []
+
+    def visit(name, obj):
+        if not isinstance(obj, h5py.Group):
+            return
+        tail = name.rsplit("/", 1)[-1]
+        if tail in ("vmc", "dmc") and "proc_spec" in obj \
+                and "data" in obj:
+            found.append((name.rsplit("/", 1)[0] if "/" in name else "",
+                          tail))
+
+    with h5py.File(location, "r") as fp:
+        fp.visititems(visit)
+    return found
+
+
+def report_hdf5(location: str, group: t.Optional[str] = None,
+                sampling_type: t.Optional[str] = None,
+                full: bool = False) -> str:
+    """Report every matching result stored in ``location``.
+
+    ``group``/``sampling_type`` filter; by default all stored results
+    are rendered (one report per ``{group}/{vmc|dmc}`` entry).
+    """
+    from .io import DmcHDF5FileHandler, VmcHDF5FileHandler
+
+    entries = find_result_groups(location)
+    if group is not None:
+        entries = [e for e in entries if e[0] == group]
+    if sampling_type is not None:
+        entries = [e for e in entries if e[1] == sampling_type]
+    if not entries:
+        stored = ", ".join(f"{g or '/'}:{st}"
+                           for g, st in find_result_groups(location)) \
+            or "none"
+        raise ValueError(
+            f"no matching results in '{location}' "
+            f"(group={group!r}, type={sampling_type!r}; stored: {stored})")
+    reports = []
+    for grp, stype in entries:
+        handler_cls = DmcHDF5FileHandler if stype == "dmc" \
+            else VmcHDF5FileHandler
+        result = handler_cls(location=location, group=grp).load()
+        describe = describe_dmc if stype == "dmc" else describe_vmc
+        header = f"-- {location} :: {grp or '/'} --"
+        reports.append(header + "\n" + describe(result, full=full))
+    return "\n\n".join(reports)

@@ -67,6 +67,13 @@ class TestCmDiffusionProc:
         merged = loaded.data.blocks.merge(result.data.blocks)
         assert merged.cm_diffusion.num_windows == 4
 
+    def test_report_renders_effective_mass(self, result):
+        from phd_qmclib_tpu.qmc_exec.report import describe_dmc
+
+        text = describe_dmc(result)
+        assert "m/m* (superfluid fraction)" in text
+        assert "2 CM-diffusion windows" in text
+
     def test_config_roundtrip(self):
         proc = make_proc()
         config = proc.as_config()

@@ -1,0 +1,90 @@
+"""The ``analyze`` report: physics rendered from stored HDF5 results."""
+import pathlib
+import shutil
+
+import pytest
+import yaml
+from click.testing import CliRunner
+
+from phd_qmclib_tpu import mrbp_cli
+from phd_qmclib_tpu.qmc_exec import cli_app
+from phd_qmclib_tpu.qmc_exec.config import Loader
+from phd_qmclib_tpu.qmc_exec.report import (find_result_groups,
+                                            report_hdf5)
+
+FIXTURES = pathlib.Path(__file__).parent / "fixtures"
+
+
+@pytest.fixture()
+def dmc_result_file(tmp_path):
+    shutil.copy(FIXTURES / "dmc-cli-app-spec.yml", tmp_path)
+    config = Loader().load(tmp_path / "dmc-cli-app-spec.yml")
+    with pytest.warns(DeprecationWarning):
+        app = cli_app.CLIApp.from_config(config, "dmc")
+    results = app.exec()
+    return tmp_path / "test-out-file.h5", results[0]
+
+
+class TestReport:
+
+    def test_find_result_groups(self, dmc_result_file):
+        path, _ = dmc_result_file
+        assert find_result_groups(str(path)) == [("dmc-proc-ID0", "dmc")]
+
+    def test_dmc_report_values(self, dmc_result_file):
+        path, result = dmc_result_file
+        text = report_hdf5(str(path))
+        nop = result.proc.model_spec.boson_number
+        e_per_boson = float(result.data.blocks.energy.mean) / nop
+        assert "== DMC result ==" in text
+        assert "dmc-proc-ID0" in text
+        assert f"N = {nop} bosons" in text
+        # The rendered energy matches the blocks statistic.
+        assert f"E/N = {e_per_boson:.6g}" in text
+        # The fixture enables S(k) and the OBDM.
+        assert "S(k)" in text
+        assert "OBDM" in text
+        assert "condensate fraction" in text
+        # Population renders PER-STEP averages (block totals are sums
+        # over the block's steps).
+        import re
+        pct = float(re.search(r"\(([\d.]+)% of target\)", text).group(1))
+        assert 50.0 < pct < 150.0
+
+    def test_full_tables(self, dmc_result_file):
+        path, result = dmc_result_file
+        text = report_hdf5(str(path), full=True)
+        # One line per displacement-grid point.
+        num_pos = result.proc.obd_spec.num_pos
+        assert text.count("sz = ") == num_pos
+
+    def test_group_filter_and_errors(self, dmc_result_file):
+        path, _ = dmc_result_file
+        assert "== DMC result ==" in report_hdf5(str(path),
+                                                 group="dmc-proc-ID0")
+        with pytest.raises(ValueError, match="no matching results"):
+            report_hdf5(str(path), group="nope")
+        with pytest.raises(ValueError, match="no matching results"):
+            report_hdf5(str(path), sampling_type="vmc")
+
+    def test_cli_analyze(self, dmc_result_file, monkeypatch):
+        path, _ = dmc_result_file
+        monkeypatch.chdir(path.parent)
+        runner = CliRunner()
+        out = runner.invoke(mrbp_cli.dmc_cli,
+                            ["analyze", path.name])
+        assert out.exit_code == 0, out.output
+        assert "E/N = " in out.output
+
+    def test_cli_analyze_vmc(self, tmp_path, monkeypatch):
+        shutil.copy(FIXTURES / "vmc-cli-app-spec.yml", tmp_path)
+        monkeypatch.chdir(tmp_path)
+        runner = CliRunner()
+        assert runner.invoke(mrbp_cli.vmc_cli,
+                             ["start", "vmc-cli-app-spec.yml"]) \
+            .exit_code == 0
+        out = runner.invoke(mrbp_cli.vmc_cli, ["analyze", "vmc-out.h5",
+                                               "--full"])
+        assert out.exit_code == 0, out.output
+        assert "== VMC result ==" in out.output
+        assert "variational upper bound" in out.output
