@@ -120,19 +120,18 @@ def main():
             print(json.dumps(results[-1]), flush=True)
 
     # Weighted linear fit E(dt) = E0 + a dt with parameter covariance.
+    from phd_qmclib_tpu.analysis import zero_limit_extrapolation
+
     x = np.array([r["dt"] for r in results])
     y = np.array([r["energy_per_boson"] for r in results])
-    w = 1.0 / np.array([max(r["error"], 1e-12) for r in results])
-    coeffs, cov = np.polyfit(x, y, 1, w=w, cov="unscaled")
-    e_extrap = coeffs[1]
-    e_extrap_err = float(np.sqrt(cov[1, 1]))
+    y_err = np.array([max(r["error"], 1e-12) for r in results])
+    e_extrap, e_extrap_err, coeffs = zero_limit_extrapolation(x, y, y_err)
     print(json.dumps({
         "metric": "dmc_energy_dt_extrapolated",
         "value": e_extrap,
         "error": e_extrap_err,
         "unit": "energy/boson (UE)",
-        "slope": coeffs[0],
-        "slope_error": float(np.sqrt(cov[0, 0])),
+        "slope": float(coeffs[0]),
         "ideal_band_bottom": e0,
         "elapsed_s": time.time() - t0,
     }))

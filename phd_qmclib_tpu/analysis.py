@@ -256,3 +256,59 @@ def extrapolated_estimate(mixed: np.ndarray, variational: np.ndarray,
     ve = np.zeros_like(est) if variational_err is None \
         else np.asarray(variational_err)
     return est, np.sqrt(4.0 * me ** 2 + ve ** 2)
+
+
+def zero_limit_extrapolation(x: np.ndarray, y: np.ndarray,
+                             y_err: t.Optional[np.ndarray] = None,
+                             order: int = 1):
+    """Weighted polynomial extrapolation of a systematic-bias series to
+    its ``x -> 0`` limit.
+
+    The two standard DMC convergence workflows share this shape:
+
+    * **time-step bias**: ``x = dt``, ``y = E(dt)`` from a dt sweep
+      (e.g. ``benchmarks/dt_sweep.py`` / a fused ``ParamSweep``) — the
+      drift-diffusion Trotter error is linear-plus-higher-order in dt;
+    * **population-control bias**: ``x = 1 / N_w``, ``y = E(N_w)`` — the
+      E_ref feedback bias is O(1/N_w) (reference controller:
+      ``qmc_base/dmc.py:769-771``).
+
+    Uses a weighted least-squares polynomial of degree ``order`` with
+    ``1/y_err`` weights and the *unscaled* parameter covariance (errors
+    taken from the supplied measurement errors, not the residuals — the
+    right convention when each point carries its own reblocked error
+    bar).
+
+    :return: ``(limit, limit_err, coeffs)`` — the extrapolated
+        ``y(x=0)``, its standard error, and the full coefficient vector
+        (highest degree first, ``coeffs[-1] == limit``).
+    """
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    if x.shape != y.shape or x.ndim != 1:
+        raise ValueError("x and y must be equal-length 1-D arrays")
+    if len(x) < order + 1:
+        raise ValueError(f"need at least {order + 1} points for a "
+                         f"degree-{order} fit, got {len(x)}")
+    if y_err is not None:
+        w = 1.0 / np.maximum(np.asarray(y_err, dtype=np.float64), 1e-300)
+    else:
+        w = None
+    if len(x) == order + 1:
+        # Exact interpolation: polyfit cannot form a covariance.
+        coeffs = np.polyfit(x, y, order, w=w)
+        err = float("nan") if y_err is None else _interp_limit_err(
+            x, np.asarray(y_err, dtype=np.float64), order)
+        return float(coeffs[-1]), err, coeffs
+    coeffs, cov = np.polyfit(x, y, order, w=w, cov="unscaled")
+    return (float(coeffs[-1]), float(np.sqrt(cov[-1, -1])), coeffs)
+
+
+def _interp_limit_err(x, y_err, order):
+    """Error of the x=0 value of the exact degree-n interpolation:
+    linear propagation through the Lagrange basis at 0."""
+    basis = []
+    for i in range(len(x)):
+        others = np.delete(x, i)
+        basis.append(np.prod(-others) / np.prod(x[i] - others))
+    return float(np.sqrt((np.asarray(basis) ** 2 * y_err ** 2).sum()))

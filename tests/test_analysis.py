@@ -275,3 +275,53 @@ def test_vmc_density_from_ssf_matches_exact_orbital():
     e_norm = phi2 / np.trapezoid(phi2, z)
     assert np.abs(n_norm - e_norm).max() < 0.08 * e_norm.max(), \
         np.abs(n_norm - e_norm).max()
+
+
+class TestZeroLimitExtrapolation:
+    """dt -> 0 / 1/N_w -> 0 extrapolation with measurement errors."""
+
+    def test_recovers_linear_limit_with_calibrated_error(self):
+        from phd_qmclib_tpu.analysis import zero_limit_extrapolation
+
+        rng = np.random.default_rng(11)
+        x = np.array([1e-3, 2e-3, 4e-3, 8e-3])
+        errs = np.full(4, 1e-3)
+        true = 8.417
+        hits = 0
+        for _ in range(300):
+            y = true + 3.0 * x + rng.normal(0.0, errs)
+            lim, err, coeffs = zero_limit_extrapolation(x, y, errs)
+            hits += abs(lim - true) < 1.96 * err
+        # 95% nominal coverage; allow wide binomial slack.
+        assert 0.90 < hits / 300 <= 1.0
+        assert coeffs[-1] == lim
+
+    def test_exact_interpolation_error_propagation(self):
+        from phd_qmclib_tpu.analysis import zero_limit_extrapolation
+
+        # Two points: y(0) = 2 y1 - y2 for x2 = 2 x1, so
+        # err = sqrt(4 e1^2 + e2^2).
+        x = np.array([1e-3, 2e-3])
+        y = 5.0 + 7.0 * x
+        e = np.array([1e-3, 2e-3])
+        lim, err, _ = zero_limit_extrapolation(x, y, e)
+        assert lim == pytest.approx(5.0, abs=1e-12)
+        assert err == pytest.approx(np.hypot(2e-3, 2e-3), rel=1e-12)
+
+    def test_quadratic_bias_needs_order_two(self):
+        from phd_qmclib_tpu.analysis import zero_limit_extrapolation
+
+        x = np.array([1.0, 2.0, 3.0, 4.0]) * 1e-3
+        y = 3.0 + 0.5 * x + 4e4 * x ** 2   # strong curvature
+        lim2, _, _ = zero_limit_extrapolation(x, y, None, order=2)
+        lim1, _, _ = zero_limit_extrapolation(x, y, None, order=1)
+        assert lim2 == pytest.approx(3.0, abs=1e-9)
+        assert abs(lim1 - 3.0) > 1e-2
+
+    def test_validation(self):
+        from phd_qmclib_tpu.analysis import zero_limit_extrapolation
+
+        with pytest.raises(ValueError, match="equal-length"):
+            zero_limit_extrapolation([1.0, 2.0], [1.0])
+        with pytest.raises(ValueError, match="at least"):
+            zero_limit_extrapolation([1.0, 2.0], [1.0, 2.0], order=2)
