@@ -9,6 +9,7 @@ leaves result inspection to ad-hoc notebook code; this module is the
 CLI-facing "what did this run measure" view (``mrbp-dmc analyze``).
 """
 import typing as t
+import warnings
 
 import h5py
 import numpy as np
@@ -21,6 +22,24 @@ def _fmt(value, err=None, prec: int = 6) -> str:
     if err is None or not np.isfinite(err):
         return f"{value:.{prec}g}"
     return f"{value:.{prec}g} +/- {err:.3g}"
+
+
+def _correlation_line(energy_blocks) -> str:
+    """Blocking-analysis summary of the energy series: integrated
+    autocorrelation time (in block units) and the decorrelated sample
+    count behind the quoted error bar."""
+    rb = energy_blocks.reblock
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        tau = float(rb.opt_iac_time)
+        eff = float(rb.eff_size)
+    unresolved = any("optimum block size" in str(w.message)
+                     for w in caught)
+    line = (f"correlation tau_int = {tau:.3g} blocks, "
+            f"{eff:.0f} effective samples of {int(rb.size)} blocks")
+    if unresolved:
+        line += " (block-size criterion unresolved - gather more blocks)"
+    return line
 
 
 def _model_lines(model_spec) -> t.List[str]:
@@ -127,6 +146,7 @@ def describe_dmc(result, full: bool = False) -> str:
     e_err = float(blocks.energy.mean_error)
     lines.append(f"energy      E/N = {_fmt(e_mean / nop, e_err / nop)}"
                  f"   (E = {_fmt(e_mean, e_err)} per walker)")
+    lines.append(_correlation_line(blocks.energy))
     state = result.state
     if state is not None and hasattr(state, "accum_energy"):
         lines.append(
@@ -184,6 +204,7 @@ def describe_vmc(result, full: bool = False) -> str:
     e_err = float(blocks.energy.mean_error)
     lines.append(f"energy      E/N = {_fmt(e_mean / nop, e_err / nop)}"
                  f"   (variational upper bound)")
+    lines.append(_correlation_line(blocks.energy))
     if blocks.ss_factor is not None:
         lines += _ssf_lines(blocks.ss_factor, nop, sc, full)
     if blocks.one_body_dm is not None and proc.obd_spec is not None:

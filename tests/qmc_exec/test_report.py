@@ -45,6 +45,7 @@ class TestReport:
         assert "S(k)" in text
         assert "OBDM" in text
         assert "condensate fraction" in text
+        assert "correlation tau_int" in text
         # Population renders PER-STEP averages (block totals are sums
         # over the block's steps).
         import re
