@@ -168,6 +168,18 @@ class Proc(proc_base.Proc):
         for name, spec in (("density_spec", self.density_spec),
                            ("ssf_spec", self.ssf_spec),
                            ("obd_spec", self.obd_spec)):
+            every = self.est_every
+            if name == "obd_spec" and spec is not None:
+                mult = int(spec.est_every_mult)
+                if mult < 1:
+                    raise ValueError(
+                        "obd_spec: est_every_mult must be a positive "
+                        "integer")
+                every *= mult
+                if self.num_time_steps_block % every:
+                    raise ValueError(
+                        "obd_spec: num_time_steps_block must be "
+                        "divisible by est_every * est_every_mult")
             pfw = getattr(spec, "pfw_num_time_steps", None)
             if pfw is None:
                 continue
@@ -180,10 +192,10 @@ class Proc(proc_base.Proc):
                 raise ValueError(
                     f"{name}: pfw_num_time_steps must be in "
                     f"(0, num_time_steps_block]")
-            if pfw % self.est_every:
+            if pfw % every:
                 raise ValueError(
                     f"{name}: pfw_num_time_steps must be divisible by "
-                    f"est_every")
+                    f"est_every (x est_every_mult for the OBDM)")
 
     # -- config plumbing -----------------------------------------------------
 
@@ -264,6 +276,9 @@ class Proc(proc_base.Proc):
         if self.obd_spec is not None:
             config["obd_spec"] = _est_config(
                 self.obd_spec, "num_pos", self.obd_spec.num_pos)
+            if self.obd_spec.est_every_mult != 1:
+                config["obd_spec"]["est_every_mult"] = \
+                    self.obd_spec.est_every_mult
         if self.cm_diffusion_spec is not None:
             config["cm_diffusion_spec"] = {
                 # 0 encodes "whole run" (None is not an HDF5 attr).
@@ -318,7 +333,9 @@ class Proc(proc_base.Proc):
             self._pfw(self.ssf_spec)) if self.should_eval_ssf else None
         obd_est_spec = dmc_sampler.OBDEstSpec(
             self.obd_spec.num_pos, self.obd_spec.as_pure_est,
-            self._pfw(self.obd_spec)) if self.should_eval_obd else None
+            self._pfw(self.obd_spec),
+            est_every_mult=self.obd_spec.est_every_mult) \
+            if self.should_eval_obd else None
         mesh = None
         if self.num_mesh_devices is not None:
             from ..parallel import make_walker_mesh
@@ -579,8 +596,13 @@ class _BlockAccumulator:
             self.ssf_blocks_data = np.zeros(
                 est_shape + (proc.ssf_spec.num_modes, 3))
         if proc.should_eval_obd:
+            # The OBDM carries its own (sparser) cadence.
+            num_measured_obd = nts_block // (proc.est_every
+                                             * proc.obd_spec.est_every_mult)
+            obd_shape = (num_blocks, num_measured_obd) if keep \
+                else (num_blocks,)
             self.obd_blocks_data = np.zeros(
-                est_shape + (proc.obd_spec.num_pos,))
+                obd_shape + (proc.obd_spec.num_pos,))
         self.cmd_w2_data = None
         self.cmd_raw_data = None
         if proc.should_eval_cm_diffusion:
@@ -595,6 +617,10 @@ class _BlockAccumulator:
         # the sum of the measured steps\' weights per block.
         self.est_weight_totals = np.zeros(num_blocks) \
             if proc.est_every > 1 and not keep else None
+        self.obd_weight_totals = np.zeros(num_blocks) \
+            if (proc.should_eval_obd and not keep
+                and proc.est_every * proc.obd_spec.est_every_mult > 1) \
+            else None
 
     def add(self, block_idx: int, energy, weight, num_walkers,
             ref_energy, accum_energy, iter_density=None, iter_ssf=None,
@@ -634,6 +660,10 @@ class _BlockAccumulator:
         if self.est_weight_totals is not None:
             k = proc.est_every
             self.est_weight_totals[block_idx] = \
+                weight[k - 1::k].sum()
+        if self.obd_weight_totals is not None:
+            k = proc.est_every * proc.obd_spec.est_every_mult
+            self.obd_weight_totals[block_idx] = \
                 weight[k - 1::k].sum()
         if iter_density is not None:
             self.density_blocks_data[block_idx] = (
@@ -678,7 +708,9 @@ class _BlockAccumulator:
             if proc.should_eval_ssf else None
         obd_blocks = dmc_data.OBDBlocks.from_data(
             nts_block, self.obd_blocks_data, props_data, reduce_data,
-            proc.obd_spec.as_pure_est, factor, **est_kw) \
+            proc.obd_spec.as_pure_est, factor,
+            est_every=proc.est_every * proc.obd_spec.est_every_mult,
+            est_weight_totals=self.obd_weight_totals) \
             if proc.should_eval_obd else None
 
         cmd_blocks = None

@@ -70,10 +70,19 @@ class SSFEstSpec:
 class OBDEstSpec:
     """One-body density matrix estimator config (beyond the reference,
     which stubs the OBDM machinery out - ``qmc_base/vmc.py:444-450``).
-    See :class:`DensityEstSpec` for ``pfw_num_time_steps``."""
+    See :class:`DensityEstSpec` for ``pfw_num_time_steps``.
+
+    ``est_every_mult`` evaluates the ``num_pos``-offset grid only every
+    ``est_every * est_every_mult``-th step: the grid costs ``num_pos``
+    shifted pair passes — tens of whole QMC steps — while the OBDM
+    samples it yields are strongly correlated, so a sparse OBDM cadence
+    recovers nearly all of the cost at negligible statistical price.
+    The dynamics and the other estimators are bit-identical for any
+    value."""
     num_pos: int
     as_pure_est: bool = True
     pfw_num_time_steps: t.Optional[int] = None
+    est_every_mult: int = 1
 
 
 @dataclass(frozen=True)

@@ -42,8 +42,14 @@ class SSFEstSpec:
 class OBDEstSpec:
     """One-body density matrix estimator config: ``n1(sz)`` on a
     ``num_pos``-point grid over ``[0, L/2]`` (the reference stubs this
-    estimator out, ``qmc_base/vmc.py:444-450``)."""
+    estimator out, ``qmc_base/vmc.py:444-450``).
+
+    ``est_every_mult`` evaluates the grid only every
+    ``est_every * est_every_mult``-th step (the grid costs ``num_pos``
+    shifted pair passes; chain dynamics and S(k) are bit-identical for
+    any value)."""
     num_pos: int
+    est_every_mult: int = 1
 
 
 @dataclass(frozen=True)
@@ -141,6 +147,15 @@ class Proc(proc_base.Proc):
         _set(self, "est_every", int(self.est_every))
         if self.est_every < 1:
             raise ValueError("est_every must be a positive integer")
+        if self.obd_spec is not None:
+            mult = int(self.obd_spec.est_every_mult)
+            if mult < 1:
+                raise ValueError("obd_spec: est_every_mult must be a "
+                                 "positive integer")
+            if self.num_steps_block % (self.est_every * mult):
+                raise ValueError(
+                    "obd_spec: num_steps_block must be divisible by "
+                    "est_every * est_every_mult")
         if self.num_steps_block % self.est_every:
             raise ValueError("num_steps_block must be divisible by "
                              "est_every")
@@ -194,6 +209,9 @@ class Proc(proc_base.Proc):
             config["ssf_spec"] = {"num_modes": self.ssf_spec.num_modes}
         if self.obd_spec is not None:
             config["obd_spec"] = {"num_pos": self.obd_spec.num_pos}
+            if self.obd_spec.est_every_mult != 1:
+                config["obd_spec"]["est_every_mult"] = \
+                    self.obd_spec.est_every_mult
         return {k: v for k, v in config.items() if v is not None}
 
     def evolve(self, config: t.Mapping) -> "Proc":
@@ -219,7 +237,9 @@ class Proc(proc_base.Proc):
     def sampling(self) -> vmc_sampler.Sampling:
         ssf_est_spec = vmc_sampler.SSFEstSpec(self.ssf_spec.num_modes) \
             if self.should_eval_ssf else None
-        obd_est_spec = vmc_sampler.OBDEstSpec(self.obd_spec.num_pos) \
+        obd_est_spec = vmc_sampler.OBDEstSpec(
+            self.obd_spec.num_pos,
+            est_every_mult=self.obd_spec.est_every_mult) \
             if self.should_eval_obd else None
         mesh = None
         if self.num_mesh_devices is not None:
@@ -381,8 +401,13 @@ class _VmcBlockAccumulator:
                 est_shape + (proc.ssf_spec.num_modes, 3))
         self.obd_data = None
         if proc.should_eval_obd:
+            # The OBDM carries its own (sparser) cadence.
+            num_measured_obd = ns_block // (proc.est_every
+                                            * proc.obd_spec.est_every_mult)
+            obd_shape = (num_blocks, num_measured_obd) if keep \
+                else (num_blocks,)
             self.obd_data = np.zeros(
-                est_shape + (proc.obd_spec.num_pos,))
+                obd_shape + (proc.obd_spec.num_pos,))
         self.accept_rates = []
 
     def add(self, block_idx: int, wf_abs_log, energy, move_stat,

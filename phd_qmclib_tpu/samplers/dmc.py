@@ -172,6 +172,18 @@ class OBDEstSpec:
     num_pos: int
     as_pure_est: bool = True
     pfw_num_time_steps: t.Optional[int] = None
+    #: OBDM-specific cadence multiplier on top of ``Sampling.est_every``:
+    #: evaluate the ``num_pos``-offset grid only every
+    #: ``est_every * est_every_mult``-th step.  The grid costs
+    #: ``num_pos`` shifted pair passes — tens of times the whole DMC
+    #: step — while density/S(k) cost a fraction of one, so the OBDM
+    #: wants a much sparser (and statistically near-free, the samples
+    #: being strongly correlated) cadence than the cheap estimators.
+    #: The walker dynamics and the other estimators are bit-identical
+    #: for any value; pure-estimator ancestry transport still advances
+    #: every step.  ``iter_obd`` then carries
+    #: ``num_time_steps_block // (est_every * est_every_mult)`` entries.
+    est_every_mult: int = 1
 
 
 def branching_comb(weights: jnp.ndarray, num_walkers: jnp.ndarray,
@@ -288,15 +300,24 @@ class Sampling:
             object.__setattr__(self, "num_walkers_control_factor", 0.125)
         if self.est_every < 1:
             raise ValueError("est_every must be a positive integer")
-        if self.est_every > 1:
+        if self.obd_est_spec is not None \
+                and self.obd_est_spec.est_every_mult < 1:
+            raise ValueError("est_every_mult must be a positive integer")
+        if self.est_every > 1 or (self.obd_est_spec is not None
+                                  and self.obd_est_spec.est_every_mult
+                                  > 1):
             for spec in (self.density_est_spec, self.ssf_est_spec,
                          self.obd_est_spec):
-                if spec is not None and spec.as_pure_est \
-                        and spec.pfw_num_time_steps \
-                        and spec.pfw_num_time_steps % self.est_every:
+                if spec is None or not spec.as_pure_est \
+                        or not spec.pfw_num_time_steps:
+                    continue
+                every = self.est_every
+                if spec is self.obd_est_spec:
+                    every *= spec.est_every_mult
+                if spec.pfw_num_time_steps % every:
                     raise ValueError(
                         "pfw_num_time_steps must be divisible by "
-                        "est_every")
+                        "est_every (x est_every_mult for the OBDM)")
         if self.mesh is not None:
             n = self.mesh.shape[self.mesh_axis]
             if self.max_num_walkers % n or self.target_num_walkers % n:
@@ -660,21 +681,58 @@ class Sampling:
                         valid[:, None, None], parts, 0.0).sum(axis=0)
             if use_obd and not transport_only:
                 offsets = jnp.asarray(obd_offsets, dtype=cpos.dtype)
-                obd_parts = funcs.one_body_density_grid(offsets, cpos, cfc)
+                # OBDM-specific cadence: the grid is evaluated only on
+                # every ``est_every_mult``-th measured step (the grid
+                # costs ``num_pos`` shifted pair passes, dwarfing the
+                # rest of the step); ``lax.cond`` skips the compute
+                # entirely on the other steps — ancestry transport of
+                # the pure accumulator still advances here.
+                obd_mult = obd_spec.est_every_mult
+                cad_obd = cadence * obd_mult
+                obd_now = (step_idx + 1) % cad_obd == 0
                 if obd_pure:
                     pfw = self._pfw_steps(obd_spec)
                     aux_prev = extra["aux_obd"][parent]
-                    aux = jnp.where(step_idx < pfw, aux_prev + obd_parts,
-                                    aux_prev)
                     divisor = jnp.minimum(
-                        (step_idx + 1) // cadence,
-                        pfw // cadence).astype(cpos.dtype)
-                    est_out["obd"] = jnp.where(
-                        valid[:, None], aux, 0.0).sum(axis=0) / divisor
+                        (step_idx + 1) // cad_obd,
+                        pfw // cad_obd).astype(cpos.dtype)
+
+                    def _obd_measure(aux_p):
+                        parts = funcs.one_body_density_grid(
+                            offsets, cpos, cfc)
+                        aux = jnp.where(step_idx < pfw, aux_p + parts,
+                                        aux_p)
+                        est = jnp.where(valid[:, None], aux,
+                                        0.0).sum(axis=0) / divisor
+                        return aux, est
+
+                    if obd_mult == 1:
+                        aux, est = _obd_measure(aux_prev)
+                    else:
+                        # The skip-branch zeros derive from a varying
+                        # operand (0 * aux row) so both cond branches
+                        # carry the same shard_map vartype.
+                        aux, est = jax.lax.cond(
+                            obd_now, _obd_measure,
+                            lambda aux_p: (aux_p, 0.0 * aux_p[0]),
+                            aux_prev)
+                    est_out["obd"] = est
                     new_extra["aux_obd"] = aux
                 else:
-                    est_out["obd"] = jnp.where(
-                        valid[:, None], obd_parts, 0.0).sum(axis=0)
+                    def _obd_mixed(_):
+                        parts = funcs.one_body_density_grid(
+                            offsets, cpos, cfc)
+                        return jnp.where(valid[:, None], parts,
+                                         0.0).sum(axis=0)
+
+                    if obd_mult == 1:
+                        est_out["obd"] = _obd_mixed(None)
+                    else:
+                        est_out["obd"] = jax.lax.cond(
+                            obd_now, _obd_mixed,
+                            lambda _: jnp.zeros((obd_spec.num_pos,),
+                                                cpos.dtype)
+                            + 0.0 * cpos[0, 0], None)
 
             # 5) Diffuse children with the PREVIOUS E_ref
             #    (jastrow/dmc.py:742-827).
@@ -768,6 +826,12 @@ class Sampling:
 
         def run_block(state: State, block_key, scalars, cfc,
                       num_time_steps_block: int):
+            if obd_spec is not None and obd_spec.est_every_mult > 1 \
+                    and num_time_steps_block % (cadence
+                                                * obd_spec.est_every_mult):
+                raise ValueError(
+                    "num_time_steps_block must be divisible by "
+                    "est_every * obd est_every_mult")
             if axis_name is not None:
                 # Decorrelate the per-shard random streams.
                 block_key = jax.random.fold_in(
@@ -855,6 +919,13 @@ class Sampling:
                 props = jax.tree.map(
                     lambda x: x.reshape((num_time_steps_block,)
                                         + x.shape[2:]), props)
+            if "obd" in est and obd_spec.est_every_mult > 1:
+                # Keep only the steps where the grid was actually
+                # evaluated (one entry per OBDM-measured step; the
+                # in-between cond branches emitted zeros).  Before the
+                # psum: less collective volume.
+                m = obd_spec.est_every_mult
+                est["obd"] = est["obd"][m - 1::m]
             if axis_name is not None and est:
                 # Shard-local estimator sums reduce over the mesh ONCE
                 # per block (nts-fold less ICI latency than per-step).

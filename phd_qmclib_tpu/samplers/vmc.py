@@ -111,6 +111,14 @@ class OBDEstSpec:
     discard generous burn-in before trusting ``n1 <= 1``.
     """
     num_pos: int
+    #: OBDM-specific cadence multiplier on top of ``Sampling.est_every``:
+    #: evaluate the grid only every ``est_every * est_every_mult``-th
+    #: step.  The grid costs ``num_pos`` shifted pair passes — many
+    #: whole Metropolis steps — and consecutive samples are strongly
+    #: correlated; chain dynamics and the S(k) estimator are
+    #: bit-identical for any value.  ``iter_obd`` then carries
+    #: ``num_steps_block // (est_every * est_every_mult)`` entries.
+    est_every_mult: int = 1
 
 
 @dataclass(frozen=True)
@@ -146,6 +154,9 @@ class Sampling:
     def __post_init__(self):
         if self.est_every < 1:
             raise ValueError("est_every must be a positive integer")
+        if self.obd_est_spec is not None \
+                and self.obd_est_spec.est_every_mult < 1:
+            raise ValueError("est_every_mult must be a positive integer")
         if self.rng_seed is None:
             object.__setattr__(self, "rng_seed",
                                int(utils.get_random_rng_seed()))
@@ -333,7 +344,12 @@ class Sampling:
 
             return step_core, step
 
-        step_core, step = make_step_core(with_est=(cadence == 1))
+        obd_mult = self.obd_est_spec.est_every_mult if use_obd else 1
+        # The OBDM's own (sparser) cadence forces the chunked path even
+        # at est_every == 1: chunk-final evaluation is identical to the
+        # carried step_core values there (see the cadence note below).
+        chunked = cadence > 1 or obd_mult > 1
+        step_core, step = make_step_core(with_est=not chunked)
 
         def run_block(state: State, block_key, cfc, move_spread,
                       num_steps_block: int):
@@ -342,7 +358,7 @@ class Sampling:
                     block_key, jax.lax.axis_index(axis_name))
             keys = jax.random.split(block_key, num_steps_block)
 
-            if cadence == 1:
+            if not chunked:
                 final_state, (lps, es, accepts, ssf, obd) = jax.lax.scan(
                     lambda c, k: step(c, k, cfc, move_spread), state,
                     keys)
@@ -355,15 +371,18 @@ class Sampling:
                 # steps (the carried parts always equal
                 # ``parts(current pos)``), and the chain dynamics use
                 # the exact same key sequence as ``cadence == 1``.
-                if num_steps_block % cadence:
+                if num_steps_block % (cadence * obd_mult):
                     raise ValueError("num_steps_block must be divisible "
-                                     "by est_every")
+                                     "by est_every (x est_every_mult "
+                                     "for the OBDM)")
                 # Parts are not carried in cadence mode.
                 state = state._replace(ssf_parts=None, obd_parts=None)
-                keys_c = keys.reshape((num_steps_block // cadence,
-                                       cadence) + keys.shape[1:])
+                num_chunks = num_steps_block // cadence
+                keys_c = keys.reshape((num_chunks, cadence)
+                                      + keys.shape[1:])
 
-                def chunk(carry, chunk_keys):
+                def chunk(carry, inputs):
+                    chunk_keys, chunk_idx = inputs
                     new_state, (lps, es, accepts, _, _) = jax.lax.scan(
                         lambda c, k: step(c, k, cfc, move_spread),
                         carry, chunk_keys)
@@ -377,16 +396,36 @@ class Sampling:
                     if use_obd:
                         offsets = jnp.asarray(obd_offsets,
                                               dtype=pos.dtype)
-                        obd_sum = funcs.one_body_density_grid(
-                            offsets, pos, cfc).sum(axis=0)
+
+                        def _obd_measure(p):
+                            return funcs.one_body_density_grid(
+                                offsets, p, cfc).sum(axis=0)
+
+                        if obd_mult == 1:
+                            obd_sum = _obd_measure(pos)
+                        else:
+                            # Skip-branch zeros derive from a varying
+                            # operand so both cond branches carry the
+                            # same shard_map vartype.
+                            obd_sum = jax.lax.cond(
+                                (chunk_idx + 1) % obd_mult == 0,
+                                _obd_measure,
+                                lambda p: jnp.zeros(
+                                    (obd_offsets.shape[0],),
+                                    pos.dtype) + 0.0 * p[0, 0],
+                                pos)
                     return new_state, (lps, es, accepts, ssf_sum,
                                        obd_sum)
 
                 final_state, (lps, es, accepts, ssf, obd) = \
-                    jax.lax.scan(chunk, state, keys_c)
+                    jax.lax.scan(chunk, state,
+                                 (keys_c, jnp.arange(num_chunks)))
                 lps, es, accepts = (
                     x.reshape((num_steps_block,) + x.shape[2:])
                     for x in (lps, es, accepts))
+                if use_obd and obd_mult > 1:
+                    # One entry per OBDM-measured step.
+                    obd = obd[obd_mult - 1::obd_mult]
 
             if axis_name is not None and use_ssf:
                 ssf = _psum(ssf)

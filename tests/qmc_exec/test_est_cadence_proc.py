@@ -80,3 +80,72 @@ def test_proc_validation_and_config_roundtrip():
     assert config["est_every"] == K
     rebuilt = dmc_exec.Proc.from_config(config)
     assert rebuilt.est_every == K
+
+
+def _proc_obd(est_every, obd_mult, keep, as_pure, obd_pure=None):
+    spec = mrbp.Spec(lattice_depth=10.0, lattice_ratio=1.0,
+                     interaction_strength=1.5, boson_number=6,
+                     supercell_size=6.0, tbf_contact_cutoff=0.3)
+    return dmc_exec.Proc(
+        model_spec=spec, time_step=1e-3, max_num_walkers=48,
+        target_num_walkers=32, num_blocks=3, num_time_steps_block=NTS,
+        burn_in_blocks=1, rng_seed=19, dtype="float64",
+        keep_iter_data=keep, est_every=est_every,
+        ssf_spec=dmc_exec.SSFEstSpec(num_modes=4, as_pure_est=as_pure),
+        obd_spec=dmc_exec.OBDEstSpec(
+            num_pos=4, as_pure_est=as_pure if obd_pure is None
+            else obd_pure, est_every_mult=obd_mult))
+
+
+class TestObdEveryMultProc:
+    """The OBDM cadence multiplier through the execution layer."""
+
+    @pytest.mark.slow
+    def test_mixed_obd_mean_matches_series_subsample(self):
+        full = _exec(_proc_obd(1, 1, keep=True, as_pure=False))
+        m = _exec(_proc_obd(1, K, keep=False, as_pure=False))
+        series_obd = np.asarray(full.data.series.obd)      # (B, nts, P)
+        weights = np.asarray(full.data.series.iter_props.weight)
+        ob = m.data.blocks.one_body_dm
+        np.testing.assert_allclose(
+            np.asarray(ob.totals), series_obd[:, K - 1::K].sum(axis=1),
+            rtol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(ob.weight_totals)[..., 0],
+            weights[:, K - 1::K].sum(axis=1), rtol=1e-12)
+        # The cheap estimator is untouched by the OBDM cadence.
+        np.testing.assert_allclose(
+            m.data.blocks.ss_factor.mean,
+            full.data.blocks.ss_factor.mean, rtol=1e-10)
+
+    @pytest.mark.parametrize("as_pure", [False, True])
+    @pytest.mark.slow
+    def test_keep_iter_invariant(self, as_pure):
+        on = _exec(_proc_obd(2, 2, keep=True, as_pure=as_pure))
+        off = _exec(_proc_obd(2, 2, keep=False, as_pure=as_pure))
+        a, b = on.data.blocks.one_body_dm, off.data.blocks.one_body_dm
+        np.testing.assert_allclose(np.asarray(a.totals),
+                                   np.asarray(b.totals), rtol=1e-12)
+        np.testing.assert_allclose(a.mean, b.mean, rtol=1e-10)
+
+    @pytest.mark.parametrize("as_pure", [False, True])
+    @pytest.mark.slow
+    def test_equivalent_cadence_factorizations_identical(self, as_pure):
+        # est_every=4 and (est_every=2, mult=2) measure the OBDM at the
+        # same steps of the same trajectory: identical obd statistics.
+        a = _exec(_proc_obd(4, 1, keep=False, as_pure=as_pure))
+        b = _exec(_proc_obd(2, 2, keep=False, as_pure=as_pure))
+        np.testing.assert_allclose(
+            np.asarray(a.data.blocks.one_body_dm.totals),
+            np.asarray(b.data.blocks.one_body_dm.totals), rtol=1e-12)
+
+    def test_config_roundtrip_and_validation(self):
+        proc = _proc_obd(2, 2, keep=False, as_pure=True)
+        config = proc.as_config()
+        assert config["obd_spec"]["est_every_mult"] == 2
+        rebuilt = dmc_exec.Proc.from_config(config)
+        assert rebuilt.obd_spec.est_every_mult == 2
+        with pytest.raises(ValueError, match="divisible"):
+            _proc_obd(2, 3, keep=False, as_pure=False)  # 16 % 6 != 0
+        with pytest.raises(ValueError, match="positive"):
+            _proc_obd(1, 0, keep=False, as_pure=False)

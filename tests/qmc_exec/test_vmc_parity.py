@@ -93,3 +93,78 @@ def test_cadence_through_proc_and_config():
 def test_cadence_validation():
     with pytest.raises(ValueError, match="divisible"):
         make_proc(num_steps_block=10, est_every=4)
+
+
+class TestVmcObdEveryMult:
+    """OBDM-specific cadence multiplier in the VMC layer."""
+
+    def _sample(self, est_every, obd_mult, num_walkers=8, mesh=None):
+        spec = mrbp.Spec(**MODEL_CONFIG)
+        sampling = vmc_sampler.Sampling(
+            spec, move_spread=0.25, rng_seed=13,
+            num_walkers=num_walkers, mesh=mesh,
+            ssf_est_spec=vmc_sampler.SSFEstSpec(num_modes=3),
+            obd_est_spec=vmc_sampler.OBDEstSpec(
+                num_pos=4, est_every_mult=obd_mult),
+            est_every=est_every)
+        rng = np.random.default_rng(1)
+        confs = np.stack([spec.init_get_sys_conf(rng=rng)[0]
+                          for _ in range(num_walkers)])
+        state = sampling.build_state(confs)
+        return next(sampling.blocks(32, state))
+
+    def test_equivalent_step_sets_bit_identical(self):
+        # est_every=4 and (est_every=2, mult=2) and (est_every=1,
+        # mult=4) all measure the OBDM at steps 3, 7, 11, ...
+        a = self._sample(4, 1)
+        b = self._sample(2, 2)
+        c = self._sample(1, 4)
+        for other in (b, c):
+            np.testing.assert_array_equal(
+                np.asarray(a.last_state.pos),
+                np.asarray(other.last_state.pos))
+            np.testing.assert_allclose(np.asarray(a.iter_obd),
+                                       np.asarray(other.iter_obd),
+                                       rtol=1e-12)
+        assert np.asarray(a.iter_obd).shape == (8, 4)
+
+    def test_subsamples_every_step_run(self):
+        full = self._sample(1, 1)
+        m = self._sample(1, 4)
+        np.testing.assert_allclose(np.asarray(m.iter_obd),
+                                   np.asarray(full.iter_obd)[3::4],
+                                   rtol=1e-12)
+        # S(k) keeps the base cadence (every step here).
+        np.testing.assert_allclose(np.asarray(m.iter_ssf),
+                                   np.asarray(full.iter_ssf),
+                                   rtol=1e-12)
+
+    def test_sharded_mesh_runs(self):
+        import jax
+
+        from phd_qmclib_tpu.parallel import make_walker_mesh
+        mesh = make_walker_mesh(len(jax.devices()))
+        block = self._sample(2, 2, num_walkers=16, mesh=mesh)
+        obd = np.asarray(block.iter_obd, dtype=np.float64)
+        assert obd.shape == (8, 4)
+        assert np.isfinite(obd).all() and (obd > 0).all()
+
+    def test_through_proc_and_config(self):
+        proc = make_proc(est_every=2, keep_iter_data=True,
+                         obd_spec=vmc_exec.OBDEstSpec(
+                             num_pos=4, est_every_mult=4))
+        config = proc.as_config()
+        assert config["obd_spec"]["est_every_mult"] == 4
+        assert vmc_exec.Proc.from_config(config) == proc
+        result = run(proc)
+        assert result.data.series.obd.shape == (4, 8, 4)
+        assert result.data.series.ssf.shape == (4, 32, 3, 3)
+        assert np.all(np.isfinite(result.data.blocks.one_body_dm.mean))
+
+    def test_validation(self):
+        with pytest.raises(ValueError, match="divisible"):
+            make_proc(obd_spec=vmc_exec.OBDEstSpec(num_pos=4,
+                                                   est_every_mult=5))
+        with pytest.raises(ValueError, match="positive"):
+            make_proc(obd_spec=vmc_exec.OBDEstSpec(num_pos=4,
+                                                   est_every_mult=0))

@@ -101,3 +101,79 @@ def test_validation():
     state = s.build_state(confs)
     with pytest.raises(ValueError, match="divisible"):
         next(s.blocks(state, 16))
+
+
+def _run_obd(est_every, obd_mult, as_pure, nblocks=2, mesh=None):
+    sampling = dmc.Sampling(
+        _spec(), time_step=1e-3, max_num_walkers=48,
+        target_num_walkers=32, rng_seed=7, est_every=est_every,
+        mesh=mesh,
+        density_est_spec=dmc.DensityEstSpec(num_bins=16,
+                                            as_pure_est=as_pure),
+        ssf_est_spec=dmc.SSFEstSpec(num_modes=4, as_pure_est=as_pure),
+        obd_est_spec=dmc.OBDEstSpec(num_pos=5, as_pure_est=as_pure,
+                                    est_every_mult=obd_mult))
+    rng = np.random.default_rng(2)
+    confs = np.stack([sampling.model_spec.init_get_sys_conf(rng=rng)
+                      for _ in range(32)])
+    state = sampling.build_state(confs)
+    it = sampling.blocks(state, NTS)
+    return [next(it) for _ in range(nblocks)]
+
+
+class TestObdEveryMult:
+    """OBDM-specific cadence multiplier (``OBDEstSpec.est_every_mult``)."""
+
+    @pytest.mark.parametrize("as_pure", [False, True])
+    def test_equivalent_step_sets_bit_identical(self, as_pure):
+        # est_every=2 and (est_every=1, mult=2) measure the OBDM at the
+        # SAME steps with the same trajectory: outputs must be
+        # bit-identical (pure accumulators included).
+        a = _run_obd(2, 1, as_pure)
+        b = _run_obd(1, 2, as_pure)
+        for x, y in zip(a, b):
+            assert np.asarray(x.iter_obd).shape == (NTS // 2, 5)
+            np.testing.assert_array_equal(np.asarray(x.iter_obd),
+                                          np.asarray(y.iter_obd))
+            np.testing.assert_array_equal(np.asarray(x.last_state.pos),
+                                          np.asarray(y.last_state.pos))
+
+    def test_mixed_entries_subsample_every_step_run(self):
+        full = _run_obd(1, 1, as_pure=False)
+        m = _run_obd(1, 4, as_pure=False)
+        for a, b in zip(full, m):
+            assert np.asarray(b.iter_obd).shape == (NTS // 4, 5)
+            np.testing.assert_array_equal(
+                np.asarray(b.iter_obd), np.asarray(a.iter_obd)[3::4])
+
+    @pytest.mark.parametrize("as_pure", [False, True])
+    def test_other_estimators_and_dynamics_unaffected(self, as_pure):
+        a = _run_obd(2, 1, as_pure)
+        b = _run_obd(2, 4, as_pure)
+        for x, y in zip(a, b):
+            for name in dmc.PropsData._fields:
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(x.iter_props, name)),
+                    np.asarray(getattr(y.iter_props, name)),
+                    err_msg=name)
+            np.testing.assert_array_equal(np.asarray(x.iter_density),
+                                          np.asarray(y.iter_density))
+            np.testing.assert_array_equal(np.asarray(x.iter_ssf),
+                                          np.asarray(y.iter_ssf))
+            assert np.asarray(y.iter_obd).shape == (NTS // 8, 5)
+
+    def test_sharded_mesh_runs(self):
+        import jax
+
+        from phd_qmclib_tpu.parallel import make_walker_mesh
+        mesh = make_walker_mesh(len(jax.devices()))
+        blocks = _run_obd(2, 2, as_pure=True, mesh=mesh)
+        obd = np.asarray(blocks[-1].iter_obd, dtype=np.float64)
+        assert obd.shape == (NTS // 4, 5)
+        assert np.isfinite(obd).all() and (obd > 0).all()
+
+    def test_validation(self):
+        with pytest.raises(ValueError, match="positive integer"):
+            _run_obd(1, 0, as_pure=False)
+        with pytest.raises(ValueError, match="divisible"):
+            _run_obd(1, 3, as_pure=False)  # NTS=16 not divisible by 3
