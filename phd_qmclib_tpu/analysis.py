@@ -312,3 +312,61 @@ def _interp_limit_err(x, y_err, order):
         others = np.delete(x, i)
         basis.append(np.prod(-others) / np.prod(x[i] - others))
     return float(np.sqrt((np.asarray(basis) ** 2 * y_err ** 2).sum()))
+
+
+def feynman_spectrum(momenta: np.ndarray, ssf: np.ndarray,
+                     ssf_err: t.Optional[np.ndarray] = None):
+    """Feynman (single-mode) excitation spectrum from S(k).
+
+    ``omega(k) <= hbar^2 k^2 / (2 m S(k))`` is the Bijl-Feynman upper
+    bound on the lowest excitation energy at momentum ``k``; in this
+    package's units (``hbar^2 / 2m = 1``, see ``constants`` —
+    ``ER = pi^2`` is the recoil at ``k = K_OPT = pi``) it reads
+    ``omega(k) = k^2 / S(k)`` with ``S`` the PER-PARTICLE structure
+    factor (``SSFBlocks.mean / N``).  The bound is saturated as
+    ``k -> 0`` (phonons exhaust the f-sum rule), so
+    ``omega(k)/k -> c`` gives the sound speed; exactly linear for the
+    Tonks-Girardeau gas (``S = k/2k_F`` below ``2 k_F`` gives
+    ``omega = 2 k_F k``, the exact TG phonon slope) and exactly
+    Bogoliubov when ``S`` is the Bogoliubov structure factor.
+
+    Zero-cost observable: computed from the stored S(k) blocks of any
+    run.  The ``k = 0`` mode (``S(0) = 0``) is excluded.
+
+    :param momenta: ``(M,)`` mode momenta (``SSFBlocks`` stores
+        ``k_j = 2 pi j / L``).
+    :param ssf: per-particle ``S(k)`` on those modes.
+    :param ssf_err: optional standard errors of ``ssf``.
+    :return: ``(momenta[1:], omega, omega_err?)`` — errors included
+        when ``ssf_err`` is given.
+    """
+    momenta = np.asarray(momenta, dtype=np.float64)
+    ssf = np.asarray(ssf, dtype=np.float64)
+    k = momenta[1:]
+    s = ssf[1:]
+    omega = k ** 2 / s
+    if ssf_err is None:
+        return k, omega
+    err = omega * np.asarray(ssf_err, dtype=np.float64)[1:] / s
+    return k, omega, err
+
+
+def sound_speed_from_ssf(momenta: np.ndarray, ssf: np.ndarray,
+                         ssf_err: t.Optional[np.ndarray] = None,
+                         num_modes: int = 3):
+    """Sound speed ``c = lim_{k->0} omega_F(k)/k`` from the first
+    ``num_modes`` nonzero modes of the Feynman spectrum, extrapolated
+    to ``k = 0`` in ``k^2`` with :func:`zero_limit_extrapolation` —
+    the phonon branch's leading finite-``k`` correction is quadratic
+    (Bogoliubov: ``omega/k = sqrt(c^2 + k^2)`` is exactly linear in
+    ``k^2`` to ``O(k^4)``; TG: ``omega/k`` constant), so the ``k^2``
+    fit removes the dominant curvature bias a fit in ``k`` leaves.
+
+    :return: ``(c, c_err)``; ``c_err`` is NaN without ``ssf_err``.
+    """
+    out = feynman_spectrum(momenta, ssf, ssf_err)
+    k, omega = out[0][:num_modes], out[1][:num_modes]
+    phase_vel = omega / k
+    vel_err = out[2][:num_modes] / k if ssf_err is not None else None
+    c, c_err, _ = zero_limit_extrapolation(k ** 2, phase_vel, vel_err)
+    return c, c_err

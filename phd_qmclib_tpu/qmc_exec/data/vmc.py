@@ -200,6 +200,31 @@ class SSFBlocks:
             re_err=self.fdk_real_part.mean_error,
             im_err=self.fdk_imag_part.mean_error)
 
+
+    def feynman_spectrum(self, boson_number: int,
+                         supercell_size: float):
+        """``(k, omega, omega_err)`` — the Bijl-Feynman upper bound
+        ``omega(k) = k^2 / (S(k)/N)`` on the excitation spectrum, a
+        zero-cost observable of the stored S(k) (see
+        :func:`phd_qmclib_tpu.analysis.feynman_spectrum`)."""
+        from ...analysis import feynman_spectrum
+        num_modes = self.fdk_sqr_abs_part.totals.shape[-1]
+        momenta = np.arange(num_modes) * 2 * np.pi / supercell_size
+        return feynman_spectrum(momenta, self.mean / boson_number,
+                                self.mean_error / boson_number)
+
+    def sound_speed(self, boson_number: int, supercell_size: float,
+                    num_modes: int = 3):
+        """``(c, c_err)`` — sound speed from the ``k -> 0`` phonon
+        slope of the Feynman spectrum (see
+        :func:`phd_qmclib_tpu.analysis.sound_speed_from_ssf`)."""
+        from ...analysis import sound_speed_from_ssf
+        total_modes = self.fdk_sqr_abs_part.totals.shape[-1]
+        momenta = np.arange(total_modes) * 2 * np.pi / supercell_size
+        return sound_speed_from_ssf(momenta, self.mean / boson_number,
+                                    self.mean_error / boson_number,
+                                    num_modes=num_modes)
+
     def hdf5_export(self, group: h5py.Group):
         self.fdk_sqr_abs_part.hdf5_export(
             group.require_group("fdk_sqr_abs"))

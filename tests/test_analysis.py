@@ -1,4 +1,6 @@
 """Analysis-helper tests: momentum distribution from an OBDM grid."""
+import pathlib
+
 import numpy as np
 import pytest
 
@@ -325,3 +327,62 @@ class TestZeroLimitExtrapolation:
             zero_limit_extrapolation([1.0, 2.0], [1.0])
         with pytest.raises(ValueError, match="at least"):
             zero_limit_extrapolation([1.0, 2.0], [1.0, 2.0], order=2)
+
+
+class TestFeynmanSpectrum:
+    """Bijl-Feynman spectrum + sound speed from S(k)."""
+
+    def test_tonks_girardeau_exact_phonon(self):
+        from phd_qmclib_tpu.analysis import (feynman_spectrum,
+                                             sound_speed_from_ssf)
+
+        # Unit filling: kF = pi; S(k)/N = k / 2kF below 2kF, so the
+        # Feynman bound is the exact TG phonon omega = 2 kF k.
+        kf = np.pi
+        k = np.arange(8) * 2 * np.pi / 16.0
+        s = k / (2 * kf)
+        kk, om = feynman_spectrum(k, s)
+        np.testing.assert_allclose(om, 2 * kf * kk, rtol=1e-12)
+        c, _ = sound_speed_from_ssf(k, s)
+        assert c == pytest.approx(2 * kf, rel=1e-12)
+
+    def test_bogoliubov_self_consistency(self):
+        from phd_qmclib_tpu.analysis import (feynman_spectrum,
+                                             sound_speed_from_ssf)
+
+        # S = k^2 / omega_B reproduces omega_B exactly, and the k^2
+        # extrapolation recovers c = 2 sqrt(gn) to the O(k^4) tail.
+        gn = 2.0
+        k = np.arange(8) * 2 * np.pi / 16.0
+        om_b = np.sqrt(k ** 4 + 4 * gn * k ** 2)
+        s_b = np.where(k > 0, k ** 2 / np.where(om_b > 0, om_b, 1.0),
+                       0.0)
+        kk, om = feynman_spectrum(k, s_b)
+        np.testing.assert_allclose(om, om_b[1:], rtol=1e-12)
+        c, _ = sound_speed_from_ssf(k, s_b)
+        assert c == pytest.approx(2 * np.sqrt(gn), rel=1e-3)
+
+    def test_error_propagation(self):
+        from phd_qmclib_tpu.analysis import feynman_spectrum
+
+        k = np.array([0.0, 0.5, 1.0])
+        s = np.array([0.0, 0.25, 0.5])
+        err = np.array([0.0, 0.025, 0.05])  # 10% errors
+        _, om, om_err = feynman_spectrum(k, s, err)
+        np.testing.assert_allclose(om_err, 0.1 * om, rtol=1e-12)
+
+    def test_ssf_blocks_method_on_stored_results(self):
+        import h5py
+
+        from phd_qmclib_tpu.qmc_exec.data import dmc as dmc_data
+
+        path = (pathlib.Path(__file__).parent / "fixtures"
+                / "test-dmc-ssf-results.h5")
+        with h5py.File(path, "r") as fp:
+            blocks = dmc_data.SSFBlocks.from_hdf5_data(
+                fp["ssf-data-group/dmc/data/blocks/ss_factor"])
+        kk, om, om_err = blocks.feynman_spectrum(8, 8.0)
+        assert kk.shape == om.shape == om_err.shape == (15,)
+        assert np.isfinite(om).all() and (om > 0).all()
+        c, c_err = blocks.sound_speed(8, 8.0)
+        assert np.isfinite(c) and c > 0
