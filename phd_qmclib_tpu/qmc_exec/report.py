@@ -74,6 +74,12 @@ def _ssf_lines(ssf_blocks, nop: int, sc_size: float,
         lines.append(f"            ... ({num_modes - shown} more modes; "
                      f"use full=True)  S(k_max) = "
                      f"{_fmt(mean[-1], err[-1])}")
+    if num_modes >= 4:
+        from ..analysis import sound_speed_from_ssf
+        c, c_err = sound_speed_from_ssf(momenta, mean, err)
+        if np.isfinite(c):
+            lines.append(f"            sound speed c = {_fmt(c, c_err)} "
+                         f"(Feynman k->0, units hbar^2/2m = 1)")
     return lines
 
 
