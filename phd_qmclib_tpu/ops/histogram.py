@@ -5,38 +5,41 @@ per step.  An XLA scatter costs as much as the whole pairwise pass
 (15 ms at 17k x 128 on v5e — rejected round 1); the one-hot
 compare-and-reduce (``(bins[:, :, None] == iota).sum(axis=1)``) fuses
 the compute but XLA materializes the ``(W, N, B)`` broadcast —
-1.1 GB of HBM traffic at the production shape, ~4 ms, again as much
-as the pairwise physics.
+1.1 GB of HBM traffic at the production shape, ~0.83 ms/step.
 
-This Pallas kernel keeps everything in VMEM: a ``(TW, N)`` position
-tile is binned once, then the ``B`` bin-columns are compare-reduced
-in-register into a ``(TW, B)`` output tile.  HBM traffic is one read
-of the positions and one write of the histogram (~18 MB total at the
-production shape vs 2.2+ GB).
+The production path is :func:`walker_histogram_mxu`: factorize the bin
+id as ``b = q * R + r`` and the one-hot as a product of two narrow
+one-hots, so the count becomes a batched matmul on the MXU::
 
-STATUS: validated but REJECTED for the sampler hot path (round 3,
-same story as ``ops/pairwise.py``).  In isolation the kernel wins —
-its compute hides entirely in the 33 ms dispatch roundtrip while the
-one-hot formulation shows ~3.7 ms — but inside the DMC estimator scan
-the ``pallas_call`` custom call breaks XLA's fusion of the
-surrounding estimator graph and the end-to-end step REGRESSES:
-estimators-on K=1 2.28M -> 1.50M ws/s, K=8 3.16M -> 2.85M
-(same-session A/B via git stash, v5e, N=128, 17408 walkers).  The
-sampler keeps the fused one-hot (``samplers/dmc.py``); this module
-stays as the measured dead end + a bit-exactness harness.
+    hist[w, q*R + r] = sum_i [q_wi == q] * [r_wi == r]
+                     = einsum('wiq,wir->wqr', A, B)
 
-Counts are exact small integers, so the f32 outputs are BIT-IDENTICAL
-to the one-hot path on hardware (verified on v5e; asserted in
-``tests/ops/test_histogram.py`` in interpret mode).
+The ``(W, N, Q)`` / ``(W, N, R)`` compare factors are ~5x smaller than
+the full one-hot, the contraction runs on the MXU instead of the VPU,
+and counts are exact small integers so the result is BIT-IDENTICAL to
+the one-hot formulation (asserted in ``tests/ops/test_histogram.py``).
+Measured on v5e at (17408, 128) x 128 bins in a scan: one-hot 830 us,
+MXU 277 us per step (R-split sweep: 32 best, 8/16 within 10%).
+
+A Pallas compare-reduce kernel (:func:`walker_histogram_pallas`) was
+also validated — bit-identical, ~free in isolation — but REJECTED for
+the sampler: inside the estimator scan the custom call breaks XLA's
+fusion of the surrounding graph and the step REGRESSES (estimators-on
+K=1 2.28M -> 1.50M ws/s; same-session git-stash A/B).  Third
+confirmation that isolated-kernel wins do not survive a
+``pallas_call`` fusion barrier in this op-count-bound step; kept as
+the recorded dead end + a bit-exactness harness.
 """
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["walker_histogram", "walker_histogram_onehot", "available"]
+__all__ = ["walker_histogram", "walker_histogram_mxu",
+           "walker_histogram_onehot", "available"]
 
 
 def walker_histogram_onehot(pos, bin_size, num_bins: int):
@@ -44,8 +47,30 @@ def walker_histogram_onehot(pos, bin_size, num_bins: int):
     (the round-1 winner over XLA scatter; materializes ``(W, N, B)``)."""
     bins = jnp.clip((pos // bin_size).astype(jnp.int32), 0, num_bins - 1)
     bin_ids = jnp.arange(num_bins, dtype=jnp.int32)
-    onehot = (bins[:, :, None] == bin_ids).astype(pos.dtype)
-    return onehot.sum(axis=1)
+    onehot = (bins[..., :, None] == bin_ids).astype(pos.dtype)
+    return onehot.sum(axis=-2)
+
+
+def walker_histogram_mxu(pos, bin_size, num_bins: int, r_split: int = 32):
+    """``(..., num_bins)`` histogram of ``pos (..., N)`` via a batched
+    matmul of factorized one-hots (see module docstring).
+
+    ``num_bins`` need not be divisible by ``r_split``: the coarse axis
+    pads up and the padded columns are provably zero (bins are clipped
+    to ``< num_bins``), so they are sliced off exactly.
+    """
+    r = min(r_split, num_bins)
+    q = math.ceil(num_bins / r)
+    bins = jnp.clip((pos // bin_size).astype(jnp.int32), 0, num_bins - 1)
+    bq = bins // r
+    br = bins % r
+    fq = (bq[..., :, None]
+          == jnp.arange(q, dtype=jnp.int32)).astype(pos.dtype)
+    fr = (br[..., :, None]
+          == jnp.arange(r, dtype=jnp.int32)).astype(pos.dtype)
+    hqr = jnp.einsum("...iq,...ir->...qr", fq, fr,
+                     preferred_element_type=pos.dtype)
+    return hqr.reshape(pos.shape[:-1] + (q * r,))[..., :num_bins]
 
 
 def _hist_kernel(pos_ref, scale_ref, out_ref, *, num_bins: int,
@@ -75,7 +100,8 @@ def walker_histogram_pallas(pos, bin_size, num_bins: int, tw: int = 128,
     ``bin_size`` may be a traced scalar (the supercell over the bin
     count); bin assignment matches ``floor(z / bin_size)`` exactly for
     the in-range positions the sampler guarantees (recast keeps
-    ``z in [0, L)``).
+    ``z in [0, L)``).  REJECTED for the sampler hot path — see the
+    module docstring; retained as the measured dead end.
     """
     w, n = pos.shape
     tw = min(tw, w)
@@ -101,10 +127,9 @@ def walker_histogram_pallas(pos, bin_size, num_bins: int, tw: int = 128,
 
 
 def walker_histogram(pos, bin_size, num_bins: int):
-    """Platform dispatch: Pallas on TPU f32, fused one-hot elsewhere."""
-    if available() and pos.dtype == jnp.float32:
-        return walker_histogram_pallas(pos, bin_size, num_bins)
-    return walker_histogram_onehot(pos, bin_size, num_bins)
+    """Production entry point: the MXU-factorized formulation (pure
+    XLA, exact, fastest measured on TPU; also exact on CPU f64)."""
+    return walker_histogram_mxu(pos, bin_size, num_bins)
 
 
 def available() -> bool:
