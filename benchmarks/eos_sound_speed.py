@@ -1,0 +1,121 @@
+"""Thermodynamic consistency: sound speed from the equation of state
+vs the Feynman phonon slope from S(k).
+
+Two fully independent routes to the same observable, both measured by
+this framework on hardware:
+
+* **EOS route**: sweep the density ``n = N / L`` at fixed coupling via
+  ``supercell_size`` rows of ONE fused ``SweepProc`` dispatch (the
+  per-row physics differs only in continuous leaves, so the rows vmap
+  into a single walker batch).  Hydrodynamics gives
+  ``c^2 = (n/m) d mu / d n`` with ``mu = d(n e)/dn``; in this
+  codebase's units (``hbar = 1``, energies in ``hbar^2/(2m)``, i.e.
+  ``m = 1/2``): ``c^2 = 2 n (2 e' + n e'')``.  Closed-form check in
+  the Tonks-Girardeau limit: ``e = pi^2 n^2 / 3`` gives ``c = 2 pi n``,
+  the exact TG value.
+* **S(k) route**: each density row also measures the pure static
+  structure factor; the ``k -> 0`` Feynman phonon slope
+  (``analysis.sound_speed_from_ssf``) is exact for the sound speed.
+
+No reference analog (the reference has neither observable); the
+agreement of the two routes on the interacting gas is an end-to-end
+validation of the energy pipeline AND the estimator pipeline at once.
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/eos_sound_speed.py
+"""
+import argparse
+import json
+
+import numpy as np
+
+
+def run_sweep(args):
+    from phd_qmclib_tpu.models import mrbp
+    from phd_qmclib_tpu.qmc_exec import dmc as dmc_exec
+    from phd_qmclib_tpu.qmc_exec.sweep import SweepProc
+
+    nop = args.nop
+    lengths = np.asarray(args.lengths, dtype=np.float64)
+    burn = max(3, int(round(2.0 / (args.dt * args.nts))))
+    procs = tuple(
+        dmc_exec.Proc(
+            model_spec=mrbp.Spec(
+                lattice_depth=0.0, lattice_ratio=1.0,
+                interaction_strength=args.gn, boson_number=nop,
+                supercell_size=float(sc),
+                tbf_contact_cutoff=0.25 * float(sc)),
+            time_step=args.dt,
+            max_num_walkers=int(1.0625 * args.walkers),
+            target_num_walkers=args.walkers, num_blocks=args.blocks,
+            num_time_steps_block=args.nts, burn_in_blocks=burn,
+            rng_seed=13 + i, verbose=False,
+            ssf_spec=dmc_exec.SSFEstSpec(num_modes=args.modes,
+                                         as_pure_est=True))
+        for i, sc in enumerate(lengths))
+    inputs = [dmc_exec.ProcInput.from_model_sys_conf_spec(
+        dmc_exec.ModelSysConfSpec(dist_type="RANDOM"), p)
+        for p in procs]
+    return SweepProc(procs).exec(inputs)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--nop", type=int, default=32)
+    parser.add_argument("--walkers", type=int, default=4096)
+    parser.add_argument("--nts", type=int, default=512)
+    parser.add_argument("--blocks", type=int, default=6)
+    parser.add_argument("--dt", type=float, default=5e-4)
+    parser.add_argument("--gn", type=float, default=4.0)
+    parser.add_argument("--modes", type=int, default=12)
+    parser.add_argument("--lengths", type=float, nargs="+",
+                        default=[40.0, 36.0, 32.0, 29.0, 26.0])
+    args = parser.parse_args()
+
+
+    results = run_sweep(args)
+    nop = args.nop
+    ns, es, errs = [], [], []
+    c_feyn = []
+    for sc, res in zip(args.lengths, results):
+        e = res.data.blocks.energy
+        n = nop / sc
+        ns.append(n)
+        es.append(float(e.mean) / nop)
+        errs.append(float(e.mean_error) / nop)
+        ssf = res.data.blocks.ss_factor
+        c, c_err = ssf.sound_speed(min(4, args.modes - 1), sc)
+        c_feyn.append((c, c_err))
+        print(json.dumps({"L": sc, "n": n, "e_per_n": es[-1],
+                          "e_err": errs[-1], "c_feynman": c,
+                          "c_feynman_err": c_err}), flush=True)
+
+    # EOS fit: weighted quadratic e(n); c^2 = 2 n (2 e' + n e'').
+    ns, es, errs = map(np.asarray, (ns, es, errs))
+    w = 1.0 / np.maximum(errs, 1e-12)
+    coeffs, cov = np.polyfit(ns, es, 2, w=w, cov="unscaled")
+    a2, a1, _ = coeffs
+    n0 = float(np.median(ns))
+    de = 2 * a2 * n0 + a1
+    d2e = 2 * a2
+    c2 = 2 * n0 * (2 * de + n0 * d2e)
+    c_eos = float(np.sqrt(max(c2, 0.0)))
+    # Error: propagate the fit covariance through c^2.
+    g = np.array([2 * n0 * (4 * n0 + 2 * n0), 2 * n0 * 2, 0.0])
+    c2_err = float(np.sqrt(g @ cov @ g))
+    c_eos_err = 0.5 * c2_err / max(c_eos, 1e-12)
+
+    ic = int(np.argmin(np.abs(ns - n0)))
+    c_f0, c_f0_err = c_feyn[ic]
+    print(json.dumps({
+        "n0": n0, "gn": args.gn,
+        "c_eos": c_eos, "c_eos_err": c_eos_err,
+        "c_feynman_at_n0": c_f0, "c_feynman_err": c_f0_err,
+        "ratio": c_eos / c_f0,
+        "consistent_2sigma": bool(
+            abs(c_eos - c_f0) <= 2 * (c_eos_err + c_f0_err)),
+        "c_tg_limit": 2 * np.pi * n0,
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -8,7 +8,8 @@ import typing as t
 
 import numpy as np
 
-__all__ = ["effective_mass_from_cm_diffusion", "momentum_distribution",
+__all__ = ["effective_mass_from_cm_diffusion", "leggett_bound",
+           "momentum_distribution",
            "extrapolated_estimate", "pair_correlation_from_ssf"]
 
 
@@ -370,3 +371,53 @@ def sound_speed_from_ssf(momenta: np.ndarray, ssf: np.ndarray,
     vel_err = out[2][:num_modes] / k if ssf_err is not None else None
     c, c_err, _ = zero_limit_extrapolation(k ** 2, phase_vel, vel_err)
     return c, c_err
+
+
+def leggett_bound(density: np.ndarray,
+                  density_err: t.Optional[np.ndarray] = None):
+    """Leggett's upper bound on the superfluid fraction from the
+    density profile.
+
+    For a 1D system with ground-state density ``rho(x)``,
+
+        f_s  <=  [ <rho> * <1/rho> ]^{-1}
+
+    with ``< >`` the spatial average (Leggett 1970; the harmonic-to-
+    arithmetic mean ratio of the density).  The bound is 1 exactly for
+    a homogeneous profile and decreases as density modulation deepens;
+    for a profile with an empty bin it is 0 (a strict barrier blocks
+    superflow in 1D).  It is scale-invariant, so raw per-bin histogram
+    counts (``DensityBlocks.mean``) work directly — no normalization
+    needed.
+
+    Complements :func:`effective_mass_from_cm_diffusion`: the measured
+    ``m/m*`` must satisfy ``m/m* <= f_Leggett`` when both come from
+    the same ground state, giving an internal consistency check
+    between two independent observables (dynamic CM diffusion vs the
+    static profile).  No reference analog (the reference has neither
+    observable).
+
+    :param density: ``(num_bins,)`` density profile (any overall
+        scale; all entries must be ``>= 0``).
+    :param density_err: optional matching standard errors; propagated
+        linearly.
+    :return: ``(bound, bound_err)``; ``bound_err`` is NaN without
+        ``density_err``.
+    """
+    rho = np.asarray(density, dtype=np.float64)
+    if rho.ndim != 1:
+        raise ValueError("density must be one-dimensional")
+    if (rho < 0).any():
+        raise ValueError("density must be non-negative")
+    if (rho == 0).any():
+        return 0.0, 0.0 if density_err is not None else np.nan
+    a = rho.mean()
+    h = (1.0 / rho).mean()
+    bound = 1.0 / (a * h)
+    if density_err is None:
+        return float(bound), np.nan
+    err = np.asarray(density_err, dtype=np.float64)
+    nb = rho.size
+    # d bound / d rho_b = bound * (1 / (nb * rho_b^2 * h) - 1 / (nb * a))
+    grad = bound * (1.0 / (nb * rho ** 2 * h) - 1.0 / (nb * a))
+    return float(bound), float(np.sqrt(((grad * err) ** 2).sum()))

@@ -99,6 +99,13 @@ def _density_lines(density_blocks, nop: int, sc_size: float,
         f"contrast (max-min)/(max+min) = "
         f"{(n_z.max() - n_z.min()) / max(n_z.max() + n_z.min(), 1e-300):.4g}",
     ]
+    if (mean > 0).all():
+        from ..analysis import leggett_bound
+
+        fs_max, fs_err = leggett_bound(mean, err)
+        lines.append(
+            f"            Leggett bound on the superfluid fraction: "
+            f"f_s <= {_fmt(fs_max, fs_err)}")
     if full:
         for b in range(num_bins):
             z = (b + 0.5) * bin_size

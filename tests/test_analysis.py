@@ -386,3 +386,77 @@ class TestFeynmanSpectrum:
         assert np.isfinite(om).all() and (om > 0).all()
         c, c_err = blocks.sound_speed(8, 8.0)
         assert np.isfinite(c) and c > 0
+
+
+class TestLeggettBound:
+    """Leggett's density-profile upper bound on the superfluid
+    fraction (no reference analog)."""
+
+    def test_homogeneous_profile_saturates_at_one(self):
+        from phd_qmclib_tpu.analysis import leggett_bound
+
+        bound, err = leggett_bound(np.full(64, 3.7))
+        assert bound == pytest.approx(1.0, abs=1e-14)
+        assert np.isnan(err)
+
+    def test_cosine_modulation_closed_form(self):
+        # <rho> <1/rho> for rho = 1 + A cos x gives f_s <= sqrt(1-A^2).
+        from phd_qmclib_tpu.analysis import leggett_bound
+
+        x = np.linspace(0, 2 * np.pi, 8192, endpoint=False)
+        for amp in (0.2, 0.5, 0.9):
+            bound, _ = leggett_bound(1.0 + amp * np.cos(x))
+            assert bound == pytest.approx(np.sqrt(1 - amp ** 2),
+                                          rel=1e-5)
+
+    def test_scale_invariance_and_empty_bin(self):
+        from phd_qmclib_tpu.analysis import leggett_bound
+
+        x = np.linspace(0, 2 * np.pi, 512, endpoint=False)
+        rho = 2.0 + np.cos(x)
+        b1, _ = leggett_bound(rho)
+        b2, _ = leggett_bound(137.0 * rho)   # raw histogram counts ok
+        assert b1 == pytest.approx(b2, rel=1e-14)
+        bound, _ = leggett_bound(np.array([1.0, 0.0, 2.0]))
+        assert bound == 0.0
+
+    def test_error_propagation_matches_finite_difference(self):
+        from phd_qmclib_tpu.analysis import leggett_bound
+
+        rng = np.random.default_rng(5)
+        rho = 1.0 + 0.4 * rng.uniform(size=32)
+        err = 0.01 * rng.uniform(0.5, 1.5, size=32)
+        bound, bound_err = leggett_bound(rho, err)
+        grad = np.empty_like(rho)
+        for b in range(rho.size):
+            d = np.zeros_like(rho)
+            d[b] = 1e-7
+            grad[b] = (leggett_bound(rho + d)[0]
+                       - leggett_bound(rho - d)[0]) / 2e-7
+        expect = np.sqrt(((grad * err) ** 2).sum())
+        assert bound_err == pytest.approx(expect, rel=1e-5)
+
+    def test_saturates_ideal_band_curvature(self):
+        # In 1D the Leggett bound is SATURATED for the ideal lattice
+        # gas: the bound computed from the exact KP one-body density
+        # |phi_0|^2 equals the band-curvature m/m* from the dispersion
+        # solve — two completely independent computations.
+        import jax.numpy as jnp
+
+        from phd_qmclib_tpu import ideal
+        from phd_qmclib_tpu.analysis import leggett_bound
+        from phd_qmclib_tpu.models import mrbp
+        from phd_qmclib_tpu.models.mrbp import _one_body
+
+        z = jnp.asarray(np.linspace(0.0, 1.0, 512, endpoint=False))
+        for v0 in (2.0, 10.0, 25.0):
+            spec = mrbp.Spec(lattice_depth=v0, lattice_ratio=1.0,
+                             interaction_strength=1.0, boson_number=8,
+                             supercell_size=8.0,
+                             tbf_contact_cutoff=0.2 * 8)
+            phi = np.asarray(_one_body(z, spec.cfc_params))
+            bound, _ = leggett_bound(np.abs(phi) ** 2)
+            exact = ideal.effective_mass_ratio(v0, 1.0)
+            assert bound == pytest.approx(exact, rel=2e-5), (v0, bound,
+                                                             exact)
+            assert bound <= 1.0 + 1e-12
