@@ -83,7 +83,8 @@ def main():
         es.append(float(e.mean) / nop)
         errs.append(float(e.mean_error) / nop)
         ssf = res.data.blocks.ss_factor
-        c, c_err = ssf.sound_speed(min(4, args.modes - 1), sc)
+        c, c_err = ssf.sound_speed(nop, sc,
+                                   num_modes=min(4, args.modes - 1))
         c_feyn.append((c, c_err))
         print(json.dumps({"L": sc, "n": n, "e_per_n": es[-1],
                           "e_err": errs[-1], "c_feynman": c,
