@@ -74,6 +74,31 @@ class TestBranchingComb:
         assert int(nw) == 3
         assert np.asarray(parent)[: 3].max() <= 2
 
+    def test_parent_matches_searchsorted_oracle(self):
+        # The MXU-factorized marks histogram must reproduce the
+        # defining relation parent[slot] = #{i : cum[i] <= slot}
+        # (i.e. searchsorted-right into the clone-count cumsum) for
+        # arbitrary weights, masks, and buffer sizes — including
+        # non-multiple-of-128 buffers that exercise the q*128+r
+        # factorization padding.
+        for seed in range(8):
+            rng = np.random.default_rng(seed)
+            max_w = int(rng.integers(5, 300))
+            num = int(rng.integers(1, max_w + 1))
+            w = rng.uniform(0.0, 2.5, size=max_w)
+            u = rng.uniform(0.0, 1.0, size=max_w)
+            parent, nw = dmc.branching_comb(
+                jnp.asarray(w), jnp.asarray(num), u=jnp.asarray(u))
+            n_clones = np.floor(w + u).astype(int)
+            n_clones[num:] = 0
+            cum = np.cumsum(n_clones)
+            expect_nw = min(cum[-1], max_w)
+            oracle = np.clip(
+                np.searchsorted(cum, np.arange(max_w), side="right"),
+                0, max_w - 1)
+            assert int(nw) == expect_nw
+            np.testing.assert_array_equal(np.asarray(parent), oracle)
+
 
 class TestRobustness:
 
