@@ -1,10 +1,15 @@
 """Pair correlation g2(r) at near-Tonks coupling vs the exact limit.
 
-Measures S(k) (pure, forward-walking) for a strongly-coupled uniform
-gas (v0 = 0 keeps the one-body factor trivial so the homogeneous
-free-fermion mapping is exact in the gn -> infinity limit), inverts it
-to g2(r) (``analysis.pair_correlation_from_ssf``), and compares with
-the finite-N Tonks-Girardeau closed form
+Measures, in ONE DMC run of a strongly-coupled uniform gas (v0 = 0
+keeps the one-body factor trivial so the homogeneous free-fermion
+mapping is exact in the gn -> infinity limit), BOTH g2 routes:
+
+- the Fourier route — pure forward-walking S(k) inverted to g2(r)
+  (``analysis.pair_correlation_from_ssf``), mode-cutoff-limited;
+- the direct route — the pure pair-distance histogram estimator
+  (``pair_corr_est_spec``), exact real-space binning, no cutoff —
+
+and compares both with the finite-N Tonks-Girardeau closed form
 
     g2_TG(r) = N (1 - D(r)^2) / (N - 1),
     D(r) = sin(N pi r / L) / (N sin(pi r / L)).
@@ -41,12 +46,15 @@ def main():
                      interaction_strength=args.gn, boson_number=nop,
                      supercell_size=sc, tbf_contact_cutoff=0.48)
     num_modes = 2 * nop + 3
+    num_bins = 4 * nop
     sampling = dmc.Sampling(
         spec, time_step=5e-4,
         max_num_walkers=args.walkers + args.walkers // 16,
         target_num_walkers=args.walkers, rng_seed=3,
         ssf_est_spec=dmc.SSFEstSpec(num_modes=num_modes,
-                                    as_pure_est=True))
+                                    as_pure_est=True),
+        pair_corr_est_spec=dmc.PairCorrEstSpec(num_bins=num_bins,
+                                               as_pure_est=True))
     rng = np.random.default_rng(1)
     confs = np.stack([
         spec.init_get_sys_conf(dist_type=mrbp.DIST_REGULAR, rng=rng)
@@ -57,6 +65,7 @@ def main():
     for _ in range(burn):
         next(it)
     rho2 = np.zeros(num_modes)
+    g2_counts = np.zeros(num_bins)
     wsum = 0.0
     for _ in range(args.blocks):
         b = next(it)
@@ -64,8 +73,10 @@ def main():
         # step's walker count (cf. qmc_exec/data/dmc._pure_aware_totals).
         nw = np.asarray(b.iter_props.num_walkers, dtype=np.float64)
         rho2 += np.asarray(b.iter_ssf, dtype=np.float64)[-1, :, 0]
+        g2_counts += np.asarray(b.iter_g2, dtype=np.float64)[-1]
         wsum += nw[-1]
     rho2 /= wsum
+    g2_counts /= wsum
 
     momenta = np.asarray(sampling.ssf_momenta, dtype=np.float64)
     r = np.linspace(0.0, sc / 2, 8 * nop + 1)
@@ -77,6 +88,17 @@ def main():
     g2_tg = nop * (1.0 - d ** 2) / (nop - 1)
 
     rms = float(np.sqrt(np.mean((g2 - g2_tg) ** 2)))
+
+    # Direct histogram route: g2 at the bin centers.
+    dr = 0.5 * sc / num_bins
+    r_bins = (np.arange(num_bins) + 0.5) * dr
+    g2_direct = g2_counts * sc / (nop * (nop - 1) * dr)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        d_b = np.sin(nop * np.pi * r_bins / sc) \
+            / (nop * np.sin(np.pi * r_bins / sc))
+    g2_tg_bins = nop * (1.0 - d_b ** 2) / (nop - 1)
+    rms_direct = float(np.sqrt(np.mean((g2_direct - g2_tg_bins) ** 2)))
+
     print(json.dumps({
         "metric": "g2_vs_tonks_girardeau",
         "gn": args.gn, "nop": nop,
@@ -85,11 +107,18 @@ def main():
         "g2_half_L": float(g2[-1]),
         "rms_dev_from_tg": rms,
         "first_peak_r": float(r[1 + np.argmax(g2[1:])]),
+        "g2_direct_contact_bin": float(g2_direct[0]),
+        "g2_direct_half_L": float(g2_direct[-1]),
+        "rms_dev_from_tg_direct": rms_direct,
     }))
-    # Print the curve for the record.
+    # Print the curves for the record.
     for i in range(0, len(r), 16):
         print(json.dumps({"r": float(r[i]), "g2": float(g2[i]),
                           "g2_tg": float(g2_tg[i])}))
+    for i in range(0, num_bins, num_bins // 8):
+        print(json.dumps({"r_bin": float(r_bins[i]),
+                          "g2_direct": float(g2_direct[i]),
+                          "g2_tg": float(g2_tg_bins[i])}))
 
 
 if __name__ == "__main__":

@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops import histogram as _hist_ops
 from ..ops.pbc import min_image, min_image_bounded, sign
 
 __all__ = ["CFCParams", "build_core_funcs", "SysConfSlot"]
@@ -109,20 +110,21 @@ def build_core_funcs(*,
     def _supercell(cfc):
         return cfc.model_params.supercell_size
 
-    def _tiled_over_walkers(fn):
+    def _tiled_over_walkers(fn, cost: int = 1):
         """Evaluate ``fn(pos, cfc)`` in walker tiles when the flat batch
         is large, bounding the O(N^2) temporary footprint.
 
         The tile size adapts to the particle number (budget
-        ``PAIR_TILE_ELEMS`` elements per (tile, N, N) block) and snaps to
-        the largest divisor of the batch at or below the budget, so any
-        batch size tiles without padding.
+        ``PAIR_TILE_ELEMS`` elements per (tile, N, N) block, divided by
+        ``cost`` for kernels whose per-pair temporaries are wider than
+        one element) and snaps to the largest divisor of the batch at or
+        below the budget, so any batch size tiles without padding.
         """
 
         def wrapper(pos, cfc):
             batch_shape = pos.shape[:-1]
             total = int(np.prod(batch_shape)) if batch_shape else 1
-            budget = max(1, PAIR_TILE_ELEMS // (nop * nop))
+            budget = max(1, PAIR_TILE_ELEMS // (nop * nop * cost))
             if total <= budget:
                 return fn(pos, cfc)
             tile = budget
@@ -509,6 +511,45 @@ def build_core_funcs(*,
         return jnp.concatenate(
             [parts0[..., None, :], parts1[..., None, :], rest], axis=-2)
 
+    # -- pair-distance histogram (direct g2 estimator) ---------------------
+    def pair_dist_histogram(num_bins: int, pos, cfc: CFCParams):
+        """Per-walker histogram of unordered-pair minimum-image
+        distances over ``num_bins`` uniform bins spanning ``[0, L/2]``
+        — the direct pair-correlation estimator's per-configuration
+        value.  ``pos``: ``(..., N)``; returns ``(..., num_bins)``
+        exact counts (each unordered pair counted once), so after
+        weighted averaging ``g2(r) = <counts(r)> * L / (N (N-1) dr)``
+        (normalized to 1 for uncorrelated uniform positions).
+
+        The reference has no direct pair-correlation estimator — g2 is
+        only reachable there by Fourier-inverting the truncated S(k)
+        (cf. ``analysis.pair_correlation_from_ssf``); this kernel gives
+        the real-space histogram exactly, with no mode cutoff.  Counts
+        use the MXU-factorized one-hot histogram (``ops/histogram.py``)
+        over the ``(.., N, N)`` distance matrix: the N exact-zero
+        diagonal entries land in bin 0 and are subtracted, and the
+        double-counted unordered pairs are halved — both exact in
+        float arithmetic (counts are small integers).
+        """
+        if nop < 2:
+            return jnp.zeros(pos.shape[:-1] + (num_bins,),
+                             dtype=pos.dtype)
+
+        def one(p, cfc):
+            sc = _supercell(cfc)
+            d = p[..., :, None] - p[..., None, :]
+            r = jnp.abs(min_image_bounded(d, sc))  # diagonal exactly 0
+            bin_size = 0.5 * sc / num_bins
+            hist = _hist_ops.walker_histogram(r, bin_size, num_bins)
+            hist = hist.sum(axis=-2)  # over i -> (..., num_bins)
+            diag = jnp.zeros((num_bins,), dtype=hist.dtype)
+            diag = diag.at[0].set(nop)
+            return 0.5 * (hist - diag)
+
+        # The one-hot factors cost ~(q + r_split) extra columns per
+        # matrix entry, so tile tighter than the plain pairwise budget.
+        return _tiled_over_walkers(one, cost=32)(pos, cfc)
+
     return SimpleNamespace(
         log_psi=_tiled_over_walkers(log_psi),
         log_psi_and_energy=_tiled_over_walkers(log_psi_and_energy),
@@ -523,6 +564,7 @@ def build_core_funcs(*,
         fourier_density=fourier_density,
         fourier_density_parts=fourier_density_parts,
         fourier_density_parts_harmonics=fourier_density_parts_harmonics,
+        pair_dist_histogram=pair_dist_histogram,
         is_free=is_free,
         is_ideal=is_ideal,
         boson_number=boson_number,

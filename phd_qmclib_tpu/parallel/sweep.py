@@ -68,6 +68,7 @@ class ParamSweep:
             if (s.density_est_spec != ref.density_est_spec
                     or s.ssf_est_spec != ref.ssf_est_spec
                     or s.obd_est_spec != ref.obd_est_spec
+                    or s.pair_corr_est_spec != ref.pair_corr_est_spec
                     or s.est_every != ref.est_every
                     or s.cm_diffusion_est != ref.cm_diffusion_est
                     or s.cm_window_blocks != ref.cm_window_blocks):
@@ -244,7 +245,9 @@ class ParamSweep:
             ssf = est.get("ssf") if not burning else None
             obd = est.get("obd") if not burning else None
             cmd = est.get("cmd") if not burning else None
-            yield SamplingBlock(props, density, ssf, state, obd, cmd)
+            g2 = est.get("g2") if not burning else None
+            yield SamplingBlock(props, density, ssf, state, obd, cmd,
+                                g2)
             block_idx += 1
 
 
@@ -274,6 +277,7 @@ class VmcSweep:
                     or s.gaussian != ref.gaussian
                     or s.ssf_est_spec != ref.ssf_est_spec
                     or s.obd_est_spec != ref.obd_est_spec
+                    or s.pair_corr_est_spec != ref.pair_corr_est_spec
                     or s.est_every != ref.est_every):
                 raise ValueError("all sweep rows must share chain count "
                                  "and estimator specs")
@@ -299,13 +303,13 @@ class VmcSweep:
 
         def fused_block(state, block_keys, cfc, move_spread,
                         num_steps_block: int):
-            final_state, props, ssf, obd, accept = jax.vmap(
+            final_state, props, ssf, obd, g2, accept = jax.vmap(
                 lambda st, k, cf, ms: run_block(st, k, cf, ms,
                                                 num_steps_block)
             )(state, block_keys, cfc, move_spread)
             # Match the standalone props layout per row: (nts, W) with
             # a leading row axis.
-            return final_state, props, ssf, obd, accept
+            return final_state, props, ssf, obd, g2, accept
 
         return jax.jit(fused_block,
                        static_argnames=("num_steps_block",))
@@ -331,12 +335,14 @@ class VmcSweep:
         while True:
             block_keys = fold(base_keys,
                               int(block_offset) + block_idx)
-            state, props, ssf, obd, accept = self._block_fn(
+            state, props, ssf, obd, g2, accept = self._block_fn(
                 state, block_keys, cfc, move_spread, num_steps_block)
             use_ssf = self.samplings[0].ssf_est_spec is not None
             use_obd = self.samplings[0].obd_est_spec is not None
+            use_g2 = self.samplings[0].pair_corr_est_spec is not None
             yield vmc.SamplingBlock(
                 props, ssf if use_ssf else None,
                 np.asarray(accept), state,
-                obd if use_obd else None)
+                obd if use_obd else None,
+                g2 if use_g2 else None)
             block_idx += 1

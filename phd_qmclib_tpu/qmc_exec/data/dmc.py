@@ -21,6 +21,7 @@ __all__ = [
     "EnergyBlocks",
     "NumWalkersBlocks",
     "OBDBlocks",
+    "PairCorrBlocks",
     "PropBlock",
     "PropBlocks",
     "PropsData",
@@ -380,6 +381,38 @@ class OBDBlocks(DensityBlocks):
 
 
 @dataclass(frozen=True)
+class PairCorrBlocks(DensityBlocks):
+    """Direct pair-correlation ``g2(r)`` data in blocks: per-walker
+    histogram counts of unordered-pair minimum-image distances on
+    uniform bins over ``[0, L/2]``, one reblocking per bin.  Beyond the
+    reference (no direct pair-correlation estimator there; cf. the
+    Fourier route ``SSFBlocks.pair_correlation``)."""
+
+    @classmethod
+    def from_data(cls, num_time_steps_block: int, g2_data: np.ndarray,
+                  props_data: PropsData, reduce_data: bool = True,
+                  as_pure_est: bool = True,
+                  pure_est_reduce_factor: np.ndarray = None,
+                  est_every: int = 1, est_weight_totals=None):
+        totals, weight_totals = _pure_aware_totals(
+            num_time_steps_block, g2_data, props_data, reduce_data,
+            as_pure_est, pure_est_reduce_factor, est_every,
+            est_weight_totals)
+        return cls(totals, weight_totals)
+
+    def pair_correlation(self, boson_number: int,
+                         supercell_size: float):
+        """``(r_centers, g2, g2_err)`` — the normalized radial pair
+        correlation: ``g2(r) = <counts(r)> * L / (N (N-1) dr)``
+        (equal to 1 for uncorrelated uniform positions)."""
+        num_bins = self.totals.shape[-1]
+        dr = 0.5 * supercell_size / num_bins
+        r_centers = (np.arange(num_bins) + 0.5) * dr
+        norm = supercell_size / (boson_number * (boson_number - 1) * dr)
+        return (r_centers, self.mean * norm, self.mean_error * norm)
+
+
+@dataclass(frozen=True)
 class SSFPartBlocks(DensityBlocks):
     """One part (|rho_k|^2, Re, Im) of the S(k) data in blocks."""
 
@@ -598,6 +631,9 @@ class PropsDataSeries:
     #: ``(num_blocks, nts_measured, 2)`` raw per-step CM-diffusion
     #: accumulators ``[sum W^2, sum W]``.
     cmd: t.Optional[np.ndarray] = None
+    #: ``(num_blocks, nts_measured, num_bins)`` pair-correlation
+    #: histogram sums.
+    g2: t.Optional[np.ndarray] = None
 
     @property
     def energy(self):
@@ -632,6 +668,8 @@ class PropsDataSeries:
             group.create_dataset("one_body_dm", data=np.asarray(self.obd))
         if self.cmd is not None:
             group.create_dataset("cm_diffusion", data=np.asarray(self.cmd))
+        if self.g2 is not None:
+            group.create_dataset("pair_corr", data=np.asarray(self.g2))
 
     @classmethod
     def from_hdf5_data(cls, group: h5py.Group):
@@ -642,12 +680,14 @@ class PropsDataSeries:
         density_ds = group.get("density")
         obd_ds = group.get("one_body_dm")
         cmd_ds = group.get("cm_diffusion")
+        g2_ds = group.get("pair_corr")
         return cls(iter_props,
                    ssf=ssf_ds[()] if ssf_ds is not None else None,
                    density=density_ds[()]
                    if density_ds is not None else None,
                    obd=obd_ds[()] if obd_ds is not None else None,
-                   cmd=cmd_ds[()] if cmd_ds is not None else None)
+                   cmd=cmd_ds[()] if cmd_ds is not None else None,
+                   g2=g2_ds[()] if g2_ds is not None else None)
 
 
 @dataclass(frozen=True)
@@ -661,6 +701,7 @@ class PropsDataBlocks:
     ss_factor: t.Optional[SSFBlocks] = None
     one_body_dm: t.Optional[OBDBlocks] = None
     cm_diffusion: t.Optional[CMDiffusionBlocks] = None
+    pair_corr: t.Optional[PairCorrBlocks] = None
 
     def hdf5_export(self, group: h5py.Group):
         self.energy.hdf5_export(group.require_group("energy"))
@@ -676,6 +717,8 @@ class PropsDataBlocks:
         if self.cm_diffusion is not None:
             self.cm_diffusion.hdf5_export(
                 group.require_group("cm_diffusion"))
+        if self.pair_corr is not None:
+            self.pair_corr.hdf5_export(group.require_group("pair_corr"))
 
     @classmethod
     def from_hdf5_data(cls, group: h5py.Group):
@@ -695,8 +738,11 @@ class PropsDataBlocks:
         cmd_group = group.get("cm_diffusion")
         cm_diffusion = CMDiffusionBlocks.from_hdf5_data(cmd_group) \
             if cmd_group is not None else None
+        g2_group = group.get("pair_corr")
+        pair_corr = PairCorrBlocks.from_hdf5_data(g2_group) \
+            if g2_group is not None else None
         return cls(energy, weight, num_walkers, density, ss_factor,
-                   one_body_dm, cm_diffusion)
+                   one_body_dm, cm_diffusion, pair_corr)
 
     def merge(self, other: "PropsDataBlocks") -> "PropsDataBlocks":
         """Concatenate block data from a continuation run."""
@@ -723,10 +769,15 @@ class PropsDataBlocks:
             cmd = other.cm_diffusion
         elif other.cm_diffusion is not None:
             cmd = cmd + other.cm_diffusion
+        g2 = self.pair_corr
+        if g2 is None:
+            g2 = other.pair_corr
+        elif other.pair_corr is not None:
+            g2 = g2 + other.pair_corr
         return PropsDataBlocks(self.energy + other.energy,
                                self.weight + other.weight,
                                self.num_walkers + other.num_walkers,
-                               density, ssf, obd, cmd)
+                               density, ssf, obd, cmd, g2)
 
 
 @dataclass(frozen=True)

@@ -16,6 +16,7 @@ from ...stats import reblock
 __all__ = [
     "EnergyBlocks",
     "OBDBlocks",
+    "PairCorrBlocks",
     "PropBlock",
     "PropBlocks",
     "PropsData",
@@ -143,6 +144,35 @@ class OBDBlocks(PropBlocks):
 
 
 @dataclass(frozen=True)
+class PairCorrBlocks(PropBlocks):
+    """Direct pair-correlation ``g2(r)`` data in blocks: per-chain
+    histogram counts of unordered-pair minimum-image distances on
+    uniform bins over ``[0, L/2]``; one reblocking per bin.  Beyond
+    the reference (no direct pair-correlation estimator there)."""
+    totals: np.ndarray
+
+    @classmethod
+    def from_data(cls, g2_data: np.ndarray, reduce_data: bool = True):
+        g2_data = np.asarray(g2_data)
+        totals = g2_data.mean(axis=1) if reduce_data else g2_data
+        return cls(totals)
+
+    @property
+    def reblock(self):
+        return reblock.OTFSet.from_non_obj_data(self.totals)
+
+    def pair_correlation(self, boson_number: int,
+                         supercell_size: float):
+        """``(r_centers, g2, g2_err)`` — the normalized radial pair
+        correlation ``g2(r) = <counts(r)> * L / (N (N-1) dr)``."""
+        num_bins = self.totals.shape[-1]
+        dr = 0.5 * supercell_size / num_bins
+        r_centers = (np.arange(num_bins) + 0.5) * dr
+        norm = supercell_size / (boson_number * (boson_number - 1) * dr)
+        return (r_centers, self.mean * norm, self.mean_error * norm)
+
+
+@dataclass(frozen=True)
 class SSFBlocks:
     """Static structure factor blocks
     (``qmc_exec/data/vmc.py:173-289``)."""
@@ -252,6 +282,7 @@ class PropsDataSeries:
     iter_props: PropsData
     ssf: t.Optional[np.ndarray] = None
     obd: t.Optional[np.ndarray] = None
+    g2: t.Optional[np.ndarray] = None
 
     @property
     def energy(self):
@@ -272,6 +303,8 @@ class PropsDataSeries:
             group.create_dataset("ss_factor", data=np.asarray(self.ssf))
         if self.obd is not None:
             group.create_dataset("one_body_dm", data=np.asarray(self.obd))
+        if self.g2 is not None:
+            group.create_dataset("pair_corr", data=np.asarray(self.g2))
 
     @classmethod
     def from_hdf5_data(cls, group: h5py.Group):
@@ -280,9 +313,11 @@ class PropsDataSeries:
             *(props_group.get(name)[()] for name in PropsData._fields))
         ssf_ds = group.get("ss_factor")
         obd_ds = group.get("one_body_dm")
+        g2_ds = group.get("pair_corr")
         return cls(iter_props,
                    ssf=ssf_ds[()] if ssf_ds is not None else None,
-                   obd=obd_ds[()] if obd_ds is not None else None)
+                   obd=obd_ds[()] if obd_ds is not None else None,
+                   g2=g2_ds[()] if g2_ds is not None else None)
 
 
 @dataclass(frozen=True)
@@ -291,6 +326,7 @@ class PropsDataBlocks:
     energy: EnergyBlocks
     ss_factor: t.Optional[SSFBlocks] = None
     one_body_dm: t.Optional[OBDBlocks] = None
+    pair_corr: t.Optional[PairCorrBlocks] = None
 
     def hdf5_export(self, group: h5py.Group):
         self.energy.hdf5_export(group.require_group("energy"))
@@ -299,6 +335,8 @@ class PropsDataBlocks:
         if self.one_body_dm is not None:
             self.one_body_dm.hdf5_export(
                 group.require_group("one_body_dm"))
+        if self.pair_corr is not None:
+            self.pair_corr.hdf5_export(group.require_group("pair_corr"))
 
     @classmethod
     def from_hdf5_data(cls, group: h5py.Group):
@@ -309,7 +347,10 @@ class PropsDataBlocks:
         obd_group = group.get("one_body_dm")
         one_body_dm = OBDBlocks.from_hdf5_data(obd_group) \
             if obd_group is not None else None
-        return cls(energy, ss_factor, one_body_dm)
+        g2_group = group.get("pair_corr")
+        pair_corr = PairCorrBlocks.from_hdf5_data(g2_group) \
+            if g2_group is not None else None
+        return cls(energy, ss_factor, one_body_dm, pair_corr)
 
     def merge(self, other: "PropsDataBlocks") -> "PropsDataBlocks":
         if not isinstance(other, PropsDataBlocks):
@@ -325,7 +366,12 @@ class PropsDataBlocks:
             obd = other.one_body_dm
         elif other.one_body_dm is not None:
             obd = obd + other.one_body_dm
-        return PropsDataBlocks(self.energy + other.energy, ssf, obd)
+        g2 = self.pair_corr
+        if g2 is None:
+            g2 = other.pair_corr
+        elif other.pair_corr is not None:
+            g2 = g2 + other.pair_corr
+        return PropsDataBlocks(self.energy + other.energy, ssf, obd, g2)
 
 
 @dataclass(frozen=True)

@@ -25,6 +25,7 @@ __all__ = [
     "DensityEstSpec",
     "ModelSysConfSpec",
     "OBDEstSpec",
+    "PairCorrEstSpec",
     "Proc",
     "ProcInput",
     "ProcResult",
@@ -34,6 +35,7 @@ __all__ = [
 DensityEstSpec = proc_base.DensityEstSpec
 SSFEstSpec = proc_base.SSFEstSpec
 OBDEstSpec = proc_base.OBDEstSpec
+PairCorrEstSpec = proc_base.PairCorrEstSpec
 CMDiffusionEstSpec = proc_base.CMDiffusionEstSpec
 ModelSysConfSpec = proc_base.ModelSysConfSpec
 
@@ -97,6 +99,9 @@ class Proc(proc_base.Proc):
     density_spec: t.Optional[DensityEstSpec] = None
     ssf_spec: t.Optional[SSFEstSpec] = None
     obd_spec: t.Optional[OBDEstSpec] = None
+    #: Direct pair-correlation g2(r) histogram; see
+    #: :class:`PairCorrEstSpec`.
+    pair_corr_spec: t.Optional[PairCorrEstSpec] = None
     #: Center-of-mass imaginary-time diffusion (superfluid fraction /
     #: effective mass); see :class:`CMDiffusionEstSpec`.
     cm_diffusion_spec: t.Optional[CMDiffusionEstSpec] = None
@@ -167,19 +172,21 @@ class Proc(proc_base.Proc):
                         "num_blocks")
         for name, spec in (("density_spec", self.density_spec),
                            ("ssf_spec", self.ssf_spec),
-                           ("obd_spec", self.obd_spec)):
+                           ("obd_spec", self.obd_spec),
+                           ("pair_corr_spec", self.pair_corr_spec)):
             every = self.est_every
-            if name == "obd_spec" and spec is not None:
+            if name in ("obd_spec", "pair_corr_spec") \
+                    and spec is not None:
                 mult = int(spec.est_every_mult)
                 if mult < 1:
                     raise ValueError(
-                        "obd_spec: est_every_mult must be a positive "
-                        "integer")
+                        f"{name}: est_every_mult must be a positive "
+                        f"integer")
                 every *= mult
                 if self.num_time_steps_block % every:
                     raise ValueError(
-                        "obd_spec: num_time_steps_block must be "
-                        "divisible by est_every * est_every_mult")
+                        f"{name}: num_time_steps_block must be "
+                        f"divisible by est_every * est_every_mult")
             pfw = getattr(spec, "pfw_num_time_steps", None)
             if pfw is None:
                 continue
@@ -226,11 +233,15 @@ class Proc(proc_base.Proc):
         obd_config = self_config.pop("obd_spec", None)
         obd_spec = OBDEstSpec(**obd_config) \
             if obd_config is not None else None
+        g2_config = self_config.pop("pair_corr_spec", None)
+        pair_corr_spec = PairCorrEstSpec(**g2_config) \
+            if g2_config is not None else None
         cmd_config = self_config.pop("cm_diffusion_spec", None)
         cm_diffusion_spec = CMDiffusionEstSpec(**cmd_config) \
             if cmd_config is not None else None
         return cls(model_spec=model_spec, density_spec=density_spec,
                    ssf_spec=ssf_spec, obd_spec=obd_spec,
+                   pair_corr_spec=pair_corr_spec,
                    cm_diffusion_spec=cm_diffusion_spec, **self_config)
 
     def as_config(self) -> dict:
@@ -279,6 +290,13 @@ class Proc(proc_base.Proc):
             if self.obd_spec.est_every_mult != 1:
                 config["obd_spec"]["est_every_mult"] = \
                     self.obd_spec.est_every_mult
+        if self.pair_corr_spec is not None:
+            config["pair_corr_spec"] = _est_config(
+                self.pair_corr_spec, "num_bins",
+                self.pair_corr_spec.num_bins)
+            if self.pair_corr_spec.est_every_mult != 1:
+                config["pair_corr_spec"]["est_every_mult"] = \
+                    self.pair_corr_spec.est_every_mult
         if self.cm_diffusion_spec is not None:
             config["cm_diffusion_spec"] = {
                 # 0 encodes "whole run" (None is not an HDF5 attr).
@@ -305,8 +323,15 @@ class Proc(proc_base.Proc):
         if obd_config is not None:
             obd_spec = OBDEstSpec(**obd_config) if obd_spec is None \
                 else replace(obd_spec, **obd_config)
+        pair_corr_spec = self.pair_corr_spec
+        g2_config = self_config.pop("pair_corr_spec", None)
+        if g2_config is not None:
+            pair_corr_spec = PairCorrEstSpec(**g2_config) \
+                if pair_corr_spec is None \
+                else replace(pair_corr_spec, **g2_config)
         return replace(self, model_spec=model_spec, ssf_spec=ssf_spec,
-                       obd_spec=obd_spec, **self_config)
+                       obd_spec=obd_spec, pair_corr_spec=pair_corr_spec,
+                       **self_config)
 
     # -- sampling ------------------------------------------------------------
 
@@ -336,6 +361,12 @@ class Proc(proc_base.Proc):
             self._pfw(self.obd_spec),
             est_every_mult=self.obd_spec.est_every_mult) \
             if self.should_eval_obd else None
+        pair_corr_est_spec = dmc_sampler.PairCorrEstSpec(
+            self.pair_corr_spec.num_bins,
+            self.pair_corr_spec.as_pure_est,
+            self._pfw(self.pair_corr_spec),
+            est_every_mult=self.pair_corr_spec.est_every_mult) \
+            if self.should_eval_pair_corr else None
         mesh = None
         if self.num_mesh_devices is not None:
             from ..parallel import make_walker_mesh
@@ -346,6 +377,7 @@ class Proc(proc_base.Proc):
             self.target_num_walkers, self.num_walkers_control_factor,
             self.rng_seed, density_est_spec=density_est_spec,
             ssf_est_spec=ssf_est_spec, obd_est_spec=obd_est_spec,
+            pair_corr_est_spec=pair_corr_est_spec,
             mesh=mesh, rebalance_every=self.rebalance_every,
             est_every=self.est_every,
             cm_diffusion_est=cmd is not None,
@@ -445,6 +477,7 @@ class Proc(proc_base.Proc):
         should_eval_ssf = self.should_eval_ssf
         should_eval_obd = self.should_eval_obd
         should_eval_cmd = self.should_eval_cm_diffusion
+        should_eval_g2 = self.should_eval_pair_corr
 
         if not isinstance(proc_input, ProcInput):
             raise proc_base.ProcInputError(
@@ -536,7 +569,10 @@ class Proc(proc_base.Proc):
                           if should_eval_obd else None),
                 iter_cmd=(np.asarray(block_data.iter_cmd,
                                      dtype=np.float64)
-                          if should_eval_cmd else None))
+                          if should_eval_cmd else None),
+                iter_g2=(np.asarray(block_data.iter_g2,
+                                    dtype=np.float64)
+                         if should_eval_g2 else None))
 
             if self.checkpoint_file is not None and \
                     (block_idx + 1) % self.checkpoint_every == 0:
@@ -603,6 +639,14 @@ class _BlockAccumulator:
                 else (num_blocks,)
             self.obd_blocks_data = np.zeros(
                 obd_shape + (proc.obd_spec.num_pos,))
+        self.g2_blocks_data = None
+        if proc.should_eval_pair_corr:
+            num_measured_g2 = nts_block // (
+                proc.est_every * proc.pair_corr_spec.est_every_mult)
+            g2_shape = (num_blocks, num_measured_g2) if keep \
+                else (num_blocks,)
+            self.g2_blocks_data = np.zeros(
+                g2_shape + (proc.pair_corr_spec.num_bins,))
         self.cmd_w2_data = None
         self.cmd_raw_data = None
         if proc.should_eval_cm_diffusion:
@@ -621,10 +665,15 @@ class _BlockAccumulator:
             if (proc.should_eval_obd and not keep
                 and proc.est_every * proc.obd_spec.est_every_mult > 1) \
             else None
+        self.g2_weight_totals = np.zeros(num_blocks) \
+            if (proc.should_eval_pair_corr and not keep
+                and proc.est_every
+                * proc.pair_corr_spec.est_every_mult > 1) \
+            else None
 
     def add(self, block_idx: int, energy, weight, num_walkers,
             ref_energy, accum_energy, iter_density=None, iter_ssf=None,
-            iter_obd=None, iter_cmd=None):
+            iter_obd=None, iter_cmd=None, iter_g2=None):
         """Fold one block's per-step arrays (shape ``(nts, ...)``)."""
         proc = self.proc
         props = self.props
@@ -648,6 +697,8 @@ class _BlockAccumulator:
                 self.ssf_blocks_data[block_idx] = iter_ssf
             if iter_obd is not None:
                 self.obd_blocks_data[block_idx] = iter_obd
+            if iter_g2 is not None:
+                self.g2_blocks_data[block_idx] = iter_g2
             return
         weight_sum = weight.sum()
         props["energy"][block_idx] = energy.sum()
@@ -665,6 +716,10 @@ class _BlockAccumulator:
             k = proc.est_every * proc.obd_spec.est_every_mult
             self.obd_weight_totals[block_idx] = \
                 weight[k - 1::k].sum()
+        if self.g2_weight_totals is not None:
+            k = proc.est_every * proc.pair_corr_spec.est_every_mult
+            self.g2_weight_totals[block_idx] = \
+                weight[k - 1::k].sum()
         if iter_density is not None:
             self.density_blocks_data[block_idx] = (
                 iter_density[-1]
@@ -680,6 +735,11 @@ class _BlockAccumulator:
                 iter_obd[-1]
                 if proc.obd_spec.as_pure_est
                 else iter_obd.sum(axis=0))
+        if iter_g2 is not None:
+            self.g2_blocks_data[block_idx] = (
+                iter_g2[-1]
+                if proc.pair_corr_spec.as_pure_est
+                else iter_g2.sum(axis=0))
 
     def package(self) -> "dmc_data.SamplingData":
         """Block statistics + optional series, reference packaging
@@ -712,6 +772,13 @@ class _BlockAccumulator:
             est_every=proc.est_every * proc.obd_spec.est_every_mult,
             est_weight_totals=self.obd_weight_totals) \
             if proc.should_eval_obd else None
+        g2_blocks = dmc_data.PairCorrBlocks.from_data(
+            nts_block, self.g2_blocks_data, props_data, reduce_data,
+            proc.pair_corr_spec.as_pure_est, factor,
+            est_every=(proc.est_every
+                       * proc.pair_corr_spec.est_every_mult),
+            est_weight_totals=self.g2_weight_totals) \
+            if proc.should_eval_pair_corr else None
 
         cmd_blocks = None
         if proc.should_eval_cm_diffusion:
@@ -724,9 +791,11 @@ class _BlockAccumulator:
 
         data_blocks = dmc_data.PropsDataBlocks(
             energy_blocks, weight_blocks, num_walkers_blocks,
-            density_blocks, ssf_blocks, obd_blocks, cmd_blocks)
+            density_blocks, ssf_blocks, obd_blocks, cmd_blocks,
+            g2_blocks)
         data_series = dmc_data.PropsDataSeries(
             props_data, self.ssf_blocks_data, self.density_blocks_data,
-            self.obd_blocks_data, self.cmd_raw_data) \
+            self.obd_blocks_data, self.cmd_raw_data,
+            self.g2_blocks_data) \
             if proc.keep_iter_data else None
         return dmc_data.SamplingData(data_blocks, data_series)

@@ -130,6 +130,9 @@ class HDF5FileHandler(IOHandler, metaclass=ABCMeta):
         obd_group = group.get("obd_spec")
         if obd_group is not None:
             proc_config["obd_spec"] = dict(obd_group.attrs.items())
+        g2_group = group.get("pair_corr_spec")
+        if g2_group is not None:
+            proc_config["pair_corr_spec"] = dict(g2_group.attrs.items())
         cmd_group = group.get("cm_diffusion_spec")
         if cmd_group is not None:
             proc_config["cm_diffusion_spec"] = dict(
@@ -155,6 +158,10 @@ class HDF5FileHandler(IOHandler, metaclass=ABCMeta):
         obd_config = config.pop("obd_spec", None)
         if obd_config is not None:
             group.require_group("obd_spec").attrs.update(**obd_config)
+        g2_config = config.pop("pair_corr_spec", None)
+        if g2_config is not None:
+            group.require_group("pair_corr_spec").attrs.update(
+                **g2_config)
         cmd_config = config.pop("cm_diffusion_spec", None)
         if cmd_config is not None:
             group.require_group("cm_diffusion_spec").attrs.update(

@@ -86,6 +86,25 @@ class OBDEstSpec:
 
 
 @dataclass(frozen=True)
+class PairCorrEstSpec:
+    """Direct pair-correlation ``g2(r)`` estimator config: a histogram
+    of unordered-pair minimum-image distances on ``num_bins`` uniform
+    bins over ``[0, L/2]``.  Beyond the reference, which has no direct
+    pair-correlation estimator (there g2 is only reachable by
+    Fourier-inverting the truncated S(k)).
+
+    See :class:`DensityEstSpec` for ``pfw_num_time_steps`` and
+    :class:`OBDEstSpec` for ``est_every_mult`` (the binning pass costs
+    about one extra O(N^2) pairwise pass per measured step).
+    ``as_pure_est``/``pfw_num_time_steps`` apply to DMC only.
+    """
+    num_bins: int
+    as_pure_est: bool = True
+    pfw_num_time_steps: t.Optional[int] = None
+    est_every_mult: int = 1
+
+
+@dataclass(frozen=True)
 class CMDiffusionEstSpec:
     """Center-of-mass imaginary-time diffusion (superfluid fraction /
     effective mass) estimator config.  No reference analog.
@@ -156,6 +175,10 @@ class Proc(metaclass=ABCMeta):
     @property
     def should_eval_obd(self) -> bool:
         return getattr(self, "obd_spec", None) is not None
+
+    @property
+    def should_eval_pair_corr(self) -> bool:
+        return getattr(self, "pair_corr_spec", None) is not None
 
     @abstractmethod
     def describe_model_spec(self):

@@ -114,6 +114,22 @@ def _density_lines(density_blocks, nop: int, sc_size: float,
     return lines
 
 
+def _pair_corr_lines(g2_blocks, nop: int, sc_size: float,
+                     full: bool) -> t.List[str]:
+    r, g2, g2_err = g2_blocks.pair_correlation(nop, sc_size)
+    num_bins = g2.shape[0]
+    lines = [
+        f"g2(r)       direct histogram, {num_bins} bins over [0, L/2]: "
+        f"contact g2(0+) = {_fmt(g2[0], g2_err[0])}, "
+        f"g2(L/2) = {_fmt(g2[-1], g2_err[-1])}",
+    ]
+    if full:
+        for b in range(num_bins):
+            lines.append(f"            r = {r[b]:8.4f}   "
+                         f"g2 = {_fmt(g2[b], g2_err[b])}")
+    return lines
+
+
 def _obd_lines(obd_blocks, nop: int, sc_size: float, num_pos: int,
                full: bool) -> t.List[str]:
     from ..analysis import momentum_distribution
@@ -188,6 +204,8 @@ def describe_dmc(result, full: bool = False) -> str:
     if blocks.one_body_dm is not None and proc.obd_spec is not None:
         lines += _obd_lines(blocks.one_body_dm, nop, sc,
                             proc.obd_spec.num_pos, full)
+    if blocks.pair_corr is not None:
+        lines += _pair_corr_lines(blocks.pair_corr, nop, sc, full)
     if blocks.cm_diffusion is not None:
         ratio, ratio_err = blocks.cm_diffusion.effective_mass_ratio()
         lines.append(f"transport   m/m* (superfluid fraction) = "
@@ -223,6 +241,8 @@ def describe_vmc(result, full: bool = False) -> str:
     if blocks.one_body_dm is not None and proc.obd_spec is not None:
         lines += _obd_lines(blocks.one_body_dm, nop, sc,
                             proc.obd_spec.num_pos, full)
+    if blocks.pair_corr is not None:
+        lines += _pair_corr_lines(blocks.pair_corr, nop, sc, full)
     return "\n".join(lines)
 
 

@@ -125,6 +125,8 @@ class SweepProc:
                 if block_data.iter_obd is not None else None
             cmd = np.asarray(block_data.iter_cmd, dtype=np.float64) \
                 if block_data.iter_cmd is not None else None
+            g2 = np.asarray(block_data.iter_g2, dtype=np.float64) \
+                if block_data.iter_g2 is not None else None
             for r, acc in enumerate(accumulators):
                 acc.add(block_idx, energy[:, r], weight[:, r],
                         num_walkers[:, r], ref_energy[:, r],
@@ -133,7 +135,8 @@ class SweepProc:
                         if density is not None else None,
                         iter_ssf=ssf[r] if ssf is not None else None,
                         iter_obd=obd[r] if obd is not None else None,
-                        iter_cmd=cmd[r] if cmd is not None else None)
+                        iter_cmd=cmd[r] if cmd is not None else None,
+                        iter_g2=g2[r] if g2 is not None else None)
         exec_logger.info("Fused DMC sweep completed.")
 
         results = []
@@ -227,11 +230,14 @@ class VmcSweepProc:
                 if block_data.iter_ssf is not None else None
             obd = np.asarray(block_data.iter_obd, dtype=np.float64) \
                 if block_data.iter_obd is not None else None
+            g2 = np.asarray(block_data.iter_g2, dtype=np.float64) \
+                if block_data.iter_g2 is not None else None
             for r, acc in enumerate(accumulators):
                 acc.add(block_idx, lp[r], energy[r], mv[r],
                         float(accept[r]),
                         iter_ssf=ssf[r] if ssf is not None else None,
-                        iter_obd=obd[r] if obd is not None else None)
+                        iter_obd=obd[r] if obd is not None else None,
+                        iter_g2=g2[r] if g2 is not None else None)
         exec_logger.info("Fused VMC sweep completed.")
 
         results = []

@@ -23,6 +23,7 @@ from ..constants import ER
 __all__ = [
     "ModelSysConfSpec",
     "OBDEstSpec",
+    "PairCorrEstSpec",
     "Proc",
     "ProcInput",
     "ProcResult",
@@ -49,6 +50,21 @@ class OBDEstSpec:
     shifted pair passes; chain dynamics and S(k) are bit-identical for
     any value)."""
     num_pos: int
+    est_every_mult: int = 1
+
+
+@dataclass(frozen=True)
+class PairCorrEstSpec:
+    """Direct pair-correlation ``g2(r)`` estimator config: a histogram
+    of unordered-pair minimum-image distances on ``num_bins`` uniform
+    bins over ``[0, L/2]`` (beyond the reference — no direct
+    pair-correlation estimator there).
+
+    ``est_every_mult`` bins the distances only every
+    ``est_every * est_every_mult``-th step (the pass costs about one
+    O(N^2) Metropolis evaluation; chain dynamics and the other
+    estimators are bit-identical for any value)."""
+    num_bins: int
     est_every_mult: int = 1
 
 
@@ -107,6 +123,9 @@ class Proc(proc_base.Proc):
     block_offset: int = 0
     ssf_spec: t.Optional[SSFEstSpec] = None
     obd_spec: t.Optional[OBDEstSpec] = None
+    #: Direct pair-correlation g2(r) histogram; see
+    #: :class:`PairCorrEstSpec`.
+    pair_corr_spec: t.Optional[PairCorrEstSpec] = None
     #: TPU extension: independent Markov chains advanced in lockstep.
     num_walkers: int = 1
     dtype: str = "float32"
@@ -147,6 +166,15 @@ class Proc(proc_base.Proc):
         _set(self, "est_every", int(self.est_every))
         if self.est_every < 1:
             raise ValueError("est_every must be a positive integer")
+        if self.pair_corr_spec is not None:
+            mult = int(self.pair_corr_spec.est_every_mult)
+            if mult < 1:
+                raise ValueError("pair_corr_spec: est_every_mult must "
+                                 "be a positive integer")
+            if self.num_steps_block % (self.est_every * mult):
+                raise ValueError(
+                    "pair_corr_spec: num_steps_block must be divisible "
+                    "by est_every * est_every_mult")
         if self.obd_spec is not None:
             mult = int(self.obd_spec.est_every_mult)
             if mult < 1:
@@ -177,8 +205,12 @@ class Proc(proc_base.Proc):
         obd_config = self_config.pop("obd_spec", None)
         obd_spec = OBDEstSpec(**obd_config) if obd_config is not None \
             else None
+        g2_config = self_config.pop("pair_corr_spec", None)
+        pair_corr_spec = PairCorrEstSpec(**g2_config) \
+            if g2_config is not None else None
         return cls(model_spec=model_spec, ssf_spec=ssf_spec,
-                   obd_spec=obd_spec, **self_config)
+                   obd_spec=obd_spec, pair_corr_spec=pair_corr_spec,
+                   **self_config)
 
     def as_config(self) -> dict:
         config = {
@@ -212,6 +244,12 @@ class Proc(proc_base.Proc):
             if self.obd_spec.est_every_mult != 1:
                 config["obd_spec"]["est_every_mult"] = \
                     self.obd_spec.est_every_mult
+        if self.pair_corr_spec is not None:
+            config["pair_corr_spec"] = {
+                "num_bins": self.pair_corr_spec.num_bins}
+            if self.pair_corr_spec.est_every_mult != 1:
+                config["pair_corr_spec"]["est_every_mult"] = \
+                    self.pair_corr_spec.est_every_mult
         return {k: v for k, v in config.items() if v is not None}
 
     def evolve(self, config: t.Mapping) -> "Proc":
@@ -230,8 +268,15 @@ class Proc(proc_base.Proc):
         if obd_config is not None:
             obd_spec = OBDEstSpec(**obd_config) if obd_spec is None \
                 else replace(obd_spec, **obd_config)
+        pair_corr_spec = self.pair_corr_spec
+        g2_config = self_config.pop("pair_corr_spec", None)
+        if g2_config is not None:
+            pair_corr_spec = PairCorrEstSpec(**g2_config) \
+                if pair_corr_spec is None \
+                else replace(pair_corr_spec, **g2_config)
         return replace(self, model_spec=model_spec, ssf_spec=ssf_spec,
-                       obd_spec=obd_spec, **self_config)
+                       obd_spec=obd_spec, pair_corr_spec=pair_corr_spec,
+                       **self_config)
 
     @cached_property
     def sampling(self) -> vmc_sampler.Sampling:
@@ -241,6 +286,10 @@ class Proc(proc_base.Proc):
             self.obd_spec.num_pos,
             est_every_mult=self.obd_spec.est_every_mult) \
             if self.should_eval_obd else None
+        pair_corr_est_spec = vmc_sampler.PairCorrEstSpec(
+            self.pair_corr_spec.num_bins,
+            est_every_mult=self.pair_corr_spec.est_every_mult) \
+            if self.should_eval_pair_corr else None
         mesh = None
         if self.num_mesh_devices is not None:
             from ..parallel import make_walker_mesh
@@ -248,6 +297,7 @@ class Proc(proc_base.Proc):
         return vmc_sampler.Sampling(
             self.model_spec, self.move_spread, self.rng_seed,
             ssf_est_spec=ssf_est_spec, obd_est_spec=obd_est_spec,
+            pair_corr_est_spec=pair_corr_est_spec,
             num_walkers=self.num_walkers, mesh=mesh,
             est_every=self.est_every)
 
@@ -321,6 +371,7 @@ class Proc(proc_base.Proc):
         keep_iter_data = self.keep_iter_data
         should_eval_ssf = self.should_eval_ssf
         should_eval_obd = self.should_eval_obd
+        should_eval_g2 = self.should_eval_pair_corr
         num_walkers = self.num_walkers
 
         if not isinstance(proc_input, ProcInput):
@@ -364,7 +415,10 @@ class Proc(proc_base.Proc):
                           if should_eval_ssf else None),
                 iter_obd=(np.asarray(block_data.iter_obd,
                                      dtype=np.float64)
-                          if should_eval_obd else None))
+                          if should_eval_obd else None),
+                iter_g2=(np.asarray(block_data.iter_g2,
+                                    dtype=np.float64)
+                         if should_eval_g2 else None))
 
         exec_logger.info("VMC sampling completed.")
         exec_logger.info(
@@ -408,10 +462,19 @@ class _VmcBlockAccumulator:
                 else (num_blocks,)
             self.obd_data = np.zeros(
                 obd_shape + (proc.obd_spec.num_pos,))
+        self.g2_data = None
+        if proc.should_eval_pair_corr:
+            num_measured_g2 = ns_block // (
+                proc.est_every * proc.pair_corr_spec.est_every_mult)
+            g2_shape = (num_blocks, num_measured_g2) if keep \
+                else (num_blocks,)
+            self.g2_data = np.zeros(
+                g2_shape + (proc.pair_corr_spec.num_bins,))
         self.accept_rates = []
 
     def add(self, block_idx: int, wf_abs_log, energy, move_stat,
-            accept_rate: float, iter_ssf=None, iter_obd=None):
+            accept_rate: float, iter_ssf=None, iter_obd=None,
+            iter_g2=None):
         """Fold one block's per-step, per-walker arrays
         (``(nts, W)`` / est ``(nts_measured, ...)``)."""
         proc = self.proc
@@ -426,6 +489,8 @@ class _VmcBlockAccumulator:
                 self.ssf_data[block_idx] = iter_ssf / num_walkers
             if iter_obd is not None:
                 self.obd_data[block_idx] = iter_obd / num_walkers
+            if iter_g2 is not None:
+                self.g2_data[block_idx] = iter_g2 / num_walkers
         else:
             self.energy[block_idx] = energy.mean()
             self.wf_abs_log[block_idx] = wf_abs_log.mean()
@@ -436,6 +501,9 @@ class _VmcBlockAccumulator:
             if iter_obd is not None:
                 self.obd_data[block_idx] = \
                     iter_obd.mean(axis=0) / num_walkers
+            if iter_g2 is not None:
+                self.g2_data[block_idx] = \
+                    iter_g2.mean(axis=0) / num_walkers
 
     @property
     def mean_accept_rate(self) -> float:
@@ -454,9 +522,13 @@ class _VmcBlockAccumulator:
         obd_blocks = vmc_data.OBDBlocks.from_data(self.obd_data,
                                                   reduce_data) \
             if proc.should_eval_obd else None
+        g2_blocks = vmc_data.PairCorrBlocks.from_data(self.g2_data,
+                                                      reduce_data) \
+            if proc.should_eval_pair_corr else None
         data_blocks = vmc_data.PropsDataBlocks(energy_blocks,
-                                               ssf_blocks, obd_blocks)
+                                               ssf_blocks, obd_blocks,
+                                               g2_blocks)
         data_series = vmc_data.PropsDataSeries(
-            props_data, self.ssf_data, self.obd_data) \
+            props_data, self.ssf_data, self.obd_data, self.g2_data) \
             if proc.keep_iter_data else None
         return vmc_data.SamplingData(data_blocks, data_series)

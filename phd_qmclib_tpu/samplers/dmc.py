@@ -57,6 +57,7 @@ from ..ops import prng as prng_ops
 __all__ = [
     "DensityEstSpec",
     "OBDEstSpec",
+    "PairCorrEstSpec",
     "PropsData",
     "Sampling",
     "SamplingBlock",
@@ -129,6 +130,9 @@ class SamplingBlock(t.NamedTuple):
     #: displacement since the block start (ancestry-transported).
     #: ``None`` unless ``cm_diffusion_est`` is enabled.
     iter_cmd: t.Optional[jnp.ndarray] = None
+    #: Direct pair-correlation histogram sums, shape
+    #: ``(nts_measured, num_bins)``; ``None`` when disabled.
+    iter_g2: t.Optional[jnp.ndarray] = None
 
 
 @dataclass(frozen=True)
@@ -184,6 +188,34 @@ class OBDEstSpec:
     #: for any value; pure-estimator ancestry transport still advances
     #: every step.  ``iter_obd`` then carries
     #: ``num_time_steps_block // (est_every * est_every_mult)`` entries.
+    est_every_mult: int = 1
+
+
+@dataclass(frozen=True)
+class PairCorrEstSpec:
+    """Direct pair-correlation ``g2(r)`` estimator spec: a histogram of
+    unordered-pair minimum-image distances on ``num_bins`` uniform bins
+    over ``[0, L/2]``.
+
+    Beyond the reference, which has no direct pair-correlation
+    estimator (there g2 is only reachable by Fourier-inverting the
+    truncated S(k); cf. ``analysis.pair_correlation_from_ssf`` /
+    ``SSFBlocks.pair_correlation``).  The direct histogram has no mode
+    cutoff — exact real-space resolution at the bin width — at the
+    cost of one O(N^2) binning pass per measured step (use
+    ``est_every_mult`` to thin it like the OBDM grid).  Normalization:
+    ``g2(r) = <counts> * L / (N (N-1) dr)`` (1 for uncorrelated
+    uniform positions); the data layer applies it.
+    """
+    num_bins: int
+    as_pure_est: bool = True
+    pfw_num_time_steps: t.Optional[int] = None
+    #: Cadence multiplier on top of ``Sampling.est_every``: bin the
+    #: pair distances only every ``est_every * est_every_mult``-th
+    #: step.  The histogram costs about one extra pairwise pass —
+    #: comparable to the whole bare step — while consecutive samples
+    #: are strongly correlated; the walker dynamics and the other
+    #: estimators are bit-identical for any value.
     est_every_mult: int = 1
 
 
@@ -252,6 +284,7 @@ class Sampling:
     density_est_spec: t.Optional[DensityEstSpec] = None
     ssf_est_spec: t.Optional[SSFEstSpec] = None
     obd_est_spec: t.Optional[OBDEstSpec] = None
+    pair_corr_est_spec: t.Optional[PairCorrEstSpec] = None
     #: Device mesh for multi-chip runs: the walker axis shards over
     #: ``mesh_axis``; branching is per-shard, population control global
     #: (psum over ICI).  ``None`` = single device.
@@ -317,24 +350,27 @@ class Sampling:
             object.__setattr__(self, "num_walkers_control_factor", 0.125)
         if self.est_every < 1:
             raise ValueError("est_every must be a positive integer")
-        if self.obd_est_spec is not None \
-                and self.obd_est_spec.est_every_mult < 1:
-            raise ValueError("est_every_mult must be a positive integer")
-        if self.est_every > 1 or (self.obd_est_spec is not None
-                                  and self.obd_est_spec.est_every_mult
-                                  > 1):
+        for spec in (self.obd_est_spec, self.pair_corr_est_spec):
+            if spec is not None and spec.est_every_mult < 1:
+                raise ValueError(
+                    "est_every_mult must be a positive integer")
+        if self.est_every > 1 or any(
+                spec is not None and spec.est_every_mult > 1
+                for spec in (self.obd_est_spec,
+                             self.pair_corr_est_spec)):
             for spec in (self.density_est_spec, self.ssf_est_spec,
-                         self.obd_est_spec):
+                         self.obd_est_spec, self.pair_corr_est_spec):
                 if spec is None or not spec.as_pure_est \
                         or not spec.pfw_num_time_steps:
                     continue
                 every = self.est_every
-                if spec is self.obd_est_spec:
+                if spec in (self.obd_est_spec, self.pair_corr_est_spec):
                     every *= spec.est_every_mult
                 if spec.pfw_num_time_steps % every:
                     raise ValueError(
                         "pfw_num_time_steps must be divisible by "
-                        "est_every (x est_every_mult for the OBDM)")
+                        "est_every (x est_every_mult for the "
+                        "OBDM/pair-correlation estimators)")
         if self.mesh is not None:
             n = self.mesh.shape[self.mesh_axis]
             if self.max_num_walkers % n or self.target_num_walkers % n:
@@ -387,6 +423,15 @@ class Sampling:
                 "the one-body density matrix spec has not been specified")
         sc_size = self.model_spec.supercell_size
         return np.linspace(0.0, 0.5 * sc_size, self.obd_est_spec.num_pos)
+
+    @property
+    def pair_corr_bin_edges(self) -> np.ndarray:
+        if self.pair_corr_est_spec is None:
+            raise TypeError(
+                "the pair-correlation spec has not been specified")
+        num_bins = self.pair_corr_est_spec.num_bins
+        return np.linspace(0, 0.5 * self.model_spec.supercell_size,
+                           num_bins + 1)
 
     def _pfw_steps(self, spec) -> int:
         # The reference treats None as "effectively infinite"
@@ -586,13 +631,16 @@ class Sampling:
         density_spec = self.density_est_spec if measure else None
         ssf_spec = self.ssf_est_spec if measure else None
         obd_spec = self.obd_est_spec if measure else None
+        g2_spec = self.pair_corr_est_spec if measure else None
         cadence = self.est_every
         use_density = density_spec is not None
         use_ssf = ssf_spec is not None
         use_obd = obd_spec is not None
+        use_g2 = g2_spec is not None
         density_pure = use_density and density_spec.as_pure_est
         ssf_pure = use_ssf and ssf_spec.as_pure_est
         obd_pure = use_obd and obd_spec.as_pure_est
+        g2_pure = use_g2 and g2_spec.as_pure_est
         obd_offsets = np.asarray(self.obd_pos_offsets) if use_obd else None
         use_cmd = self.cm_diffusion_est
         use_hw_normals = self.hw_normals if self.hw_normals is not None \
@@ -648,7 +696,8 @@ class Sampling:
                 # Ancestry transport without measurement: the pure
                 # accumulators follow the cloning table every step even
                 # when this step's values are not sampled.
-                for name in ("aux_density", "aux_ssf", "aux_obd"):
+                for name in ("aux_density", "aux_ssf", "aux_obd",
+                             "aux_g2"):
                     if name in extra:
                         new_extra[name] = extra[name][parent]
             if use_density and not transport_only:
@@ -752,6 +801,57 @@ class Sampling:
                                                 cpos.dtype)
                             + 0.0 * cpos[0, 0], None)
 
+            if use_g2 and not transport_only:
+                # Direct pair-correlation histogram with its own
+                # (sparser) cadence, mirroring the OBDM pattern: the
+                # O(N^2) binning pass runs only on every
+                # ``est_every_mult``-th measured step via ``lax.cond``;
+                # pure-estimator ancestry transport still advances.
+                g2_mult = g2_spec.est_every_mult
+                cad_g2 = cadence * g2_mult
+                g2_now = (step_idx + 1) % cad_g2 == 0
+                num_bins_g2 = g2_spec.num_bins
+                if g2_pure:
+                    pfw = self._pfw_steps(g2_spec)
+                    aux_prev = extra["aux_g2"][parent]
+                    divisor = jnp.minimum(
+                        (step_idx + 1) // cad_g2,
+                        pfw // cad_g2).astype(cpos.dtype)
+
+                    def _g2_measure(aux_p):
+                        hist = funcs.pair_dist_histogram(
+                            num_bins_g2, cpos, cfc)
+                        aux = jnp.where(step_idx < pfw, aux_p + hist,
+                                        aux_p)
+                        est = jnp.where(valid[:, None], aux,
+                                        0.0).sum(axis=0) / divisor
+                        return aux, est
+
+                    if g2_mult == 1:
+                        aux, est = _g2_measure(aux_prev)
+                    else:
+                        aux, est = jax.lax.cond(
+                            g2_now, _g2_measure,
+                            lambda aux_p: (aux_p, 0.0 * aux_p[0]),
+                            aux_prev)
+                    est_out["g2"] = est
+                    new_extra["aux_g2"] = aux
+                else:
+                    def _g2_mixed(_):
+                        hist = funcs.pair_dist_histogram(
+                            num_bins_g2, cpos, cfc)
+                        return jnp.where(valid[:, None], hist,
+                                         0.0).sum(axis=0)
+
+                    if g2_mult == 1:
+                        est_out["g2"] = _g2_mixed(None)
+                    else:
+                        est_out["g2"] = jax.lax.cond(
+                            g2_now, _g2_mixed,
+                            lambda _: jnp.zeros((num_bins_g2,),
+                                                cpos.dtype)
+                            + 0.0 * cpos[0, 0], None)
+
             # 5) Diffuse children with the PREVIOUS E_ref
             #    (jastrow/dmc.py:742-827).
             if injected_noise:
@@ -837,6 +937,7 @@ class Sampling:
         density_spec = self.density_est_spec if measure else None
         ssf_spec = self.ssf_est_spec if measure else None
         obd_spec = self.obd_est_spec if measure else None
+        g2_spec = self.pair_corr_est_spec if measure else None
         cadence = self.est_every if measure else 1
         step_transport = self.make_step_fn(
             axis_name=axis_name, measure=measure,
@@ -844,12 +945,13 @@ class Sampling:
 
         def run_block(state: State, block_key, scalars, cfc,
                       num_time_steps_block: int):
-            if obd_spec is not None and obd_spec.est_every_mult > 1 \
-                    and num_time_steps_block % (cadence
-                                                * obd_spec.est_every_mult):
-                raise ValueError(
-                    "num_time_steps_block must be divisible by "
-                    "est_every * obd est_every_mult")
+            for mspec, mname in ((obd_spec, "obd"), (g2_spec, "g2")):
+                if mspec is not None and mspec.est_every_mult > 1 \
+                        and num_time_steps_block % (
+                            cadence * mspec.est_every_mult):
+                    raise ValueError(
+                        "num_time_steps_block must be divisible by "
+                        f"est_every * {mname} est_every_mult")
             if axis_name is not None:
                 # Decorrelate the per-shard random streams.
                 block_key = jax.random.fold_in(
@@ -866,6 +968,9 @@ class Sampling:
             if obd_spec is not None and obd_spec.as_pure_est:
                 extra0["aux_obd"] = jnp.zeros(
                     (max_w, obd_spec.num_pos), dtype=dtype)
+            if g2_spec is not None and g2_spec.as_pure_est:
+                extra0["aux_g2"] = jnp.zeros(
+                    (max_w, g2_spec.num_bins), dtype=dtype)
             if self.ref_compat:
                 # Slot-wise previous-step energies.  NOTE: at a block
                 # boundary this re-seeds from the post-diffusion
@@ -944,6 +1049,9 @@ class Sampling:
                 # psum: less collective volume.
                 m = obd_spec.est_every_mult
                 est["obd"] = est["obd"][m - 1::m]
+            if "g2" in est and g2_spec.est_every_mult > 1:
+                m = g2_spec.est_every_mult
+                est["g2"] = est["g2"][m - 1::m]
             if axis_name is not None and est:
                 # Shard-local estimator sums reduce over the mesh ONCE
                 # per block (nts-fold less ICI latency than per-step).
@@ -1055,7 +1163,9 @@ class Sampling:
             ssf = est.get("ssf") if not burning else None
             obd = est.get("obd") if not burning else None
             cmd = est.get("cmd") if not burning else None
-            yield SamplingBlock(props, density, ssf, state, obd, cmd)
+            g2 = est.get("g2") if not burning else None
+            yield SamplingBlock(props, density, ssf, state, obd, cmd,
+                                g2)
             block_idx += 1
 
     def states(self, ini_state: State) -> t.Iterator[State]:

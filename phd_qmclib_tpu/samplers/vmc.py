@@ -39,6 +39,7 @@ from ..models import mrbp
 
 __all__ = [
     "OBDEstSpec",
+    "PairCorrEstSpec",
     "PropsData",
     "Sampling",
     "SamplingBlock",
@@ -83,6 +84,9 @@ class SamplingBlock(t.NamedTuple):
     #: OBDM ``n1`` sums over walkers, shape ``(nts, M)``; ``None`` when
     #: disabled.
     iter_obd: t.Optional[jnp.ndarray] = None
+    #: Direct pair-correlation histogram sums over walkers, shape
+    #: ``(nts_measured, num_bins)``; ``None`` when disabled.
+    iter_g2: t.Optional[jnp.ndarray] = None
 
 
 @dataclass(frozen=True)
@@ -122,6 +126,26 @@ class OBDEstSpec:
 
 
 @dataclass(frozen=True)
+class PairCorrEstSpec:
+    """Direct pair-correlation ``g2(r)`` estimator spec: a histogram of
+    unordered-pair minimum-image distances on ``num_bins`` uniform bins
+    over ``[0, L/2]``, evaluated on the chain configurations.
+
+    Beyond the reference (which has no direct pair-correlation
+    estimator; g2 there is only reachable by Fourier-inverting the
+    truncated S(k)).  Normalization ``g2(r) = <counts> * L /
+    (N (N-1) dr)`` is applied by the data layer.
+    """
+    num_bins: int
+    #: Cadence multiplier on top of ``Sampling.est_every`` (the O(N^2)
+    #: binning pass costs about one Metropolis step; consecutive
+    #: samples are strongly correlated).  Chain dynamics are
+    #: bit-identical for any value; ``iter_g2`` carries
+    #: ``num_steps_block // (est_every * est_every_mult)`` entries.
+    est_every_mult: int = 1
+
+
+@dataclass(frozen=True)
 class Sampling:
     """VMC sampling spec bound to an mrbp model.
 
@@ -132,6 +156,7 @@ class Sampling:
     rng_seed: t.Optional[int] = None
     ssf_est_spec: t.Optional[SSFEstSpec] = None
     obd_est_spec: t.Optional[OBDEstSpec] = None
+    pair_corr_est_spec: t.Optional[PairCorrEstSpec] = None
     #: Number of independent Markov chains advanced in lockstep.
     num_walkers: int = 1
     #: Use Gaussian proposals of width ``move_spread`` (the reference's
@@ -154,9 +179,10 @@ class Sampling:
     def __post_init__(self):
         if self.est_every < 1:
             raise ValueError("est_every must be a positive integer")
-        if self.obd_est_spec is not None \
-                and self.obd_est_spec.est_every_mult < 1:
-            raise ValueError("est_every_mult must be a positive integer")
+        for spec in (self.obd_est_spec, self.pair_corr_est_spec):
+            if spec is not None and spec.est_every_mult < 1:
+                raise ValueError(
+                    "est_every_mult must be a positive integer")
         if self.rng_seed is None:
             object.__setattr__(self, "rng_seed",
                                int(utils.get_random_rng_seed()))
@@ -197,6 +223,15 @@ class Sampling:
                             "been specified")
         sc_size = self.model_spec.supercell_size
         return np.linspace(0.0, 0.5 * sc_size, self.obd_est_spec.num_pos)
+
+    @property
+    def pair_corr_bin_edges(self) -> np.ndarray:
+        if self.pair_corr_est_spec is None:
+            raise TypeError(
+                "the pair-correlation spec has not been specified")
+        num_bins = self.pair_corr_est_spec.num_bins
+        return np.linspace(0, 0.5 * self.model_spec.supercell_size,
+                           num_bins + 1)
 
     # -- state construction ------------------------------------------------
 
@@ -275,6 +310,8 @@ class Sampling:
         num_modes = self.ssf_est_spec.num_modes if use_ssf else 0
         use_obd = self.obd_est_spec is not None
         obd_offsets = np.asarray(self.obd_pos_offsets) if use_obd else None
+        use_g2 = self.pair_corr_est_spec is not None
+        num_bins_g2 = self.pair_corr_est_spec.num_bins if use_g2 else 0
 
         def _psum(x):
             return jax.lax.psum(x, axis_name) if axis_name else x
@@ -345,10 +382,14 @@ class Sampling:
             return step_core, step
 
         obd_mult = self.obd_est_spec.est_every_mult if use_obd else 1
+        g2_mult = self.pair_corr_est_spec.est_every_mult if use_g2 else 1
         # The OBDM's own (sparser) cadence forces the chunked path even
         # at est_every == 1: chunk-final evaluation is identical to the
         # carried step_core values there (see the cadence note below).
-        chunked = cadence > 1 or obd_mult > 1
+        # The g2 histogram always takes the chunked path — it is a pure
+        # function of the positions, so chunk-final evaluation needs no
+        # carried parts in the State.
+        chunked = cadence > 1 or obd_mult > 1 or use_g2
         step_core, step = make_step_core(with_est=not chunked)
 
         def run_block(state: State, block_key, cfc, move_spread,
@@ -358,6 +399,7 @@ class Sampling:
                     block_key, jax.lax.axis_index(axis_name))
             keys = jax.random.split(block_key, num_steps_block)
 
+            g2 = 0.0
             if not chunked:
                 final_state, (lps, es, accepts, ssf, obd) = jax.lax.scan(
                     lambda c, k: step(c, k, cfc, move_spread), state,
@@ -371,10 +413,12 @@ class Sampling:
                 # steps (the carried parts always equal
                 # ``parts(current pos)``), and the chain dynamics use
                 # the exact same key sequence as ``cadence == 1``.
-                if num_steps_block % (cadence * obd_mult):
+                if num_steps_block % (cadence * obd_mult) \
+                        or num_steps_block % (cadence * g2_mult):
                     raise ValueError("num_steps_block must be divisible "
                                      "by est_every (x est_every_mult "
-                                     "for the OBDM)")
+                                     "for the OBDM / pair-correlation "
+                                     "estimators)")
                 # Parts are not carried in cadence mode.
                 state = state._replace(ssf_parts=None, obd_parts=None)
                 num_chunks = num_steps_block // cadence
@@ -389,6 +433,7 @@ class Sampling:
                     pos = new_state.pos
                     ssf_sum = 0.0
                     obd_sum = 0.0
+                    g2_sum = 0.0
                     if use_ssf:
                         parts = funcs.fourier_density_parts_harmonics(
                             num_modes, pos, cfc)
@@ -414,10 +459,25 @@ class Sampling:
                                     (obd_offsets.shape[0],),
                                     pos.dtype) + 0.0 * p[0, 0],
                                 pos)
-                    return new_state, (lps, es, accepts, ssf_sum,
-                                       obd_sum)
+                    if use_g2:
+                        def _g2_measure(p):
+                            return funcs.pair_dist_histogram(
+                                num_bins_g2, p, cfc).sum(axis=0)
 
-                final_state, (lps, es, accepts, ssf, obd) = \
+                        if g2_mult == 1:
+                            g2_sum = _g2_measure(pos)
+                        else:
+                            g2_sum = jax.lax.cond(
+                                (chunk_idx + 1) % g2_mult == 0,
+                                _g2_measure,
+                                lambda p: jnp.zeros(
+                                    (num_bins_g2,),
+                                    pos.dtype) + 0.0 * p[0, 0],
+                                pos)
+                    return new_state, (lps, es, accepts, ssf_sum,
+                                       obd_sum, g2_sum)
+
+                final_state, (lps, es, accepts, ssf, obd, g2) = \
                     jax.lax.scan(chunk, state,
                                  (keys_c, jnp.arange(num_chunks)))
                 lps, es, accepts = (
@@ -426,14 +486,18 @@ class Sampling:
                 if use_obd and obd_mult > 1:
                     # One entry per OBDM-measured step.
                     obd = obd[obd_mult - 1::obd_mult]
+                if use_g2 and g2_mult > 1:
+                    g2 = g2[g2_mult - 1::g2_mult]
 
             if axis_name is not None and use_ssf:
                 ssf = _psum(ssf)
             if axis_name is not None and use_obd:
                 obd = _psum(obd)
+            if axis_name is not None and use_g2:
+                g2 = _psum(g2)
             accept_rate = _pmean(accepts.mean())
             return (final_state, PropsData(lps, es, accepts), ssf, obd,
-                    accept_rate)
+                    g2, accept_rate)
 
         run_block.step_core = step_core
         return run_block
@@ -464,7 +528,7 @@ class Sampling:
                                                 num_steps_block),
                 mesh=self.mesh,
                 in_specs=(state_spec, P(), P(), P()),
-                out_specs=(state_spec, props_spec, P(), P(), P()))
+                out_specs=(state_spec, props_spec, P(), P(), P(), P()))
             return fn(state, block_key, cfc, move_spread)
 
         return jax.jit(sharded_block,
@@ -506,11 +570,12 @@ class Sampling:
         block_idx = int(block_offset)
         while True:
             block_key = jax.random.fold_in(base_key, block_idx)
-            state, props, ssf, obd, accept_rate = self._block_fn(
+            state, props, ssf, obd, g2, accept_rate = self._block_fn(
                 state, block_key, cfc, move_spread, num_steps_block)
             yield SamplingBlock(props, ssf if self.ssf_est_spec else None,
                                 float(accept_rate), state,
-                                obd if self.obd_est_spec else None)
+                                obd if self.obd_est_spec else None,
+                                g2 if self.pair_corr_est_spec else None)
             block_idx += 1
 
     def replay_chain(self, ini_state: State, moves_u: np.ndarray,
@@ -599,7 +664,7 @@ class Sampling:
             # configuration.
             def body(carry, key):
                 # Calling the jitted block fn inside jit inlines it.
-                new_state, props, ssf, _obd, _ = base_fn(
+                new_state, props, ssf, _obd, _g2, _ = base_fn(
                     carry, key, cfc, move_spread, thin)
                 return new_state, (new_state.pos, props, ssf)
             keys = jax.random.split(block_key, num_steps_block // thin)
