@@ -47,6 +47,17 @@ def _run_invariants(num_specs):
         np.testing.assert_allclose(np.asarray(e_shift),
                                    np.asarray(e), rtol=1e-9)
 
+        # Pair histogram invariants: counts are nonnegative integers
+        # summing to N(N-1)/2, translation-invariant under PBC.
+        num_bins = int(rng.integers(3, 17))
+        hist = np.asarray(funcs.pair_dist_histogram(num_bins, pos, cfc))
+        assert (hist >= 0).all() and (hist == np.round(hist)).all()
+        np.testing.assert_array_equal(hist.sum(axis=-1),
+                                      nop * (nop - 1) / 2)
+        hist_shift = np.asarray(funcs.pair_dist_histogram(
+            num_bins, mrbp.recast(pos + 1.0, cfc), cfc))
+        np.testing.assert_array_equal(hist, hist_shift)
+
 
 @pytest.mark.slow
 def test_invariants_over_random_specs():

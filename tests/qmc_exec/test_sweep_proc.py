@@ -21,7 +21,8 @@ def _proc(gn, **overrides):
                   burn_in_blocks=1, rng_seed=23,
                   density_spec=dmc_exec.DensityEstSpec(num_bins=12),
                   ssf_spec=dmc_exec.SSFEstSpec(num_modes=4),
-                  obd_spec=dmc_exec.OBDEstSpec(num_pos=5))
+                  obd_spec=dmc_exec.OBDEstSpec(num_pos=5),
+                  pair_corr_spec=dmc_exec.PairCorrEstSpec(num_bins=6))
     kwargs.update(overrides)
     return dmc_exec.Proc(**kwargs)
 
@@ -52,6 +53,8 @@ def test_fused_exec_matches_standalone_rows():
             ab.ss_factor.fdk_sqr_abs_part.totals, rtol=1e-12)
         np.testing.assert_allclose(fb.one_body_dm.totals, ab.one_body_dm.totals,
                                    rtol=1e-12)
+        np.testing.assert_allclose(fb.pair_corr.totals,
+                                   ab.pair_corr.totals, rtol=1e-12)
         np.testing.assert_allclose(
             np.asarray(fused.state.pos), np.asarray(alone.state.pos),
             rtol=1e-12)
