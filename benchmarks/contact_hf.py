@@ -63,23 +63,12 @@ def run_sweep(args, dts):
 
 
 def contact_from_blocks(g2_blocks, g, nop, sc, num_fit_bins=8):
-    """(g2(0), err): cusp-constrained r -> 0 extrapolation.
-
-    The exact short-distance form is ``g2(r) = g2(0)(1 + g r) + O(r^2)``
-    (the Bethe-Peierls cusp), so fit ``c (1 + g r) + b r^2`` over the
-    first bins by weighted linear least squares in (c, b) — the known
-    cusp slope removes the leading bias a plain linear fit has on the
-    convex rise near contact.
-    """
+    """(g2(0), err): cusp-constrained r -> 0 extrapolation (see
+    ``analysis.contact_from_pair_correlation``)."""
+    from phd_qmclib_tpu.analysis import contact_from_pair_correlation
     r, g2, g2_err = g2_blocks.pair_correlation(nop, sc)
-    k = num_fit_bins
-    w = 1.0 / np.maximum(g2_err[:k], 1e-12)
-    design = np.stack([1.0 + g * r[:k], r[:k] ** 2], axis=1)
-    aw = design * w[:, None]
-    yw = g2[:k] * w
-    coeffs, *_ = np.linalg.lstsq(aw, yw, rcond=None)
-    cov = np.linalg.inv(aw.T @ aw)
-    return float(coeffs[0]), float(np.sqrt(cov[0, 0]))
+    return contact_from_pair_correlation(r, g2, g2_err, g,
+                                         num_fit_bins=num_fit_bins)
 
 
 def main():

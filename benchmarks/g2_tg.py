@@ -90,9 +90,8 @@ def main():
     rms = float(np.sqrt(np.mean((g2 - g2_tg) ** 2)))
 
     # Direct histogram route: g2 at the bin centers.
-    dr = 0.5 * sc / num_bins
-    r_bins = (np.arange(num_bins) + 0.5) * dr
-    g2_direct = g2_counts * sc / (nop * (nop - 1) * dr)
+    r_bins, g2_direct, _ = analysis.pair_correlation_from_counts(
+        g2_counts, nop, sc)
     with np.errstate(invalid="ignore", divide="ignore"):
         d_b = np.sin(nop * np.pi * r_bins / sc) \
             / (nop * np.sin(np.pi * r_bins / sc))

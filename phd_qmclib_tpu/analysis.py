@@ -8,9 +8,38 @@ import typing as t
 
 import numpy as np
 
-__all__ = ["effective_mass_from_cm_diffusion", "leggett_bound",
+__all__ = ["contact_from_pair_correlation",
+           "effective_mass_from_cm_diffusion", "leggett_bound",
            "momentum_distribution",
-           "extrapolated_estimate", "pair_correlation_from_ssf"]
+           "extrapolated_estimate", "pair_correlation_from_counts",
+           "pair_correlation_from_ssf"]
+
+
+def pair_correlation_from_counts(counts: np.ndarray,
+                                 boson_number: int,
+                                 supercell_size: float,
+                                 counts_err: t.Optional[np.ndarray]
+                                 = None):
+    """Normalize a mean pair-distance histogram to ``g2(r)``.
+
+    ``counts``: per-walker mean unordered-pair counts on uniform bins
+    over ``[0, L/2]`` (the direct pair-correlation estimator's output,
+    ``pair_corr_est_spec``).  Returns ``(r_centers, g2, g2_err)`` with
+    ``g2(r) = counts * L / (N (N-1) dr)`` — exactly 1 for uncorrelated
+    uniform positions.  The single normalization authority for the
+    direct-histogram route (both samplers' data layers and the
+    benchmarks delegate here).
+    """
+    if boson_number < 2:
+        raise ValueError("g2 is undefined for fewer than two bosons")
+    counts = np.asarray(counts, dtype=np.float64)
+    num_bins = counts.shape[-1]
+    dr = 0.5 * supercell_size / num_bins
+    r_centers = (np.arange(num_bins) + 0.5) * dr
+    norm = supercell_size / (boson_number * (boson_number - 1) * dr)
+    err = None if counts_err is None \
+        else np.asarray(counts_err, dtype=np.float64) * norm
+    return r_centers, counts * norm, err
 
 
 def momentum_distribution(offsets: np.ndarray, n1: np.ndarray,
@@ -63,6 +92,39 @@ def momentum_distribution(offsets: np.ndarray, n1: np.ndarray,
         ((cos_kz * w) ** 2 * np.asarray(n1_err, dtype=np.float64) ** 2)
         .sum(axis=1))
     return momenta, occ, err
+
+
+def contact_from_pair_correlation(r: np.ndarray, g2: np.ndarray,
+                                  g2_err: np.ndarray, coupling: float,
+                                  num_fit_bins: int = 8):
+    """``(g2(0), err)``: cusp-constrained ``r -> 0`` extrapolation of a
+    binned pair-correlation curve.
+
+    The exact short-distance form for a contact interaction of
+    strength ``g`` (units ``hbar^2/2m = 1``) is the Bethe-Peierls cusp
+    ``g2(r) = g2(0)(1 + g r) + O(r^2)``, so fit
+    ``c (1 + g r) + b r^2`` over the first bins by weighted linear
+    least squares in ``(c, b)`` — the known cusp slope removes the
+    leading bias a plain bin average or linear fit has on the convex
+    rise near contact.  Feeds the Hellmann-Feynman consistency check
+    ``dE/dg = N(N-1)/(2L) g2(0)`` (``benchmarks/contact_hf.py``).
+    """
+    r = np.asarray(r, dtype=np.float64)
+    # Stay inside the cusp regime: the linear form only holds while
+    # ``coupling * r`` is small, so never fit past ``g r = 1`` (coarse
+    # bins would otherwise drag the intercept with long-range shape).
+    in_cusp = int(np.count_nonzero(coupling * r <= 1.0))
+    k = min(int(num_fit_bins), len(r), max(2, in_cusp))
+    if k < 2 or len(r) < 2:
+        return float(g2[0]), float(g2_err[0])
+    w = 1.0 / np.maximum(np.asarray(g2_err[:k], dtype=np.float64),
+                         1e-12)
+    design = np.stack([1.0 + coupling * r[:k], r[:k] ** 2], axis=1)
+    aw = design * w[:, None]
+    yw = g2[:k] * w
+    coeffs, *_ = np.linalg.lstsq(aw, yw, rcond=None)
+    cov = np.linalg.inv(aw.T @ aw)
+    return float(coeffs[0]), float(np.sqrt(cov[0, 0]))
 
 
 def pair_correlation_from_ssf(momenta: np.ndarray, rho2: np.ndarray,

@@ -546,9 +546,13 @@ def build_core_funcs(*,
             diag = diag.at[0].set(nop)
             return 0.5 * (hist - diag)
 
-        # The one-hot factors cost ~(q + r_split) extra columns per
-        # matrix entry, so tile tighter than the plain pairwise budget.
-        return _tiled_over_walkers(one, cost=32)(pos, cfc)
+        # The one-hot factors cost (q + r) extra columns per matrix
+        # entry, so tile tighter than the plain pairwise budget by
+        # exactly that width (r_split=32 is walker_histogram_mxu's
+        # default coarse/fine split).
+        r_cols = min(32, num_bins)
+        q_cols = -(-num_bins // r_cols)
+        return _tiled_over_walkers(one, cost=q_cols + r_cols)(pos, cfc)
 
     return SimpleNamespace(
         log_psi=_tiled_over_walkers(log_psi),

@@ -164,12 +164,12 @@ class PairCorrBlocks(PropBlocks):
     def pair_correlation(self, boson_number: int,
                          supercell_size: float):
         """``(r_centers, g2, g2_err)`` — the normalized radial pair
-        correlation ``g2(r) = <counts(r)> * L / (N (N-1) dr)``."""
-        num_bins = self.totals.shape[-1]
-        dr = 0.5 * supercell_size / num_bins
-        r_centers = (np.arange(num_bins) + 0.5) * dr
-        norm = supercell_size / (boson_number * (boson_number - 1) * dr)
-        return (r_centers, self.mean * norm, self.mean_error * norm)
+        correlation (see
+        :func:`phd_qmclib_tpu.analysis.pair_correlation_from_counts`)."""
+        from ...analysis import pair_correlation_from_counts
+        return pair_correlation_from_counts(
+            self.mean, boson_number, supercell_size,
+            counts_err=self.mean_error)
 
 
 @dataclass(frozen=True)

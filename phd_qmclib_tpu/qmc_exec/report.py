@@ -114,15 +114,26 @@ def _density_lines(density_blocks, nop: int, sc_size: float,
     return lines
 
 
-def _pair_corr_lines(g2_blocks, nop: int, sc_size: float,
-                     full: bool) -> t.List[str]:
+def _pair_corr_lines(g2_blocks, nop: int, sc_size: float, full: bool,
+                     coupling: t.Optional[float] = None) -> t.List[str]:
     r, g2, g2_err = g2_blocks.pair_correlation(nop, sc_size)
     num_bins = g2.shape[0]
+    # The first bin AVERAGES g2 over [0, dr) — label it by its center
+    # rather than calling it the contact (the cusp rise biases the bin
+    # average low by ~ coupling*dr/2).
     lines = [
         f"g2(r)       direct histogram, {num_bins} bins over [0, L/2]: "
-        f"contact g2(0+) = {_fmt(g2[0], g2_err[0])}, "
+        f"g2({r[0]:.4g}) = {_fmt(g2[0], g2_err[0])}, "
         f"g2(L/2) = {_fmt(g2[-1], g2_err[-1])}",
     ]
+    if coupling is not None and coupling > 0 and num_bins >= 4:
+        from ..analysis import contact_from_pair_correlation
+        c, c_err = contact_from_pair_correlation(r, g2, g2_err,
+                                                 float(coupling))
+        lines.append(
+            f"            contact g2(0) = {_fmt(c, c_err)} "
+            f"(cusp-constrained r->0 fit; Hellmann-Feynman: "
+            f"dE/dg = {nop * (nop - 1) / (2 * sc_size) * c:.6g})")
     if full:
         for b in range(num_bins):
             lines.append(f"            r = {r[b]:8.4f}   "
@@ -205,7 +216,9 @@ def describe_dmc(result, full: bool = False) -> str:
         lines += _obd_lines(blocks.one_body_dm, nop, sc,
                             proc.obd_spec.num_pos, full)
     if blocks.pair_corr is not None:
-        lines += _pair_corr_lines(blocks.pair_corr, nop, sc, full)
+        lines += _pair_corr_lines(
+            blocks.pair_corr, nop, sc, full,
+            coupling=proc.model_spec.interaction_strength)
     if blocks.cm_diffusion is not None:
         ratio, ratio_err = blocks.cm_diffusion.effective_mass_ratio()
         lines.append(f"transport   m/m* (superfluid fraction) = "
@@ -242,7 +255,9 @@ def describe_vmc(result, full: bool = False) -> str:
         lines += _obd_lines(blocks.one_body_dm, nop, sc,
                             proc.obd_spec.num_pos, full)
     if blocks.pair_corr is not None:
-        lines += _pair_corr_lines(blocks.pair_corr, nop, sc, full)
+        lines += _pair_corr_lines(
+            blocks.pair_corr, nop, sc, full,
+            coupling=proc.model_spec.interaction_strength)
     return "\n".join(lines)
 
 

@@ -94,6 +94,7 @@ def _vmc_config(tmp_path, fused: bool, subdir: str):
                 "num_walkers": 8, "rng_seed": 61 + i,
                 "dtype": "float64",
                 "ssf_spec": {"num_modes": 3},
+                "pair_corr_spec": {"num_bins": 6},
             },
             "proc_input": {"type": "MODEL_SYS_CONF",
                            "dist_type": "RANDOM"},
@@ -134,6 +135,10 @@ def test_vmc_fused_sweep_config_matches_sequential(tmp_path):
                     sf["vmc/vmc/data/blocks/ss_factor/"
                        "fdk_sqr_abs/totals"]),
                 rtol=1e-12, err_msg=f"row {i} ssf")
+            np.testing.assert_allclose(
+                np.asarray(ff["vmc/vmc/data/blocks/pair_corr/totals"]),
+                np.asarray(sf["vmc/vmc/data/blocks/pair_corr/totals"]),
+                rtol=1e-12, err_msg=f"row {i} g2")
             np.testing.assert_allclose(
                 np.asarray(ff["vmc/vmc/state/sys_conf"]),
                 np.asarray(sf["vmc/vmc/state/sys_conf"]), rtol=1e-12)

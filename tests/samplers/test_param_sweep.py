@@ -210,7 +210,8 @@ def test_vmc_sweep_matches_sequential_rows():
 
     nts, nblocks = 32, 2
     ests = dict(ssf_est_spec=vmc.SSFEstSpec(num_modes=4),
-                obd_est_spec=vmc.OBDEstSpec(num_pos=5))
+                obd_est_spec=vmc.OBDEstSpec(num_pos=5),
+                pair_corr_est_spec=vmc.PairCorrEstSpec(num_bins=6))
     rows = tuple(
         vmc.Sampling(_spec(gn), move_spread=0.2 + 0.02 * i,
                      rng_seed=33 + i, num_walkers=16, **ests)
@@ -242,6 +243,9 @@ def test_vmc_sweep_matches_sequential_rows():
             np.testing.assert_allclose(
                 np.asarray(fused[b].iter_obd)[r],
                 np.asarray(block.iter_obd), rtol=1e-12)
+            np.testing.assert_allclose(
+                np.asarray(fused[b].iter_g2)[r],
+                np.asarray(block.iter_g2), rtol=1e-12)
             assert np.isclose(float(fused[b].accept_rate[r]),
                               float(block.accept_rate), rtol=1e-12)
 

@@ -460,3 +460,32 @@ class TestLeggettBound:
             assert bound == pytest.approx(exact, rel=2e-5), (v0, bound,
                                                              exact)
             assert bound <= 1.0 + 1e-12
+
+
+class TestPairCorrelationHelpers:
+    def test_counts_normalization_uniform_is_one(self):
+        from phd_qmclib_tpu.analysis import pair_correlation_from_counts
+
+        nop, sc, bins = 10, 10.0, 16
+        dr = 0.5 * sc / bins
+        counts = np.full(bins, nop * (nop - 1) / 2 * dr / (0.5 * sc))
+        r, g2, err = pair_correlation_from_counts(
+            counts, nop, sc, counts_err=0.1 * counts)
+        np.testing.assert_allclose(g2, 1.0, rtol=1e-12)
+        np.testing.assert_allclose(err, 0.1, rtol=1e-12)
+        np.testing.assert_allclose(r[0], 0.5 * dr)
+        with pytest.raises(ValueError, match="fewer than two"):
+            pair_correlation_from_counts(counts, 1, sc)
+
+    def test_contact_fit_recovers_cusp_form_exactly(self):
+        from phd_qmclib_tpu.analysis import contact_from_pair_correlation
+
+        g, c0, b = 3.0, 0.42, 0.8
+        r = (np.arange(32) + 0.5) * 0.02
+        g2 = c0 * (1.0 + g * r) + b * r ** 2
+        err = np.full_like(g2, 0.01)
+        c, c_err = contact_from_pair_correlation(r, g2, err, g)
+        assert c == pytest.approx(c0, rel=1e-9)
+        assert c_err < 0.05
+        # A plain first-bin read is biased high vs the fit's intercept.
+        assert g2[0] > c0
