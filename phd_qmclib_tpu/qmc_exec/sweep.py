@@ -28,6 +28,43 @@ from . import vmc as vmc_exec
 __all__ = ["SweepProc", "VmcSweepProc"]
 
 
+def _validate_sweep_checkpoints(procs):
+    """Mid-run checkpointing across fused rows: all rows or none, into
+    DISTINCT files, at one shared cadence (the rows advance in
+    lockstep, so a shared ``checkpoint_every`` is structural)."""
+    files = [p.checkpoint_file for p in procs]
+    with_ckpt = [f for f in files if f is not None]
+    if not with_ckpt:
+        return
+    if len(with_ckpt) != len(files):
+        raise ValueError(
+            "fused sweep checkpointing is all-or-none: give every row "
+            "a checkpoint_file or none")
+    if len(set(with_ckpt)) != len(with_ckpt):
+        raise ValueError(
+            "fused sweep rows must checkpoint into distinct files")
+    everies = {p.checkpoint_every for p in procs}
+    if len(everies) != 1:
+        raise ValueError(
+            "fused sweep rows must share checkpoint_every")
+
+
+def _write_sweep_checkpoints(procs, last_state, block_idx: int,
+                             burn_in_blocks: int):
+    """Slice the fused state per row and write each row's standalone
+    checkpoint — a resumed row restores with ``Proc.restore_checkpoint``
+    exactly like an unfused run, and the restored rows compose back
+    into a continuation sweep."""
+    import jax
+
+    for r, p in enumerate(procs):
+        row_state = jax.tree.map(lambda x, r=r: np.asarray(x[r]),
+                                 last_state)
+        p._write_checkpoint(
+            row_state, blocks_completed=block_idx + 1,
+            stream_consumed=burn_in_blocks + block_idx + 1)
+
+
 @dataclass(frozen=True)
 class SweepProc:
     """Run R DMC procedures as one fused single-device sweep.
@@ -58,6 +95,7 @@ class SweepProc:
                 and p.density_spec == ref.density_spec
                 and p.ssf_spec == ref.ssf_spec
                 and p.obd_spec == ref.obd_spec
+                and p.pair_corr_spec == ref.pair_corr_spec
                 and p.est_every == ref.est_every
                 and p.cm_diffusion_spec == ref.cm_diffusion_spec)
             if not same:
@@ -70,6 +108,7 @@ class SweepProc:
                     "fused sweep rows are single-device; drop "
                     "num_mesh_devices (use the sampler-level ParamSweep "
                     "for multi-device sweeps)")
+        _validate_sweep_checkpoints(self.procs)
 
     @property
     def sweep(self) -> ParamSweep:
@@ -137,6 +176,10 @@ class SweepProc:
                         iter_obd=obd[r] if obd is not None else None,
                         iter_cmd=cmd[r] if cmd is not None else None,
                         iter_g2=g2[r] if g2 is not None else None)
+            if ref.checkpoint_file is not None and \
+                    (block_idx + 1) % ref.checkpoint_every == 0:
+                _write_sweep_checkpoints(procs, block_data.last_state,
+                                         block_idx, burn_in_blocks)
         exec_logger.info("Fused DMC sweep completed.")
 
         results = []
@@ -174,7 +217,8 @@ class VmcSweepProc:
                 and p.num_walkers == ref.num_walkers
                 and p.est_every == ref.est_every
                 and p.ssf_spec == ref.ssf_spec
-                and p.obd_spec == ref.obd_spec)
+                and p.obd_spec == ref.obd_spec
+                and p.pair_corr_spec == ref.pair_corr_spec)
             if not same:
                 raise ValueError(
                     "all sweep procedures must share block structure, "
@@ -184,6 +228,7 @@ class VmcSweepProc:
                 raise ValueError(
                     "fused sweep rows are single-device; drop "
                     "num_mesh_devices")
+        _validate_sweep_checkpoints(self.procs)
 
     @property
     def sweep(self) -> VmcSweep:
@@ -238,6 +283,10 @@ class VmcSweepProc:
                         iter_ssf=ssf[r] if ssf is not None else None,
                         iter_obd=obd[r] if obd is not None else None,
                         iter_g2=g2[r] if g2 is not None else None)
+            if ref.checkpoint_file is not None and \
+                    (block_idx + 1) % ref.checkpoint_every == 0:
+                _write_sweep_checkpoints(procs, block_data.last_state,
+                                         block_idx, burn_in_blocks)
         exec_logger.info("Fused VMC sweep completed.")
 
         results = []

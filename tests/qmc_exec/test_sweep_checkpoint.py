@@ -1,0 +1,119 @@
+"""Mid-run checkpointing of fused sweeps: every row checkpoints into
+its own file, each restores with the standalone
+``Proc.restore_checkpoint``, and the restored rows compose back into a
+continuation sweep whose trajectories are bit-identical to the
+uninterrupted fused run (same per-row key streams via block_offset).
+"""
+import numpy as np
+import pytest
+
+from phd_qmclib_tpu.models import mrbp
+from phd_qmclib_tpu.qmc_exec import dmc as dmc_exec
+from phd_qmclib_tpu.qmc_exec import vmc as vmc_exec
+from phd_qmclib_tpu.qmc_exec.sweep import SweepProc, VmcSweepProc
+
+GNS = [0.5, 2.0]
+
+
+def _spec(gn):
+    return mrbp.Spec(lattice_depth=10.0, lattice_ratio=1.0,
+                     interaction_strength=gn, boson_number=5,
+                     supercell_size=5.0, tbf_contact_cutoff=0.3)
+
+
+def _dmc_proc(gn, ckpt=None, **overrides):
+    kwargs = dict(model_spec=_spec(gn), time_step=1e-3,
+                  max_num_walkers=48, target_num_walkers=32,
+                  num_blocks=4, num_time_steps_block=8,
+                  burn_in_blocks=0, rng_seed=23, dtype="float64",
+                  checkpoint_file=ckpt, checkpoint_every=2)
+    kwargs.update(overrides)
+    return dmc_exec.Proc(**kwargs)
+
+
+def _dmc_input(proc):
+    return dmc_exec.ProcInput.from_model_sys_conf_spec(
+        dmc_exec.ModelSysConfSpec(dist_type="RANDOM"), proc)
+
+
+def test_dmc_sweep_checkpoint_resume_bit_identical(tmp_path):
+    ckpts = [str(tmp_path / f"row{r}.h5") for r in range(len(GNS))]
+    procs = tuple(_dmc_proc(gn, ckpt)
+                  for gn, ckpt in zip(GNS, ckpts))
+    inputs = [_dmc_input(p) for p in procs]
+    # Uninterrupted fused run (reference trajectories).
+    full = SweepProc(tuple(_dmc_proc(gn) for gn in GNS)).exec(
+        [dmc_exec.ProcInput(i.state) for i in inputs])
+
+    # "Interrupted" run: execute only the first half...
+    half_procs = tuple(_dmc_proc(gn, ckpt, num_blocks=2)
+                       for gn, ckpt in zip(GNS, ckpts))
+    half = SweepProc(half_procs).exec(
+        [dmc_exec.ProcInput(i.state) for i in inputs])
+    # ...then restore every row from ITS checkpoint and finish.
+    restored = [dmc_exec.Proc.restore_checkpoint(c) for c in ckpts]
+    cont_procs = tuple(p.evolve({"num_blocks": 2,
+                                 "checkpoint_file": None})
+                       for p, _ in restored)
+    assert cont_procs[0].block_offset == 2
+    cont = SweepProc(cont_procs).exec([pi for _, pi in restored])
+
+    for r in range(len(GNS)):
+        np.testing.assert_array_equal(
+            np.asarray(cont[r].state.pos), np.asarray(full[r].state.pos),
+            err_msg=f"row {r} resumed trajectory diverged")
+        merged = half[r].data.blocks.merge(cont[r].data.blocks)
+        np.testing.assert_allclose(
+            merged.energy.totals, full[r].data.blocks.energy.totals,
+            rtol=1e-12)
+
+
+def test_sweep_checkpoint_validation(tmp_path):
+    with pytest.raises(ValueError, match="all-or-none"):
+        SweepProc((_dmc_proc(0.5, str(tmp_path / "a.h5")),
+                   _dmc_proc(2.0, None)))
+    with pytest.raises(ValueError, match="distinct"):
+        SweepProc((_dmc_proc(0.5, str(tmp_path / "a.h5")),
+                   _dmc_proc(2.0, str(tmp_path / "a.h5"))))
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        SweepProc((_dmc_proc(0.5, str(tmp_path / "a.h5")),
+                   _dmc_proc(2.0, str(tmp_path / "b.h5"),
+                             checkpoint_every=4)))
+
+
+def _vmc_proc(gn, seed, ckpt=None, **overrides):
+    kwargs = dict(model_spec=_spec(gn), move_spread=0.25,
+                  num_walkers=8, num_blocks=4, num_steps_block=16,
+                  burn_in_blocks=0, rng_seed=seed, dtype="float64",
+                  checkpoint_file=ckpt, checkpoint_every=2)
+    kwargs.update(overrides)
+    return vmc_exec.Proc(**kwargs)
+
+
+def test_vmc_sweep_checkpoint_resume_bit_identical(tmp_path):
+    ckpts = [str(tmp_path / f"vrow{r}.h5") for r in range(len(GNS))]
+    procs = tuple(_vmc_proc(gn, 61 + i, ckpt)
+                  for i, (gn, ckpt) in enumerate(zip(GNS, ckpts)))
+    inputs = [vmc_exec.ProcInput.from_model_sys_conf_spec(
+        vmc_exec.ModelSysConfSpec(dist_type="RANDOM"), p)
+        for p in procs]
+    full = VmcSweepProc(tuple(
+        _vmc_proc(gn, 61 + i) for i, gn in enumerate(GNS))).exec(
+        [vmc_exec.ProcInput(i.state) for i in inputs])
+
+    half_procs = tuple(_vmc_proc(gn, 61 + i, ckpt, num_blocks=2)
+                       for i, (gn, ckpt)
+                       in enumerate(zip(GNS, ckpts)))
+    VmcSweepProc(half_procs).exec(
+        [vmc_exec.ProcInput(i.state) for i in inputs])
+    restored = [vmc_exec.Proc.restore_checkpoint(c) for c in ckpts]
+    cont_procs = tuple(p.evolve({"num_blocks": 2,
+                                 "checkpoint_file": None})
+                       for p, _ in restored)
+    cont = VmcSweepProc(cont_procs).exec([pi for _, pi in restored])
+
+    for r in range(len(GNS)):
+        np.testing.assert_array_equal(
+            np.asarray(cont[r].state.pos),
+            np.asarray(full[r].state.pos),
+            err_msg=f"VMC row {r} resumed trajectory diverged")
