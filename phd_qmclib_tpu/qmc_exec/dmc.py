@@ -195,7 +195,23 @@ class Proc(proc_base.Proc):
                 raise ValueError(
                     f"{name}: pfw_num_time_steps only applies to pure "
                     f"(forward-walking) estimators")
-            if not 0 < pfw <= self.num_time_steps_block:
+            if pfw > self.num_time_steps_block:
+                # The reference SILENTLY pins the window to one block
+                # (``mrbp_qmc/dmc_exec/proc.py:337`` pops the key), and
+                # its own committed configs carry values larger than
+                # the block.  Reproduce the effective behavior loudly
+                # instead of rejecting reference files.
+                warnings.warn(
+                    f"{name}: pfw_num_time_steps={pfw} exceeds "
+                    f"num_time_steps_block="
+                    f"{self.num_time_steps_block}; clamping to one "
+                    f"block (the reference's only behavior)",
+                    UserWarning)
+                pfw = self.num_time_steps_block
+                object.__setattr__(self, name,
+                                   replace(spec, pfw_num_time_steps=pfw))
+                spec = getattr(self, name)
+            if pfw <= 0:
                 raise ValueError(
                     f"{name}: pfw_num_time_steps must be in "
                     f"(0, num_time_steps_block]")

@@ -100,9 +100,14 @@ def test_pfw_validation(model_spec):
     with pytest.raises(ValueError, match="pure"):
         dmc_exec.Proc(**kwargs, ssf_spec=dmc_exec.SSFEstSpec(
             num_modes=3, as_pure_est=False, pfw_num_time_steps=8))
-    with pytest.raises(ValueError, match="num_time_steps_block"):
-        dmc_exec.Proc(**kwargs, ssf_spec=dmc_exec.SSFEstSpec(
+    # A window larger than the block CLAMPS with a warning instead of
+    # erroring: the reference silently pins the window to one block and
+    # its own committed configs carry such values
+    # (tests/qmc_exec/test_reference_configs.py runs one).
+    with pytest.warns(UserWarning, match="clamping to one block"):
+        proc = dmc_exec.Proc(**kwargs, ssf_spec=dmc_exec.SSFEstSpec(
             num_modes=3, pfw_num_time_steps=32))
+    assert proc.ssf_spec.pfw_num_time_steps == 16
     with pytest.raises(ValueError, match="est_every"):
         dmc_exec.Proc(**kwargs, est_every=4,
                       ssf_spec=dmc_exec.SSFEstSpec(
