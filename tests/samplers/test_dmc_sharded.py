@@ -30,7 +30,9 @@ def make_sampling(mesh, **kw):
                 ssf_est_spec=dmc.SSFEstSpec(num_modes=4,
                                             as_pure_est=True),
                 obd_est_spec=dmc.OBDEstSpec(num_pos=3,
-                                            as_pure_est=True))
+                                            as_pure_est=True),
+                pair_corr_est_spec=dmc.PairCorrEstSpec(
+                    num_bins=8, as_pure_est=True))
     base.update(kw)
     return dmc.Sampling(make_spec(), **base)
 
@@ -66,6 +68,9 @@ class TestShardedDmc:
         # global walker count under the per-block mesh psum.
         np.testing.assert_allclose(np.asarray(b.iter_obd[:, 0]), nw,
                                    rtol=1e-6)
+        # Pair-count sum rule under sharding + ancestry transport.
+        np.testing.assert_allclose(np.asarray(b.iter_g2).sum(axis=1),
+                                   NOP * (NOP - 1) / 2 * nw, rtol=1e-7)
         # Energy per walker in the physical bracket.
         e0 = spec.obf_params.param_e0
         e_per = float(b.iter_props.accum_energy[-1]) / NOP

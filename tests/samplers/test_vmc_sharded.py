@@ -27,7 +27,9 @@ def test_sharded_vmc_runs_and_matches_statistics():
         s = vmc.Sampling(spec, move_spread=0.25, rng_seed=11,
                          num_walkers=64, mesh=mesh_,
                          ssf_est_spec=vmc.SSFEstSpec(num_modes=4),
-                         obd_est_spec=vmc.OBDEstSpec(num_pos=3))
+                         obd_est_spec=vmc.OBDEstSpec(num_pos=3),
+                         pair_corr_est_spec=vmc.PairCorrEstSpec(
+                             num_bins=6))
         state = s.build_state(confs)
         it = s.blocks(256, state)
         next(it)
@@ -44,6 +46,12 @@ def test_sharded_vmc_runs_and_matches_statistics():
     assert b_multi.iter_obd.shape == (256, 3)
     np.testing.assert_allclose(np.asarray(b_multi.iter_obd[:, 0]), 64.0,
                                rtol=1e-9)
+    # Pair-count sum rule reduces over the mesh exactly.
+    np.testing.assert_allclose(
+        np.asarray(b_multi.iter_g2).sum(axis=1),
+        64 * NOP * (NOP - 1) / 2, rtol=1e-9)
+    np.testing.assert_array_equal(np.asarray(b_multi.iter_g2).shape,
+                                  np.asarray(b_single.iter_g2).shape)
     e_m = float(np.asarray(b_multi.iter_props.energy,
                            dtype=np.float64).mean())
     e_s = float(np.asarray(b_single.iter_props.energy,
