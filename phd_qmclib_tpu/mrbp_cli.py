@@ -101,14 +101,50 @@ def _make_cli(sampling_type: str, prefix: str):
                        f"{sampling_type} result stored)")
     @click.option("--full", is_flag=True, default=False,
                   help="print full per-bin/per-mode estimator tables")
-    def analyze(result_path: str, group: str = None, full: bool = False):
+    @click.option("--extrapolate-with", "vmc_path", default=None,
+                  type=config_path_type,
+                  help="(dmc only) a matched VMC result file: also "
+                       "report the second-order extrapolated "
+                       "estimators 2<DMC mixed> - <VMC>")
+    @click.option("--vmc-group", default=None,
+                  help="group of the VMC result inside the "
+                       "--extrapolate-with file (default: the first "
+                       "stored)")
+    def analyze(result_path: str, group: str = None, full: bool = False,
+                vmc_path: str = None, vmc_group: str = None):
         """Report the physics stored in an HDF5 result file (energy
-        with reblocked errors, population, S(k), density, OBDM,
+        with reblocked errors, population, S(k), density, OBDM, g2,
         effective mass).  Beyond the reference, which leaves result
         inspection to notebook code."""
         from .qmc_exec.report import report_hdf5
         click.echo(report_hdf5(result_path, group=group,
                                sampling_type=sampling_type, full=full))
+        if vmc_path is not None:
+            if sampling_type != "dmc":
+                raise click.UsageError(
+                    "--extrapolate-with applies to DMC results")
+            from .qmc_exec.io import (DmcHDF5FileHandler,
+                                      VmcHDF5FileHandler)
+            from .qmc_exec.report import (describe_extrapolated,
+                                          find_result_groups)
+            if vmc_group is None:
+                vmc_entries = [g for g, st
+                               in find_result_groups(vmc_path)
+                               if st == "vmc"]
+                if not vmc_entries:
+                    raise click.UsageError(
+                        f"no VMC result stored in '{vmc_path}'")
+                vmc_group = vmc_entries[0]
+            dmc_entries = [g for g, st in find_result_groups(result_path)
+                           if st == "dmc"]
+            dgroup = group if group is not None else dmc_entries[0]
+            dmc_result = DmcHDF5FileHandler(
+                location=result_path, group=dgroup).load()
+            vmc_result = VmcHDF5FileHandler(
+                location=vmc_path, group=vmc_group).load()
+            click.echo("")
+            click.echo(describe_extrapolated(dmc_result, vmc_result,
+                                             full=full))
 
     return cli
 

@@ -261,6 +261,111 @@ def describe_vmc(result, full: bool = False) -> str:
     return "\n".join(lines)
 
 
+def describe_extrapolated(dmc_result, vmc_result,
+                          full: bool = False) -> str:
+    """Second-order extrapolated estimators ``2 <DMC mixed> - <VMC>``
+    from a matched pair of runs (``analysis.extrapolated_estimate``).
+
+    The standard correction for the first-order trial-wavefunction
+    bias of MIXED DMC estimators; estimators the DMC run measured with
+    forward walking (``as_pure_est: true``) are already projected and
+    are skipped with a note.  Both runs must share the model spec (the
+    formula cancels the bias of one specific trial function).
+    """
+    from ..analysis import extrapolated_estimate, momentum_distribution
+
+    dproc, vproc = dmc_result.proc, vmc_result.proc
+    if dproc.model_spec != vproc.model_spec:
+        raise ValueError(
+            "extrapolation needs matching model specs (same physics "
+            "AND the same trial function); got "
+            f"{dproc.model_spec} vs {vproc.model_spec}")
+    nop = dproc.model_spec.boson_number
+    sc = dproc.model_spec.supercell_size
+    db, vb = dmc_result.data.blocks, vmc_result.data.blocks
+    lines = ["== extrapolated estimators: 2 <DMC mixed> - <VMC> =="]
+
+    def _curves(name, d_blocks, v_blocks, as_pure):
+        if d_blocks is None or v_blocks is None:
+            return None
+        if as_pure:
+            lines.append(
+                f"{name:<11} skipped: the DMC run measured it with "
+                f"forward walking (already projected; extrapolation "
+                f"applies to mixed estimators)")
+            return None
+        dm, de = np.asarray(d_blocks.mean), np.asarray(
+            d_blocks.mean_error)
+        vm, ve = np.asarray(v_blocks.mean), np.asarray(
+            v_blocks.mean_error)
+        if dm.shape != vm.shape:
+            lines.append(f"{name:<11} skipped: grid mismatch "
+                         f"({dm.shape} vs {vm.shape})")
+            return None
+        return extrapolated_estimate(dm, vm, de, ve)
+
+    if db.one_body_dm is not None and vb.one_body_dm is not None:
+        out = _curves("OBDM", db.one_body_dm, vb.one_body_dm,
+                      dproc.obd_spec.as_pure_est)
+        if out is not None:
+            n1, n1_err = out
+            offsets = np.linspace(0.0, 0.5 * sc, n1.shape[0])
+            lines.append(
+                f"OBDM        n1_ext(L/2) = {_fmt(n1[-1], n1_err[-1])} "
+                f"(DMC mixed {_fmt(np.asarray(db.one_body_dm.mean)[-1])}"
+                f", VMC {_fmt(np.asarray(vb.one_body_dm.mean)[-1])})")
+            if n1.shape[0] >= 2:
+                momenta, occ, occ_err = momentum_distribution(
+                    offsets, n1, sc, nop, n1_err=n1_err)
+                lines.append(
+                    f"            condensate fraction n(k=0)/N = "
+                    f"{_fmt(occ[0] / nop, occ_err[0] / nop)}")
+            if full:
+                for i, sz in enumerate(offsets):
+                    lines.append(f"            sz = {sz:8.4f}   "
+                                 f"n1_ext = {_fmt(n1[i], n1_err[i])}")
+
+    if db.ss_factor is not None and vb.ss_factor is not None:
+        out = _curves("S(k)", db.ss_factor, vb.ss_factor,
+                      dproc.ssf_spec.as_pure_est)
+        if out is not None:
+            s, s_err = out
+            lines.append(
+                f"S(k)        extrapolated, per particle: "
+                f"S(k_1) = {_fmt(s[1] / nop, s_err[1] / nop)}, "
+                f"S(k_max) = {_fmt(s[-1] / nop, s_err[-1] / nop)}")
+            if full:
+                momenta = np.arange(s.shape[0]) * 2 * np.pi / sc
+                for j in range(s.shape[0]):
+                    lines.append(
+                        f"            k = {momenta[j]:8.4f}   "
+                        f"S = {_fmt(s[j] / nop, s_err[j] / nop)}")
+
+    if db.density is not None and getattr(vb, "density", None) is None:
+        lines.append("density     skipped: the VMC run stored no "
+                     "density estimator")
+    if db.pair_corr is not None and vb.pair_corr is not None:
+        out = _curves("g2(r)", db.pair_corr, vb.pair_corr,
+                      dproc.pair_corr_spec.as_pure_est)
+        if out is not None:
+            from ..analysis import pair_correlation_from_counts
+            counts, counts_err = out
+            r, g2, g2_err = pair_correlation_from_counts(
+                counts, nop, sc, counts_err=counts_err)
+            lines.append(
+                f"g2(r)       extrapolated: g2({r[0]:.4g}) = "
+                f"{_fmt(g2[0], g2_err[0])}, "
+                f"g2(L/2) = {_fmt(g2[-1], g2_err[-1])}")
+            if full:
+                for b in range(g2.shape[0]):
+                    lines.append(f"            r = {r[b]:8.4f}   "
+                                 f"g2_ext = {_fmt(g2[b], g2_err[b])}")
+
+    if len(lines) == 1:
+        lines.append("(no estimator stored in both runs)")
+    return "\n".join(lines)
+
+
 def find_result_groups(location: str) -> t.List[t.Tuple[str, str]]:
     """``(group, sampling_type)`` pairs stored in an HDF5 result file."""
     found = []
