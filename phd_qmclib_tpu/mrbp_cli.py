@@ -110,15 +110,20 @@ def _make_cli(sampling_type: str, prefix: str):
                   help="group of the VMC result inside the "
                        "--extrapolate-with file (default: the first "
                        "stored)")
+    @click.option("--json", "as_json", is_flag=True, default=False,
+                  help="emit a machine-readable JSON summary instead "
+                       "of the human report")
     def analyze(result_path: str, group: str = None, full: bool = False,
-                vmc_path: str = None, vmc_group: str = None):
+                vmc_path: str = None, vmc_group: str = None,
+                as_json: bool = False):
         """Report the physics stored in an HDF5 result file (energy
         with reblocked errors, population, S(k), density, OBDM, g2,
         effective mass).  Beyond the reference, which leaves result
         inspection to notebook code."""
         from .qmc_exec.report import report_hdf5
         click.echo(report_hdf5(result_path, group=group,
-                               sampling_type=sampling_type, full=full))
+                               sampling_type=sampling_type, full=full,
+                               as_json=as_json))
         if vmc_path is not None:
             if sampling_type != "dmc":
                 raise click.UsageError(

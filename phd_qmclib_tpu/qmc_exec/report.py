@@ -261,6 +261,87 @@ def describe_vmc(result, full: bool = False) -> str:
     return "\n".join(lines)
 
 
+def summarize(result, sampling_type: str) -> dict:
+    """The report's headline observables as a plain JSON-able dict —
+    the machine-readable face of ``describe_dmc``/``describe_vmc`` for
+    pipelines (``mrbp-dmc analyze --json``).  Curves come as
+    ``[values...]`` lists with matching ``*_err`` entries; absent
+    estimators are absent keys.
+    """
+    proc = result.proc
+    blocks = result.data.blocks
+    nop = proc.model_spec.boson_number
+    sc = proc.model_spec.supercell_size
+    out = {
+        "sampling_type": sampling_type,
+        "model_spec": {
+            "lattice_depth": proc.model_spec.lattice_depth,
+            "lattice_ratio": proc.model_spec.lattice_ratio,
+            "interaction_strength":
+                proc.model_spec.interaction_strength,
+            "boson_number": nop,
+            "supercell_size": sc,
+            "tbf_contact_cutoff": proc.model_spec.tbf_contact_cutoff,
+        },
+        "energy_per_particle": float(blocks.energy.mean) / nop,
+        "energy_per_particle_err":
+            float(blocks.energy.mean_error) / nop,
+        "num_blocks": int(len(blocks.energy.totals)),
+    }
+    if sampling_type == "dmc":
+        out["time_step"] = proc.time_step
+        out["target_num_walkers"] = proc.target_num_walkers
+    density = getattr(blocks, "density", None)
+    if density is not None:
+        out["density"] = np.asarray(density.mean).tolist()
+        out["density_err"] = np.asarray(density.mean_error).tolist()
+    if blocks.ss_factor is not None:
+        out["ssf"] = (np.asarray(blocks.ss_factor.mean) / nop).tolist()
+        out["ssf_err"] = (np.asarray(blocks.ss_factor.mean_error)
+                          / nop).tolist()
+        num_modes = len(out["ssf"])
+        if num_modes >= 4:
+            from ..analysis import sound_speed_from_ssf
+            c, c_err = sound_speed_from_ssf(
+                np.arange(num_modes) * 2 * np.pi / sc,
+                np.asarray(out["ssf"]), np.asarray(out["ssf_err"]))
+            if np.isfinite(c):
+                out["sound_speed"] = float(c)
+                out["sound_speed_err"] = float(c_err)
+    if blocks.one_body_dm is not None and proc.obd_spec is not None:
+        from ..analysis import momentum_distribution
+        n1 = np.asarray(blocks.one_body_dm.mean)
+        n1_err = np.asarray(blocks.one_body_dm.mean_error)
+        out["obdm"] = n1.tolist()
+        out["obdm_err"] = n1_err.tolist()
+        if n1.shape[0] >= 2:
+            offsets = np.linspace(0.0, 0.5 * sc, n1.shape[0])
+            _, occ, occ_err = momentum_distribution(
+                offsets, n1, sc, nop, n1_err=n1_err)
+            out["condensate_fraction"] = float(occ[0] / nop)
+            out["condensate_fraction_err"] = float(occ_err[0] / nop)
+    if getattr(blocks, "pair_corr", None) is not None:
+        r, g2, g2_err = blocks.pair_corr.pair_correlation(nop, sc)
+        out["g2"] = g2.tolist()
+        out["g2_err"] = g2_err.tolist()
+        coupling = proc.model_spec.interaction_strength
+        if coupling > 0 and g2.shape[0] >= 4:
+            from ..analysis import contact_from_pair_correlation
+            c0, c0_err = contact_from_pair_correlation(
+                r, g2, g2_err, float(coupling))
+            out["g2_contact"] = c0
+            out["g2_contact_err"] = c0_err
+    cmd = getattr(blocks, "cm_diffusion", None)
+    if cmd is not None:
+        ratio, ratio_err = cmd.effective_mass_ratio()
+        out["effective_mass_ratio"] = float(ratio)
+        out["effective_mass_ratio_err"] = float(ratio_err)
+    if sampling_type == "vmc":
+        out["move_spread"] = proc.move_spread
+        out["num_walkers"] = proc.num_walkers
+    return out
+
+
 def describe_extrapolated(dmc_result, vmc_result,
                           full: bool = False) -> str:
     """Second-order extrapolated estimators ``2 <DMC mixed> - <VMC>``
@@ -386,11 +467,13 @@ def find_result_groups(location: str) -> t.List[t.Tuple[str, str]]:
 
 def report_hdf5(location: str, group: t.Optional[str] = None,
                 sampling_type: t.Optional[str] = None,
-                full: bool = False) -> str:
+                full: bool = False, as_json: bool = False) -> str:
     """Report every matching result stored in ``location``.
 
     ``group``/``sampling_type`` filter; by default all stored results
-    are rendered (one report per ``{group}/{vmc|dmc}`` entry).
+    are rendered (one report per ``{group}/{vmc|dmc}`` entry).  With
+    ``as_json`` the output is a JSON array of :func:`summarize` dicts
+    (one per entry, plus ``group``) instead of the human report.
     """
     from .io import DmcHDF5FileHandler, VmcHDF5FileHandler
 
@@ -407,11 +490,19 @@ def report_hdf5(location: str, group: t.Optional[str] = None,
             f"no matching results in '{location}' "
             f"(group={group!r}, type={sampling_type!r}; stored: {stored})")
     reports = []
+    summaries = []
     for grp, stype in entries:
         handler_cls = DmcHDF5FileHandler if stype == "dmc" \
             else VmcHDF5FileHandler
         result = handler_cls(location=location, group=grp).load()
+        if as_json:
+            summaries.append({"group": grp, **summarize(result, stype)})
+            continue
         describe = describe_dmc if stype == "dmc" else describe_vmc
         header = f"-- {location} :: {grp or '/'} --"
         reports.append(header + "\n" + describe(result, full=full))
+    if as_json:
+        import json
+
+        return json.dumps(summaries, indent=2)
     return "\n\n".join(reports)

@@ -77,6 +77,27 @@ class TestReport:
         assert out.exit_code == 0, out.output
         assert "E/N = " in out.output
 
+    def test_cli_analyze_json(self, dmc_result_file, monkeypatch):
+        import json
+
+        path, result = dmc_result_file
+        monkeypatch.chdir(path.parent)
+        runner = CliRunner()
+        out = runner.invoke(mrbp_cli.dmc_cli,
+                            ["analyze", path.name, "--json"])
+        assert out.exit_code == 0, out.output
+        payload = json.loads(out.output)
+        assert isinstance(payload, list) and payload
+        entry = payload[0]
+        nop = result.proc.model_spec.boson_number
+        assert entry["sampling_type"] == "dmc"
+        assert entry["energy_per_particle"] == pytest.approx(
+            float(result.data.blocks.energy.mean) / nop)
+        assert entry["model_spec"]["boson_number"] == nop
+        # Curves present when the run measured them.
+        if result.data.blocks.ss_factor is not None:
+            assert len(entry["ssf"]) == len(entry["ssf_err"])
+
     def test_cli_analyze_vmc(self, tmp_path, monkeypatch):
         shutil.copy(FIXTURES / "vmc-cli-app-spec.yml", tmp_path)
         monkeypatch.chdir(tmp_path)
