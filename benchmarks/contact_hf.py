@@ -78,6 +78,11 @@ def main():
     parser.add_argument("--nts", type=int, default=1024)
     parser.add_argument("--blocks", type=int, default=16)
     parser.add_argument("--dt", type=float, default=5e-4)
+    parser.add_argument("--dt-points", type=int, default=2,
+                        help="number of time steps per coupling "
+                             "(dt, dt/2, dt/4, ...); 3+ gives the "
+                             "dt->0 fit residual degrees of freedom "
+                             "and a calibrated error")
     parser.add_argument("--bins", type=int, default=256)
     parser.add_argument("--couplings", type=float, nargs="+",
                         default=[1.0, 1.5, 2.0, 2.5, 3.0])
@@ -85,7 +90,10 @@ def main():
 
     from phd_qmclib_tpu.analysis import zero_limit_extrapolation
 
-    dts = [args.dt, args.dt / 4.0]
+    if args.dt_points == 2:
+        dts = [args.dt, args.dt / 4.0]
+    else:
+        dts = [args.dt / 2.0 ** j for j in range(args.dt_points)]
     results = run_sweep(args, dts)
     nop = args.nop
     sc = float(nop)

@@ -117,8 +117,15 @@ def contact_from_pair_correlation(r: np.ndarray, g2: np.ndarray,
     k = min(int(num_fit_bins), len(r), max(2, in_cusp))
     if k < 2 or len(r) < 2:
         return float(g2[0]), float(g2_err[0])
-    w = 1.0 / np.maximum(np.asarray(g2_err[:k], dtype=np.float64),
-                         1e-12)
+    # Zero-variance bins (e.g. empty histogram bins deep in the
+    # correlation hole of a long run) report err = 0; their true error
+    # is not zero, and a 1/err weight makes the weighted design matrix
+    # catastrophically ill-conditioned (SVD failure).  Floor the
+    # weights at the smallest NONZERO error and normalize.
+    err_k = np.asarray(g2_err[:k], dtype=np.float64)
+    pos_err = err_k[err_k > 0]
+    floor = float(pos_err.min()) if pos_err.size else 1.0
+    w = 1.0 / np.maximum(err_k, floor)
     design = np.stack([1.0 + coupling * r[:k], r[:k] ** 2], axis=1)
     aw = design * w[:, None]
     yw = g2[:k] * w

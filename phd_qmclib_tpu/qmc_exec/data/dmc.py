@@ -73,6 +73,14 @@ def _ratio_mean_error(ratio, num_rb, den_rb, cross_rb) -> np.ndarray:
                        / (num_rb.mean * den_rb.mean
                           * cross_rb.eff_size))
         rel = rel + _rel_var(den_rb) - 2.0 * cov_rel
+        # Near-perfectly correlated num/den (e.g. an estimator bin
+        # whose counts track the walker count) can push the noisy
+        # bracket slightly NEGATIVE; the true variance is nonnegative,
+        # so clamp — the error is then statistically indistinguishable
+        # from zero at this precision.  NaN (zero-mean series, a
+        # deliberate "no relative error defined" marker) propagates
+        # through the maximum untouched.
+        rel = np.maximum(rel, 0.0)
     with np.errstate(invalid="ignore"):
         return np.abs(ratio) * np.sqrt(rel)
 

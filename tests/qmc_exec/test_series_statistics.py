@@ -133,3 +133,26 @@ def test_vmc_series_hdf5_roundtrip(model_spec, tmp_path):
     if result.data.series.ssf is not None:
         np.testing.assert_array_equal(series.ssf,
                                       result.data.series.ssf)
+
+
+def test_ratio_error_clamps_negative_bracket():
+    """Near-perfectly correlated totals/weights (an estimator bin whose
+    counts track the walker count exactly) push the delta-method
+    variance bracket negative by floating-point noise; the error must
+    clamp to ~0 instead of going NaN (regression: the 256-block
+    production run's g2 errors were NaN in 13 bins before the clamp,
+    which then crashed the contact fit's SVD)."""
+    from phd_qmclib_tpu.qmc_exec.data.dmc import PropBlocks
+
+    rng = np.random.default_rng(7)
+    weights = rng.uniform(100.0, 130.0, size=64)
+    blocks = PropBlocks(totals=2.0 * weights, weight_totals=weights)
+    assert blocks.mean == pytest.approx(2.0, rel=1e-12)
+    err = blocks.mean_error
+    # Finite (the pre-clamp behavior was sqrt(negative) = NaN) and far
+    # below the naive uncorrelated error (the correlation is real; the
+    # residual comes from the numerator/denominator reblockings
+    # estimating slightly different effective sizes).
+    assert np.isfinite(err) and err >= 0.0
+    naive = float(np.std(2.0 * weights) / np.sqrt(64) / weights.mean())
+    assert err < naive

@@ -489,3 +489,19 @@ class TestPairCorrelationHelpers:
         assert c_err < 0.05
         # A plain first-bin read is biased high vs the fit's intercept.
         assert g2[0] > c0
+
+    def test_contact_fit_survives_zero_error_bins(self):
+        # Empty histogram bins deep in the correlation hole report
+        # err = 0 on long runs; the weighted fit must not blow up
+        # (regression: SVD non-convergence from 1e12 weights).
+        from phd_qmclib_tpu.analysis import contact_from_pair_correlation
+
+        g = 2.0
+        r = (np.arange(16) + 0.5) * 0.02
+        g2 = 0.3 * (1.0 + g * r)
+        err = np.full_like(g2, 0.01)
+        err[:2] = 0.0
+        g2[:2] = 0.3 * (1.0 + g * r[:2])
+        c, c_err = contact_from_pair_correlation(r, g2, err, g)
+        assert np.isfinite(c) and np.isfinite(c_err)
+        assert c == pytest.approx(0.3, rel=1e-6)
