@@ -588,17 +588,38 @@ class CMDiffusionBlocks:
         n = self.w2_series.shape[1]
         return (np.arange(n) + 1.0) * self.tau_step
 
-    def effective_mass_ratio(self, fit_fraction: float = 0.5):
-        """``(m/m*, fit_err)`` from the mean-window diffusion slope:
-        ``m/m* = N * d<W_cm^2>/dtau / 2``
-        (see ``analysis.effective_mass_from_cm_diffusion``)."""
-        w2 = self.w2_series.mean(axis=0)
+    def _slope(self, w2: np.ndarray, fit_fraction: float):
         tau = self.tau_grid
         start = int(round((1.0 - fit_fraction) * len(tau)))
-        coeffs, cov = np.polyfit(tau[start:], w2[start:], 1, cov=True)
+        return np.polyfit(tau[start:], w2[start:], 1)[0]
+
+    def effective_mass_ratio(self, fit_fraction: float = 0.5):
+        """``(m/m*, err)`` from the mean-window diffusion slope:
+        ``m/m* = N * d<W_cm^2>/dtau / 2``
+        (see ``analysis.effective_mass_from_cm_diffusion``).
+
+        With two or more windows the error is a delete-one-window
+        jackknife of the slope — between-window scatter (equilibration
+        transients, branching-ancestry noise) dominates the
+        within-curve fit residuals that a plain ``polyfit`` covariance
+        sees, so the fit error alone badly understates the
+        uncertainty on long runs."""
         half_n = 0.5 * self.boson_number
-        return (half_n * coeffs[0],
-                half_n * float(np.sqrt(cov[0, 0])))
+        w2_mean = self.w2_series.mean(axis=0)
+        slope = self._slope(w2_mean, fit_fraction)
+        n_w = self.num_windows
+        if n_w >= 2:
+            loo = np.array([
+                self._slope(np.delete(self.w2_series, i, axis=0)
+                            .mean(axis=0), fit_fraction)
+                for i in range(n_w)])
+            err = np.sqrt((n_w - 1) / n_w
+                          * ((loo - loo.mean()) ** 2).sum())
+            return half_n * slope, half_n * float(err)
+        tau = self.tau_grid
+        start = int(round((1.0 - fit_fraction) * len(tau)))
+        _, cov = np.polyfit(tau[start:], w2_mean[start:], 1, cov=True)
+        return half_n * slope, half_n * float(np.sqrt(cov[0, 0]))
 
     def hdf5_export(self, group: h5py.Group):
         group.create_dataset("w2_series", data=np.asarray(self.w2_series))

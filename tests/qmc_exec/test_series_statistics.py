@@ -156,3 +156,31 @@ def test_ratio_error_clamps_negative_bracket():
     assert np.isfinite(err) and err >= 0.0
     naive = float(np.std(2.0 * weights) / np.sqrt(64) / weights.mean())
     assert err < naive
+
+
+def test_cm_diffusion_jackknife_error_sees_window_scatter():
+    """The m/m* error must reflect between-window scatter (a
+    delete-one jackknife), not just the fit residuals of the
+    window-mean curve — regression for the 64-vs-256-block production
+    runs whose fit-only errors made compatible values look 50 sigma
+    apart."""
+    from phd_qmclib_tpu.qmc_exec.data.dmc import CMDiffusionBlocks
+
+    rng = np.random.default_rng(3)
+    tau_step, n_tau, n_win, nop = 0.05, 40, 16, 8
+    tau = (np.arange(n_tau) + 1.0) * tau_step
+    true_slope = 0.2  # m/m* = nop/2 * 0.2 = 0.8
+    # Per-window slope scatter ~10%, tiny in-curve noise.
+    slopes = true_slope * (1.0 + 0.1 * rng.standard_normal(n_win))
+    w2 = slopes[:, None] * tau[None, :] \
+        + 1e-4 * rng.standard_normal((n_win, n_tau))
+    blocks = CMDiffusionBlocks(w2, tau_step, nop)
+    ratio, err = blocks.effective_mass_ratio()
+    assert ratio == pytest.approx(0.5 * nop * slopes.mean(), rel=1e-3)
+    # Jackknife error ~ std/sqrt(n) of the window slopes.
+    expect = 0.5 * nop * slopes.std(ddof=1) / np.sqrt(n_win)
+    assert err == pytest.approx(expect, rel=0.05)
+    # A single window falls back to the fit covariance (finite).
+    one = CMDiffusionBlocks(w2[:1], tau_step, nop)
+    r1, e1 = one.effective_mass_ratio()
+    assert np.isfinite(e1)
