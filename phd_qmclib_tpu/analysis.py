@@ -288,24 +288,37 @@ def effective_mass_from_cm_diffusion(time_step: float,
     :param fit_fraction: fit the slope over the LAST fraction of the
         window (the early window carries the transient of the
         non-diffusive modes).
-    :return: ``(ratio, ratio_err)`` — slope-fit value and its standard
-        error (fit residuals only; block-to-block scatter dominates on
-        short runs).
+    :return: ``(ratio, ratio_err)`` — slope-fit value and, with two or
+        more window blocks, a delete-one-window jackknife error
+        (between-window scatter dominates the in-curve fit residuals;
+        cf. ``CMDiffusionBlocks.effective_mass_ratio``).  Single-window
+        inputs fall back to the fit-residual error.
     """
     cmd = np.asarray(iter_cmd, dtype=np.float64)
     nw = np.asarray(iter_num_walkers, dtype=np.float64)
     if cmd.ndim == 2:
         cmd = cmd[None]
         nw = nw[None]
-    w2 = (cmd[..., 0] / nw).mean(axis=0)     # <W_cm^2>(tau)
+    w2_rows = cmd[..., 0] / nw               # (B, nts)
+    w2 = w2_rows.mean(axis=0)                # <W_cm^2>(tau)
     nts = w2.shape[0]
     tau = (np.arange(nts) + 1.0) * float(time_step)
     start = int(round((1.0 - fit_fraction) * nts))
-    t_fit, y_fit = tau[start:], w2[start:]
-    coeffs, cov = np.polyfit(t_fit, y_fit, 1, cov=True)
-    slope, slope_err = coeffs[0], float(np.sqrt(cov[0, 0]))
+    t_fit = tau[start:]
+
+    def _slope(y):
+        return np.polyfit(t_fit, y[start:], 1)[0]
+
+    slope = _slope(w2)
     ratio = 0.5 * boson_number * slope
-    return ratio, 0.5 * boson_number * slope_err
+    n_b = w2_rows.shape[0]
+    if n_b >= 2:
+        loo = np.array([_slope(np.delete(w2_rows, i, axis=0)
+                               .mean(axis=0)) for i in range(n_b)])
+        err = np.sqrt((n_b - 1) / n_b * ((loo - loo.mean()) ** 2).sum())
+        return ratio, 0.5 * boson_number * float(err)
+    _, cov = np.polyfit(t_fit, w2[start:], 1, cov=True)
+    return ratio, 0.5 * boson_number * float(np.sqrt(cov[0, 0]))
 
 
 def extrapolated_estimate(mixed: np.ndarray, variational: np.ndarray,
