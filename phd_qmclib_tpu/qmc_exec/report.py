@@ -114,6 +114,32 @@ def _density_lines(density_blocks, nop: int, sc_size: float,
     return lines
 
 
+def _g2_consistency_line(g2_blocks, ssf_blocks, nop: int,
+                         sc_size: float) -> t.List[str]:
+    """Internal-consistency diagnostic: the direct pair-distance
+    histogram and the Fourier inversion of the measured S(k) are two
+    independent estimator chains of the same g2(r); report their
+    worst normalized deviation away from the contact region (where
+    the Fourier route's mode cutoff dominates)."""
+    r, g2_d, g2_d_err = g2_blocks.pair_correlation(nop, sc_size)
+    g2_f, g2_f_err = ssf_blocks.pair_correlation(r, nop, sc_size)
+    mask = r > sc_size / 8
+    if not np.any(mask):
+        return []
+    sigma = np.sqrt(np.maximum(g2_d_err[mask], 0.0) ** 2
+                    + np.maximum(g2_f_err[mask], 0.0) ** 2)
+    num_modes = ssf_blocks.fdk_sqr_abs_part.totals.shape[-1]
+    # The truncated Fourier series has an O(1/M) resolution floor.
+    floor = 2.0 / num_modes
+    dev = np.abs(g2_d[mask] - g2_f[mask])
+    pulls = dev / np.maximum(sigma + floor, 1e-300)
+    worst = int(np.argmax(pulls))
+    return [
+        f"            consistency vs Fourier-from-S(k): max dev "
+        f"{dev[worst]:.4g} at r = {r[mask][worst]:.4g} "
+        f"({pulls[worst]:.2f}x the combined error + 2/M cutoff floor)"]
+
+
 def _pair_corr_lines(g2_blocks, nop: int, sc_size: float, full: bool,
                      coupling: t.Optional[float] = None) -> t.List[str]:
     r, g2, g2_err = g2_blocks.pair_correlation(nop, sc_size)
@@ -219,6 +245,9 @@ def describe_dmc(result, full: bool = False) -> str:
         lines += _pair_corr_lines(
             blocks.pair_corr, nop, sc, full,
             coupling=proc.model_spec.interaction_strength)
+        if blocks.ss_factor is not None:
+            lines += _g2_consistency_line(blocks.pair_corr,
+                                          blocks.ss_factor, nop, sc)
     if blocks.cm_diffusion is not None:
         ratio, ratio_err = blocks.cm_diffusion.effective_mass_ratio()
         lines.append(f"transport   m/m* (superfluid fraction) = "
@@ -258,6 +287,9 @@ def describe_vmc(result, full: bool = False) -> str:
         lines += _pair_corr_lines(
             blocks.pair_corr, nop, sc, full,
             coupling=proc.model_spec.interaction_strength)
+        if blocks.ss_factor is not None:
+            lines += _g2_consistency_line(blocks.pair_corr,
+                                          blocks.ss_factor, nop, sc)
     return "\n".join(lines)
 
 
