@@ -254,7 +254,61 @@ def describe_dmc(result, full: bool = False) -> str:
                      f"{_fmt(ratio, ratio_err)} from "
                      f"{blocks.cm_diffusion.num_windows} CM-diffusion "
                      f"windows")
+    lines += _luttinger_lines(blocks, proc, nop, sc)
     return "\n".join(lines)
+
+
+def _luttinger_lines(blocks, proc, nop: int, sc: float) -> t.List[str]:
+    """Luttinger-liquid universality: K from the OBDM tail, and — when
+    the run also measured S(k) and the CM diffusion — the hydrodynamic
+    ``K = v_J / c = 2 pi n f_s / c`` from two OTHER estimator chains
+    of the same run."""
+    if blocks.one_body_dm is None or proc.obd_spec is None:
+        return []
+    from ..analysis import luttinger_parameter_from_obdm
+
+    n1 = np.asarray(blocks.one_body_dm.mean, dtype=np.float64)
+    n1_err = np.asarray(blocks.one_body_dm.mean_error,
+                        dtype=np.float64)
+    if n1.shape[0] < 6:
+        return []
+    offsets = np.linspace(0.0, 0.5 * sc, n1.shape[0])
+    # On a non-trivial lattice only period-commensurate displacements
+    # carry the clean Luttinger envelope (the period is 1 LKP by the
+    # unit system).
+    period = 1.0 if proc.model_spec.lattice_depth > 1e-10 else None
+    try:
+        k_obdm, k_err = luttinger_parameter_from_obdm(
+            offsets, n1, sc, n1_err=n1_err, lattice_period=period)
+    except ValueError:
+        return []
+    if not np.isfinite(k_obdm):
+        return []
+    lines = [f"Luttinger   K from the OBDM tail "
+             f"(n1 ~ d^(-1/2K)) = {_fmt(k_obdm, k_err)}"]
+    if blocks.ss_factor is not None \
+            and blocks.cm_diffusion is not None:
+        from ..analysis import sound_speed_from_ssf
+
+        num_modes = np.asarray(
+            blocks.ss_factor.fdk_sqr_abs_part.totals).shape[-1]
+        if num_modes >= 4:
+            momenta = np.arange(num_modes) * 2 * np.pi / sc
+            ssf = np.asarray(blocks.ss_factor.mean) / nop
+            ssf_err = np.asarray(blocks.ss_factor.mean_error) / nop
+            c, c_err = sound_speed_from_ssf(momenta, ssf, ssf_err)
+            fs, fs_err = blocks.cm_diffusion.effective_mass_ratio()
+            if np.isfinite(c) and c > 0:
+                dens = nop / sc
+                k_hydro = 2 * np.pi * dens * fs / c
+                k_hydro_err = k_hydro * np.sqrt(
+                    (fs_err / max(fs, 1e-300)) ** 2
+                    + (c_err / c) ** 2)
+                lines.append(
+                    f"            K from hydrodynamics "
+                    f"(2 pi n f_s / c, independent chains) = "
+                    f"{_fmt(k_hydro, k_hydro_err)}")
+    return lines
 
 
 def describe_vmc(result, full: bool = False) -> str:

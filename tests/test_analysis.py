@@ -505,3 +505,56 @@ class TestPairCorrelationHelpers:
         c, c_err = contact_from_pair_correlation(r, g2, err, g)
         assert np.isfinite(c) and np.isfinite(c_err)
         assert c == pytest.approx(0.3, rel=1e-6)
+
+
+class TestLuttingerParameter:
+    def test_recovers_synthetic_power_law_exactly(self):
+        from phd_qmclib_tpu.analysis import luttinger_parameter_from_obdm
+
+        L, K = 64.0, 2.5
+        offsets = np.linspace(0.0, L / 2, 33)
+        chord = (L / np.pi) * np.sin(np.pi * np.maximum(offsets, 1e-9)
+                                     / L)
+        n1 = 0.9 * chord ** (-1.0 / (2 * K))
+        k_fit, k_err = luttinger_parameter_from_obdm(offsets, n1, L)
+        assert k_fit == pytest.approx(K, rel=1e-9)
+
+    def test_tg_limit_exponent(self):
+        """Tonks-Girardeau: K = 1 exactly (n1 ~ r^{-1/2}).  Use the
+        known leading asymptotic form on the chord grid; the fit must
+        return K near 1 despite subleading oscillations being absent
+        from this synthetic curve."""
+        from phd_qmclib_tpu.analysis import luttinger_parameter_from_obdm
+
+        L = 32.0
+        offsets = np.linspace(0.0, L / 2, 65)
+        chord = (L / np.pi) * np.sin(np.pi * np.maximum(offsets, 1e-9)
+                                     / L)
+        rho_inf = 0.92418  # G(1/2)^4 / (pi sqrt(2*e)) prefactor scale
+        n1 = rho_inf * chord ** -0.5
+        k_fit, _ = luttinger_parameter_from_obdm(offsets, n1, L)
+        assert k_fit == pytest.approx(1.0, rel=1e-9)
+
+    def test_free_bosons_report_infinite_k(self):
+        from phd_qmclib_tpu.analysis import luttinger_parameter_from_obdm
+
+        L = 32.0
+        offsets = np.linspace(0.0, L / 2, 17)
+        n1 = np.ones_like(offsets)  # constant OBDM: true condensate
+        k_fit, _ = luttinger_parameter_from_obdm(offsets, n1, L)
+        assert k_fit == float("inf")
+
+    def test_weighted_fit_ignores_zero_error_floor(self):
+        from phd_qmclib_tpu.analysis import luttinger_parameter_from_obdm
+
+        L, K = 48.0, 4.0
+        offsets = np.linspace(0.0, L / 2, 25)
+        chord = (L / np.pi) * np.sin(np.pi * np.maximum(offsets, 1e-9)
+                                     / L)
+        n1 = chord ** (-1.0 / (2 * K))
+        err = np.full_like(n1, 1e-3)
+        err[::5] = 0.0
+        k_fit, k_err = luttinger_parameter_from_obdm(offsets, n1, L,
+                                                     n1_err=err)
+        assert k_fit == pytest.approx(K, rel=1e-9)
+        assert np.isfinite(k_err)
