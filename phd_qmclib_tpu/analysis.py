@@ -118,15 +118,16 @@ def contact_from_pair_correlation(r: np.ndarray, g2: np.ndarray,
     k = min(int(num_fit_bins), len(r), max(2, in_cusp))
     if k < 2 or len(r) < 2:
         return float(g2[0]), float(g2_err[0])
-    # Zero-variance bins (e.g. empty histogram bins deep in the
-    # correlation hole of a long run) report err = 0; their true error
-    # is not zero, and a 1/err weight makes the weighted design matrix
-    # catastrophically ill-conditioned (SVD failure).  Floor the
-    # weights at the smallest NONZERO error and normalize.
+    # Degenerate bins (empty histogram bins deep in the correlation
+    # hole of a long run) report err = 0 — or NaN through the
+    # ratio-of-means propagation — and a raw 1/err weight then makes
+    # the weighted design matrix ill-conditioned or non-finite (SVD
+    # failure).  Treat non-finite like zero and floor the weights at
+    # the smallest healthy error.
     err_k = np.asarray(g2_err[:k], dtype=np.float64)
-    pos_err = err_k[err_k > 0]
-    floor = float(pos_err.min()) if pos_err.size else 1.0
-    w = 1.0 / np.maximum(err_k, floor)
+    healthy = np.isfinite(err_k) & (err_k > 0)
+    floor = float(err_k[healthy].min()) if healthy.any() else 1.0
+    w = 1.0 / np.where(healthy, err_k, floor)
     design = np.stack([1.0 + coupling * r[:k], r[:k] ** 2], axis=1)
     aw = design * w[:, None]
     yw = g2[:k] * w
@@ -378,9 +379,9 @@ def luttinger_parameter_from_obdm(offsets: np.ndarray, n1: np.ndarray,
     y = np.log(n1[mask])
     if n1_err is not None:
         rel = np.asarray(n1_err, dtype=np.float64)[mask] / n1[mask]
-        pos = rel[rel > 0]
-        floor = float(pos.min()) if pos.size else 1.0
-        w = 1.0 / np.maximum(rel, floor)
+        healthy = np.isfinite(rel) & (rel > 0)
+        floor = float(rel[healthy].min()) if healthy.any() else 1.0
+        w = 1.0 / np.where(healthy, rel, floor)
         coeffs, cov = np.polyfit(x, y, 1, w=w, cov="unscaled")
     else:
         coeffs, cov = np.polyfit(x, y, 1, cov=True)

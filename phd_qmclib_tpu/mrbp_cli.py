@@ -121,17 +121,14 @@ def _make_cli(sampling_type: str, prefix: str):
         effective mass).  Beyond the reference, which leaves result
         inspection to notebook code."""
         from .qmc_exec.report import report_hdf5
-        click.echo(report_hdf5(result_path, group=group,
-                               sampling_type=sampling_type, full=full,
-                               as_json=as_json))
+        extrapolated = None
         if vmc_path is not None:
             if sampling_type != "dmc":
                 raise click.UsageError(
                     "--extrapolate-with applies to DMC results")
             from .qmc_exec.io import (DmcHDF5FileHandler,
                                       VmcHDF5FileHandler)
-            from .qmc_exec.report import (describe_extrapolated,
-                                          find_result_groups)
+            from .qmc_exec.report import find_result_groups
             if vmc_group is None:
                 vmc_entries = [g for g, st
                                in find_result_groups(vmc_path)
@@ -143,13 +140,32 @@ def _make_cli(sampling_type: str, prefix: str):
             dmc_entries = [g for g, st in find_result_groups(result_path)
                            if st == "dmc"]
             dgroup = group if group is not None else dmc_entries[0]
-            dmc_result = DmcHDF5FileHandler(
-                location=result_path, group=dgroup).load()
-            vmc_result = VmcHDF5FileHandler(
-                location=vmc_path, group=vmc_group).load()
+            extrapolated = (
+                DmcHDF5FileHandler(location=result_path,
+                                   group=dgroup).load(),
+                VmcHDF5FileHandler(location=vmc_path,
+                                   group=vmc_group).load())
+        if as_json:
+            import json as _json
+
+            payload = _json.loads(report_hdf5(
+                result_path, group=group, sampling_type=sampling_type,
+                as_json=True))
+            if extrapolated is not None:
+                from .qmc_exec.report import summarize_extrapolated
+                extra = summarize_extrapolated(*extrapolated)
+                for entry in payload:
+                    if entry["sampling_type"] == "dmc":
+                        entry["extrapolated"] = extra
+                        break
+            click.echo(_json.dumps(payload, indent=2))
+            return
+        click.echo(report_hdf5(result_path, group=group,
+                               sampling_type=sampling_type, full=full))
+        if extrapolated is not None:
+            from .qmc_exec.report import describe_extrapolated
             click.echo("")
-            click.echo(describe_extrapolated(dmc_result, vmc_result,
-                                             full=full))
+            click.echo(describe_extrapolated(*extrapolated, full=full))
 
     return cli
 

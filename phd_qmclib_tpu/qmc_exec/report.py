@@ -126,13 +126,19 @@ def _g2_consistency_line(g2_blocks, ssf_blocks, nop: int,
     mask = r > sc_size / 8
     if not np.any(mask):
         return []
-    sigma = np.sqrt(np.maximum(g2_d_err[mask], 0.0) ** 2
-                    + np.maximum(g2_f_err[mask], 0.0) ** 2)
+    # Degenerate bins can carry NaN errors (empty in every block);
+    # exclude them from the pull rather than letting argmax land on a
+    # NaN entry.
+    sigma = np.sqrt(np.nan_to_num(g2_d_err[mask], nan=0.0) ** 2
+                    + np.nan_to_num(g2_f_err[mask], nan=0.0) ** 2)
     num_modes = ssf_blocks.fdk_sqr_abs_part.totals.shape[-1]
     # The truncated Fourier series has an O(1/M) resolution floor.
     floor = 2.0 / num_modes
     dev = np.abs(g2_d[mask] - g2_f[mask])
-    pulls = dev / np.maximum(sigma + floor, 1e-300)
+    pulls = np.where(np.isfinite(dev),
+                     dev / np.maximum(sigma + floor, 1e-300), -1.0)
+    if not np.any(pulls >= 0):
+        return []
     worst = int(np.argmax(pulls))
     return [
         f"            consistency vs Fourier-from-S(k): max dev "
@@ -248,17 +254,20 @@ def describe_dmc(result, full: bool = False) -> str:
         if blocks.ss_factor is not None:
             lines += _g2_consistency_line(blocks.pair_corr,
                                           blocks.ss_factor, nop, sc)
+    mm = None
     if blocks.cm_diffusion is not None:
-        ratio, ratio_err = blocks.cm_diffusion.effective_mass_ratio()
+        mm = blocks.cm_diffusion.effective_mass_ratio()
         lines.append(f"transport   m/m* (superfluid fraction) = "
-                     f"{_fmt(ratio, ratio_err)} from "
+                     f"{_fmt(*mm)} from "
                      f"{blocks.cm_diffusion.num_windows} CM-diffusion "
                      f"windows")
-    lines += _luttinger_lines(blocks, proc, nop, sc)
+    lines += _luttinger_lines(blocks, proc, nop, sc, mm=mm)
     return "\n".join(lines)
 
 
-def _luttinger_lines(blocks, proc, nop: int, sc: float) -> t.List[str]:
+def _luttinger_lines(blocks, proc, nop: int, sc: float,
+                     mm: t.Optional[t.Tuple[float, float]] = None) \
+        -> t.List[str]:
     """Luttinger-liquid universality: K from the OBDM tail, and — when
     the run also measured S(k) and the CM diffusion — the hydrodynamic
     ``K = v_J / c = 2 pi n f_s / c`` from two OTHER estimator chains
@@ -288,16 +297,12 @@ def _luttinger_lines(blocks, proc, nop: int, sc: float) -> t.List[str]:
              f"(n1 ~ d^(-1/2K)) = {_fmt(k_obdm, k_err)}"]
     if blocks.ss_factor is not None \
             and blocks.cm_diffusion is not None:
-        from ..analysis import sound_speed_from_ssf
-
         num_modes = np.asarray(
             blocks.ss_factor.fdk_sqr_abs_part.totals).shape[-1]
         if num_modes >= 4:
-            momenta = np.arange(num_modes) * 2 * np.pi / sc
-            ssf = np.asarray(blocks.ss_factor.mean) / nop
-            ssf_err = np.asarray(blocks.ss_factor.mean_error) / nop
-            c, c_err = sound_speed_from_ssf(momenta, ssf, ssf_err)
-            fs, fs_err = blocks.cm_diffusion.effective_mass_ratio()
+            c, c_err = blocks.ss_factor.sound_speed(nop, sc)
+            fs, fs_err = mm if mm is not None \
+                else blocks.cm_diffusion.effective_mass_ratio()
             if np.isfinite(c) and c > 0:
                 dens = nop / sc
                 k_hydro = 2 * np.pi * dens * fs / c
@@ -385,12 +390,8 @@ def summarize(result, sampling_type: str) -> dict:
         out["ssf"] = (np.asarray(blocks.ss_factor.mean) / nop).tolist()
         out["ssf_err"] = (np.asarray(blocks.ss_factor.mean_error)
                           / nop).tolist()
-        num_modes = len(out["ssf"])
-        if num_modes >= 4:
-            from ..analysis import sound_speed_from_ssf
-            c, c_err = sound_speed_from_ssf(
-                np.arange(num_modes) * 2 * np.pi / sc,
-                np.asarray(out["ssf"]), np.asarray(out["ssf_err"]))
+        if len(out["ssf"]) >= 4:
+            c, c_err = blocks.ss_factor.sound_speed(nop, sc)
             if np.isfinite(c):
                 out["sound_speed"] = float(c)
                 out["sound_speed_err"] = float(c_err)
@@ -425,6 +426,68 @@ def summarize(result, sampling_type: str) -> dict:
     if sampling_type == "vmc":
         out["move_spread"] = proc.move_spread
         out["num_walkers"] = proc.num_walkers
+    return out
+
+
+def summarize_extrapolated(dmc_result, vmc_result) -> dict:
+    """Machine-readable counterpart of :func:`describe_extrapolated`:
+    the ``2 <DMC mixed> - <VMC>`` curves (and the extrapolated
+    condensate fraction) as a JSON-able dict.  Pure (forward-walking)
+    DMC estimators are skipped exactly as in the text report."""
+    from ..analysis import extrapolated_estimate, momentum_distribution
+
+    dproc, vproc = dmc_result.proc, vmc_result.proc
+    if dproc.model_spec != vproc.model_spec:
+        raise ValueError(
+            "extrapolation needs matching model specs (same physics "
+            "AND the same trial function)")
+    nop = dproc.model_spec.boson_number
+    sc = dproc.model_spec.supercell_size
+    db, vb = dmc_result.data.blocks, vmc_result.data.blocks
+    out = {}
+
+    def _pair(d_blocks, v_blocks, as_pure):
+        if d_blocks is None or v_blocks is None or as_pure:
+            return None
+        dm = np.asarray(d_blocks.mean)
+        vm = np.asarray(v_blocks.mean)
+        if dm.shape != vm.shape:
+            return None
+        return extrapolated_estimate(
+            dm, vm, np.asarray(d_blocks.mean_error),
+            np.asarray(v_blocks.mean_error))
+
+    if db.one_body_dm is not None and vb.one_body_dm is not None:
+        pair = _pair(db.one_body_dm, vb.one_body_dm,
+                     dproc.obd_spec.as_pure_est)
+        if pair is not None:
+            n1, n1_err = pair
+            out["obdm_ext"] = n1.tolist()
+            out["obdm_ext_err"] = n1_err.tolist()
+            if n1.shape[0] >= 2:
+                offsets = np.linspace(0.0, 0.5 * sc, n1.shape[0])
+                _, occ, occ_err = momentum_distribution(
+                    offsets, n1, sc, nop, n1_err=n1_err)
+                out["condensate_fraction_ext"] = float(occ[0] / nop)
+                out["condensate_fraction_ext_err"] = \
+                    float(occ_err[0] / nop)
+    if db.ss_factor is not None and vb.ss_factor is not None:
+        pair = _pair(db.ss_factor, vb.ss_factor,
+                     dproc.ssf_spec.as_pure_est)
+        if pair is not None:
+            s, s_err = pair
+            out["ssf_ext"] = (s / nop).tolist()
+            out["ssf_ext_err"] = (s_err / nop).tolist()
+    if db.pair_corr is not None and vb.pair_corr is not None:
+        pair = _pair(db.pair_corr, vb.pair_corr,
+                     dproc.pair_corr_spec.as_pure_est)
+        if pair is not None:
+            from ..analysis import pair_correlation_from_counts
+            counts, counts_err = pair
+            _, g2, g2_err = pair_correlation_from_counts(
+                counts, nop, sc, counts_err=counts_err)
+            out["g2_ext"] = g2.tolist()
+            out["g2_ext_err"] = g2_err.tolist()
     return out
 
 

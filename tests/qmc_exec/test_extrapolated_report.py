@@ -84,3 +84,28 @@ def test_cli_extrapolate_option(tmp_path):
     assert out.exit_code == 0, out.output
     assert "extrapolated estimators" in out.output
     assert "n1_ext" in out.output
+
+
+def test_cli_json_with_extrapolation_is_valid_json(tmp_path):
+    """--json + --extrapolate-with must emit ONE parseable JSON payload
+    with the extrapolated values folded in (regression: the text block
+    used to be appended after the JSON array)."""
+    import json
+
+    dres, vres = run_pair(make_spec())
+    dpath, vpath = str(tmp_path / "d.h5"), str(tmp_path / "v.h5")
+    DmcHDF5FileHandler(dpath, group="run").dump(dres)
+    VmcHDF5FileHandler(vpath, group="var").dump(vres)
+    runner = CliRunner()
+    out = runner.invoke(mrbp_cli.dmc_cli,
+                        ["analyze", dpath, "--json",
+                         "--extrapolate-with", vpath])
+    assert out.exit_code == 0, out.output
+    payload = json.loads(out.output)  # must not raise "Extra data"
+    entry = payload[0]
+    extra = entry["extrapolated"]
+    assert "obdm_ext" in extra and "condensate_fraction_ext" in extra
+    n1_d = np.asarray(dres.data.blocks.one_body_dm.mean)
+    n1_v = np.asarray(vres.data.blocks.one_body_dm.mean)
+    np.testing.assert_allclose(extra["obdm_ext"], 2 * n1_d - n1_v,
+                               rtol=1e-12)

@@ -558,3 +558,35 @@ class TestLuttingerParameter:
                                                      n1_err=err)
         assert k_fit == pytest.approx(K, rel=1e-9)
         assert np.isfinite(k_err)
+
+    def test_contact_fit_survives_nan_error_bins(self):
+        # Empty bins reach the fit as NaN errors (ratio-of-means 0/0),
+        # not zero — the weighted fit must stay finite (regression:
+        # np.maximum(NaN, floor) propagated NaN into lstsq -> SVD
+        # failure).
+        from phd_qmclib_tpu.analysis import contact_from_pair_correlation
+
+        g = 2.0
+        r = (np.arange(16) + 0.5) * 0.02
+        g2 = 0.3 * (1.0 + g * r)
+        err = np.full_like(g2, 0.01)
+        err[0] = np.nan
+        err[3] = np.nan
+        c, c_err = contact_from_pair_correlation(r, g2, err, g)
+        assert np.isfinite(c) and np.isfinite(c_err)
+        assert c == pytest.approx(0.3, rel=1e-6)
+
+    def test_luttinger_fit_survives_nan_errors(self):
+        from phd_qmclib_tpu.analysis import luttinger_parameter_from_obdm
+
+        L, K = 48.0, 4.0
+        offsets = np.linspace(0.0, L / 2, 25)
+        chord = (L / np.pi) * np.sin(np.pi * np.maximum(offsets, 1e-9)
+                                     / L)
+        n1 = chord ** (-1.0 / (2 * K))
+        err = np.full_like(n1, 1e-3)
+        err[6] = np.nan
+        k_fit, k_err = luttinger_parameter_from_obdm(offsets, n1, L,
+                                                     n1_err=err)
+        assert k_fit == pytest.approx(K, rel=1e-9)
+        assert np.isfinite(k_err)
