@@ -112,7 +112,9 @@ def _run_obd(est_every, obd_mult, as_pure, nblocks=2, mesh=None):
                                             as_pure_est=as_pure),
         ssf_est_spec=dmc.SSFEstSpec(num_modes=4, as_pure_est=as_pure),
         obd_est_spec=dmc.OBDEstSpec(num_pos=5, as_pure_est=as_pure,
-                                    est_every_mult=obd_mult))
+                                    est_every_mult=obd_mult),
+        pair_corr_est_spec=dmc.PairCorrEstSpec(
+            num_bins=6, as_pure_est=as_pure, est_every_mult=obd_mult))
     rng = np.random.default_rng(2)
     confs = np.stack([sampling.model_spec.init_get_sys_conf(rng=rng)
                       for _ in range(32)])
@@ -171,6 +173,13 @@ class TestObdEveryMult:
         obd = np.asarray(blocks[-1].iter_obd, dtype=np.float64)
         assert obd.shape == (NTS // 4, 5)
         assert np.isfinite(obd).all() and (obd > 0).all()
+        # The cond-gated g2 multiplier rides the same shard_map
+        # vartype pattern; pair-count sum rule must hold on the mesh.
+        g2 = np.asarray(blocks[-1].iter_g2, dtype=np.float64)
+        nw = np.asarray(blocks[-1].iter_props.num_walkers,
+                        dtype=np.float64)[3::4]
+        np.testing.assert_allclose(g2.sum(axis=1),
+                                   NOP * (NOP - 1) / 2 * nw, rtol=1e-7)
 
     def test_validation(self):
         with pytest.raises(ValueError, match="positive integer"):
