@@ -224,6 +224,12 @@ class ParamSweep:
         state = ini_state
         block_idx = 0
         cmd_window = self.samplings[0].cm_window_blocks
+        if self.samplings[0].cm_diffusion_est \
+                and state.cmd_accum is None:
+            # Restored/loaded states may lack the CM accumulator; open
+            # a fresh window (cf. Sampling.blocks).
+            state = state._replace(cmd_accum=jnp.zeros(
+                state.pos.shape[:2], dtype=state.pos.dtype))
         fold = jax.vmap(jax.random.fold_in, in_axes=(0, None))
         while True:
             if self.samplings[0].cm_diffusion_est:

@@ -1132,6 +1132,13 @@ class Sampling:
         base_key = jax.random.PRNGKey(self.rng_seed)
         state = ini_state
         dtype = ini_state.pos.dtype
+        if self.cm_diffusion_est and state.cmd_accum is None:
+            # A state built/loaded without the CM accumulator (e.g. a
+            # checkpoint of a plain run restored into a cm_diffusion
+            # sampling, or a loaded HDF5 state): open a fresh
+            # measurement window.
+            state = state._replace(cmd_accum=jnp.zeros(
+                state.pos.shape[0], dtype=dtype))
         cfc = self._cast_params(dtype)
         scalars = self._scalars(dtype)
         rebalance_every = self.rebalance_every \

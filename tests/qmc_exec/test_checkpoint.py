@@ -55,3 +55,31 @@ def test_block_fn_compiles_once():
         next(blocks)
     block_fn = sampling._block_fn_measure
     assert block_fn._cache_size() == 1
+
+
+def test_checkpoint_restore_with_cm_diffusion(tmp_path):
+    """Restoring a checkpoint of a cm_diffusion run must open a fresh
+    CM window instead of crashing on the absent accumulator
+    (regression: the HDF5 state has no cmd_accum, and blocks() called
+    zeros_like(None) — found by the hardware kill/restore soak)."""
+    ckpt = str(tmp_path / "cmd-ckpt.h5")
+    proc = dmc_exec.Proc(model_spec=mrbp.Spec(**MODEL_CONFIG),
+                         time_step=1e-3, max_num_walkers=64,
+                         target_num_walkers=48, num_blocks=2,
+                         num_time_steps_block=8, burn_in_blocks=0,
+                         rng_seed=3, dtype="float64",
+                         cm_diffusion_spec=dmc_exec.CMDiffusionEstSpec(
+                             window_blocks=1),
+                         checkpoint_file=ckpt, checkpoint_every=1)
+    proc_input = dmc_exec.ProcInput.from_model_sys_conf_spec(
+        dmc_exec.ModelSysConfSpec(dist_type="RANDOM"), proc)
+    proc.exec(proc_input)
+
+    proc2, proc_input2 = dmc_exec.Proc.restore_checkpoint(ckpt)
+    assert proc_input2.state.cmd_accum is None  # not persisted
+    result = proc2.evolve({"num_blocks": 2, "burn_in_blocks": 0,
+                           "checkpoint_file": None}).exec(proc_input2)
+    cmd = result.data.blocks.cm_diffusion
+    assert cmd is not None and cmd.num_windows == 2
+    ratio, err = cmd.effective_mass_ratio()
+    assert np.isfinite(ratio) and np.isfinite(err)
