@@ -121,6 +121,16 @@ def _make_cli(sampling_type: str, prefix: str):
         effective mass).  Beyond the reference, which leaves result
         inspection to notebook code."""
         from .qmc_exec.report import report_hdf5
+
+        def _report(**kw):
+            try:
+                return report_hdf5(result_path, group=group,
+                                   sampling_type=sampling_type, **kw)
+            except ValueError as exc:
+                # A clean one-line message instead of a traceback
+                # (wrong group, empty file, checkpoint-only file...).
+                raise click.ClickException(str(exc)) from exc
+
         extrapolated = None
         if vmc_path is not None:
             if sampling_type != "dmc":
@@ -148,9 +158,7 @@ def _make_cli(sampling_type: str, prefix: str):
         if as_json:
             import json as _json
 
-            payload = _json.loads(report_hdf5(
-                result_path, group=group, sampling_type=sampling_type,
-                as_json=True))
+            payload = _json.loads(_report(as_json=True))
             if extrapolated is not None:
                 from .qmc_exec.report import summarize_extrapolated
                 extra = summarize_extrapolated(*extrapolated)
@@ -160,8 +168,7 @@ def _make_cli(sampling_type: str, prefix: str):
                         break
             click.echo(_json.dumps(payload, indent=2))
             return
-        click.echo(report_hdf5(result_path, group=group,
-                               sampling_type=sampling_type, full=full))
+        click.echo(_report(full=full))
         if extrapolated is not None:
             from .qmc_exec.report import describe_extrapolated
             click.echo("")

@@ -635,9 +635,25 @@ def report_hdf5(location: str, group: t.Optional[str] = None,
         stored = ", ".join(f"{g or '/'}:{st}"
                            for g, st in find_result_groups(location)) \
             or "none"
+        hint = ""
+        with h5py.File(location, "r") as fp:
+            state_only = []
+
+            def visit(name, obj):
+                if isinstance(obj, h5py.Group) and "state" in obj \
+                        and "data" not in obj \
+                        and name.rsplit("/", 1)[-1] in ("vmc", "dmc"):
+                    state_only.append(name)
+
+            fp.visititems(visit)
+        if state_only:
+            hint = ("; the file holds a mid-run CHECKPOINT (state + "
+                    "proc_spec, no data) — continue it with "
+                    "Proc.restore_checkpoint instead of analyzing it")
         raise ValueError(
             f"no matching results in '{location}' "
-            f"(group={group!r}, type={sampling_type!r}; stored: {stored})")
+            f"(group={group!r}, type={sampling_type!r}; "
+            f"stored: {stored}){hint}")
     reports = []
     summaries = []
     for grp, stype in entries:
