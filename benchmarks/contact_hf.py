@@ -43,9 +43,10 @@ def run_sweep(args, dts):
     procs = tuple(
         dmc_exec.Proc(
             model_spec=mrbp.Spec(
-                lattice_depth=0.0, lattice_ratio=1.0,
+                lattice_depth=args.v0, lattice_ratio=1.0,
                 interaction_strength=float(g), boson_number=nop,
-                supercell_size=sc, tbf_contact_cutoff=0.49 * sc),
+                supercell_size=sc,
+                tbf_contact_cutoff=(0.45 if args.v0 else 0.49) * sc),
             time_step=float(dt),
             max_num_walkers=int(1.0625 * args.walkers),
             target_num_walkers=args.walkers, num_blocks=args.blocks,
@@ -74,6 +75,10 @@ def contact_from_blocks(g2_blocks, g, nop, sc, num_fit_bins=8):
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--nop", type=int, default=32)
+    parser.add_argument("--v0", type=float, default=0.0,
+                        help="lattice depth (the Hellmann-Feynman "
+                             "relation dE/dg = <sum delta> holds for "
+                             "any external potential)")
     parser.add_argument("--walkers", type=int, default=8192)
     parser.add_argument("--nts", type=int, default=1024)
     parser.add_argument("--blocks", type=int, default=16)
