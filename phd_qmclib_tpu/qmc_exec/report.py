@@ -114,6 +114,45 @@ def _density_lines(density_blocks, nop: int, sc_size: float,
     return lines
 
 
+def _density_consistency_line(density_blocks, ssf_blocks, nop: int,
+                              sc_size: float) -> t.List[str]:
+    """Internal-consistency diagnostic: the direct density histogram
+    and the band-limited Fourier synthesis from the same run's
+    ``<rho_k>`` parts measure the same n(z) by independent chains."""
+    mean = np.asarray(density_blocks.mean, dtype=np.float64)
+    err = np.asarray(density_blocks.mean_error, dtype=np.float64)
+    num_bins = mean.shape[0]
+    bin_size = sc_size / num_bins
+    n_direct = mean / bin_size
+    n_err = np.nan_to_num(err, nan=0.0) / bin_size
+    num_modes = ssf_blocks.fdk_real_part.totals.shape[-1]
+    momenta = np.arange(num_modes) * 2 * np.pi / sc_size
+    z = (np.arange(num_bins) + 0.5) * bin_size
+    n_fourier, nf_err = ssf_blocks.density_profile(z, nop, sc_size)
+    nf_err = np.nan_to_num(np.asarray(nf_err, dtype=np.float64),
+                           nan=0.0)
+    sigma = np.sqrt(n_err ** 2 + nf_err ** 2)
+    # The synthesis is band-limited: harmonics above k_max are absent,
+    # so allow a floor of the highest retained harmonic's amplitude.
+    amps = np.abs(np.asarray(ssf_blocks.fdk_real_part.mean)) \
+        + np.abs(np.asarray(ssf_blocks.fdk_imag_part.mean))
+    floor = 2.0 * float(amps[-1]) / sc_size + 1e-3 * nop / sc_size
+    dev = np.abs(n_direct - n_fourier)
+    pulls = np.where(np.isfinite(dev),
+                     dev / np.maximum(sigma + floor, 1e-300), -1.0)
+    if not np.any(pulls >= 0):
+        return []
+    worst = int(np.argmax(pulls))
+    note = "" if pulls[worst] <= 2.0 else \
+        " — the S(k) mode grid under-resolves the profile's sharp " \
+        "features (raise num_modes), or the chains disagree"
+    return [
+        f"            consistency vs Fourier-from-<rho_k>: max dev "
+        f"{dev[worst]:.4g} at z = {z[worst]:.4g} "
+        f"({pulls[worst]:.2f}x the combined error + cutoff "
+        f"floor){note}"]
+
+
 def _g2_consistency_line(g2_blocks, ssf_blocks, nop: int,
                          sc_size: float) -> t.List[str]:
     """Internal-consistency diagnostic: the direct pair-distance
@@ -242,6 +281,10 @@ def describe_dmc(result, full: bool = False) -> str:
         f"{float(blocks.weight.mean) / steps_per_entry:.6g}")
     if blocks.density is not None:
         lines += _density_lines(blocks.density, nop, sc, full)
+        if blocks.ss_factor is not None:
+            lines += _density_consistency_line(blocks.density,
+                                               blocks.ss_factor, nop,
+                                               sc)
     if blocks.ss_factor is not None:
         lines += _ssf_lines(blocks.ss_factor, nop, sc, full)
     if blocks.one_body_dm is not None and proc.obd_spec is not None:
