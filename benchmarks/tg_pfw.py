@@ -48,7 +48,10 @@ def main():
     exact = np.array([0.0, 0.2, 0.4, 0.6, 0.8, 1.0, 1.0])
     print(f"# TG pure S(k)/N vs forward-walking window: N=5, "
           f"{args.walkers} walkers, dt={args.dt}")
-    for pfw in (256, 1024, None):
+    # The last entry is a MULTI-BLOCK window (pfw = 2 blocks): the
+    # pure accumulators persist across block boundaries (round-3 late
+    # addition; the per-block entries reproduce the earlier table).
+    for pfw in (256, 1024, None, 2 * args.nts):
         sk = measure(pfw, args.nts, args.walkers, args.blocks, args.dt)
         tau = (pfw or args.nts) * args.dt
         dev = np.abs(sk - exact)[1:]

@@ -120,16 +120,17 @@ class ParamSweep:
             # the scan, so XLA sees one R*W-walker workload per step.
             run_block = ref.make_run_block(measure=True, axis_name=None)
 
-            def fused_block(state, block_keys, scalars, cfc,
-                            num_time_steps_block: int):
-                final_state, props, est = jax.vmap(
-                    lambda st, k, sc, cf: run_block(
-                        st, k, sc, cf, num_time_steps_block)
-                )(state, block_keys, scalars, cfc)
+            def fused_block(state, aux, block_keys, step_offset,
+                            scalars, cfc, num_time_steps_block: int):
+                final_state, aux_out, props, est = jax.vmap(
+                    lambda st, ax, k, sc, cf: run_block(
+                        st, k, sc, cf, num_time_steps_block,
+                        aux_in=ax, step_offset=step_offset)
+                )(state, aux, block_keys, scalars, cfc)
                 # Match the mesh path's props layout: (nts, R).
                 props = jax.tree.map(
                     lambda x: jnp.moveaxis(x, 0, 1), props)
-                return final_state, props, est
+                return final_state, aux_out, props, est
 
             return jax.jit(fused_block,
                            static_argnames=("num_time_steps_block",))
@@ -158,9 +159,13 @@ class ParamSweep:
             cmd_accum=(row_spec(True)
                        if self.samplings[0].cm_diffusion_est else None))
         props_spec = PropsData(*(P(None, sweep) for _ in range(5)))
+        aux_ndims = {"aux_density": 1, "aux_ssf": 2, "aux_obd": 1,
+                     "aux_g2": 1}
+        aux_spec = {name: row_spec(True, aux_ndims[name])
+                    for name in ref._pure_aux_shapes()}
 
-        def per_shard(state, block_keys, scalars, cfc,
-                      num_time_steps_block: int):
+        def per_shard(state, aux, block_keys, step_offset, scalars,
+                      cfc, num_time_steps_block: int):
             # Each program instance sees one sweep row (leading axis 1)
             # and one walker shard.  Squeeze the row axis, run the
             # per-row body, restore the axis.  The row's key was
@@ -168,29 +173,34 @@ class ParamSweep:
             # each row reproduces its sequential sampling exactly.
             squeeze = lambda x: jnp.squeeze(x, axis=0)
             state = jax.tree.map(squeeze, state)
+            aux = jax.tree.map(squeeze, aux)
             scalars = jax.tree.map(squeeze, scalars)
             cfc = jax.tree.map(squeeze, cfc)
             block_key = block_keys[0]
-            final_state, props, est = run_block(
-                state, block_key, scalars, cfc, num_time_steps_block)
+            final_state, aux_out, props, est = run_block(
+                state, block_key, scalars, cfc, num_time_steps_block,
+                aux_in=aux, step_offset=step_offset)
             expand = lambda x: jnp.expand_dims(x, axis=0)
             final_state = jax.tree.map(expand, final_state)
+            aux_out = jax.tree.map(expand, aux_out)
             # props are (nts,) per row -> (nts, 1) so rows concatenate
             # on the trailing axis.
             props = jax.tree.map(lambda x: x[:, None], props)
             est = jax.tree.map(expand, est)
-            return final_state, props, est
+            return final_state, aux_out, props, est
 
-        def sweep_block(state, block_keys, scalars, cfc,
-                        num_time_steps_block: int):
+        def sweep_block(state, aux, block_keys, step_offset, scalars,
+                        cfc, num_time_steps_block: int):
             fn = jax.shard_map(
-                lambda st, k, sc, cf: per_shard(st, k, sc, cf,
-                                                num_time_steps_block),
+                lambda st, ax, k, off, sc, cf: per_shard(
+                    st, ax, k, off, sc, cf, num_time_steps_block),
                 mesh=self.mesh,
-                in_specs=(state_spec, P(sweep), P(sweep), P(sweep)),
-                out_specs=(state_spec, props_spec, P(sweep)),
+                in_specs=(state_spec, aux_spec, P(sweep), P(),
+                          P(sweep), P(sweep)),
+                out_specs=(state_spec, aux_spec, props_spec, P(sweep)),
             )
-            return fn(state, block_keys, scalars, cfc)
+            return fn(state, aux, block_keys, step_offset, scalars,
+                      cfc)
 
         return jax.jit(sweep_block,
                        static_argnames=("num_time_steps_block",))
@@ -230,6 +240,18 @@ class ParamSweep:
             # a fresh window (cf. Sampling.blocks).
             state = state._replace(cmd_accum=jnp.zeros(
                 state.pos.shape[:2], dtype=state.pos.dtype))
+        # Forward-walking windows (specs are validated identical across
+        # rows): the aux carries a leading row axis.
+        pfw_window = self.samplings[0].pfw_window_blocks(
+            num_time_steps_block)
+        aux_shapes = self.samplings[0]._pure_aux_shapes()
+        num_rows = self.num_rows
+
+        def _fresh_aux():
+            return {name: jnp.zeros((num_rows,) + shape, dtype=dtype)
+                    for name, shape in aux_shapes.items()}
+
+        aux = _fresh_aux()
         fold = jax.vmap(jax.random.fold_in, in_axes=(0, None))
         while True:
             if self.samplings[0].cm_diffusion_est:
@@ -244,9 +266,17 @@ class ParamSweep:
                         cmd_accum=jnp.zeros_like(state.cmd_accum))
             block_keys = fold(base_keys,
                               int(block_offset) + block_idx)
-            state, props, est = self._block_fn(
-                state, block_keys, scalars, cfc, num_time_steps_block)
             burning = block_idx < burn_in_blocks
+            if not burning:
+                win_pos = (block_idx - burn_in_blocks) % pfw_window
+                if win_pos == 0:
+                    aux = _fresh_aux()
+            else:
+                win_pos = 0
+            state, aux, props, est = self._block_fn(
+                state, aux, block_keys,
+                jnp.int32(win_pos * num_time_steps_block), scalars,
+                cfc, num_time_steps_block)
             density = est.get("density") if not burning else None
             ssf = est.get("ssf") if not burning else None
             obd = est.get("obd") if not burning else None

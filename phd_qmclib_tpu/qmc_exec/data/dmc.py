@@ -279,7 +279,8 @@ def _pure_aware_totals(num_time_steps_block: int, est_data: np.ndarray,
                        as_pure_est: bool,
                        pure_est_reduce_factor: t.Optional[np.ndarray],
                        est_every: int = 1,
-                       est_weight_totals: t.Optional[np.ndarray] = None):
+                       est_weight_totals: t.Optional[np.ndarray] = None,
+                       window: int = 1):
     """Shared estimator-totals logic (``qmc_exec/data/dmc.py:329-374``).
 
     For pure (forward-walking) estimators, ONLY the end-of-block value
@@ -316,19 +317,27 @@ def _pure_aware_totals(num_time_steps_block: int, est_data: np.ndarray,
                 else np.asarray(est_weight_totals,
                                 dtype=weight_data.dtype)
     else:
+        # Pure (forward-walking) estimators: one statistical sample
+        # per WINDOW — the end-of-window value weighted by the
+        # window-final step's walker count.  ``window`` > 1 when the
+        # forward-walking window spans several blocks (the accumulator
+        # persists across them; window-interior blocks hold partial,
+        # under-projected values that are NOT samples).
         if reduce_data:
-            # Full per-step series available: final step's estimate,
-            # weighted by the final step's walker count.
-            totals = est_data[:, -1]
+            # Full per-step series available.
+            totals = est_data[window - 1::window, -1]
             weight_totals = np.asarray(
-                props_data.num_walkers)[:, nts_block - 1].astype(
+                props_data.num_walkers)[window - 1::window,
+                                        nts_block - 1].astype(
                     weight_data.dtype)
         else:
-            # Block-reduced inputs: the driver reduced weights over the
-            # block, and ``pure_est_reduce_factor = N_w(last)/sum(W)``
-            # recovers the final step's walker count exactly.
+            # Block-reduced inputs: the driver stored only the
+            # window-final reductions (est_data has one row per
+            # window) and ``pure_est_reduce_factor = N_w(last)/sum(W)``
+            # recovers the window-final step's walker count exactly.
             totals = est_data
-            weight_totals = weight_data * pure_est_reduce_factor
+            weight_totals = (weight_data
+                             * pure_est_reduce_factor)[window - 1::window]
     return totals, weight_totals[..., np.newaxis]
 
 
@@ -343,11 +352,12 @@ class DensityBlocks(PropBlocks):
                   props_data: PropsData, reduce_data: bool = True,
                   as_pure_est: bool = True,
                   pure_est_reduce_factor: np.ndarray = None,
-                  est_every: int = 1, est_weight_totals=None):
+                  est_every: int = 1, est_weight_totals=None,
+                  window: int = 1):
         totals, weight_totals = _pure_aware_totals(
             num_time_steps_block, density_data, props_data, reduce_data,
             as_pure_est, pure_est_reduce_factor, est_every,
-            est_weight_totals)
+            est_weight_totals, window)
         return cls(totals, weight_totals)
 
     @property
@@ -380,11 +390,12 @@ class OBDBlocks(DensityBlocks):
                   props_data: PropsData, reduce_data: bool = True,
                   as_pure_est: bool = True,
                   pure_est_reduce_factor: np.ndarray = None,
-                  est_every: int = 1, est_weight_totals=None):
+                  est_every: int = 1, est_weight_totals=None,
+                  window: int = 1):
         totals, weight_totals = _pure_aware_totals(
             num_time_steps_block, obd_data, props_data, reduce_data,
             as_pure_est, pure_est_reduce_factor, est_every,
-            est_weight_totals)
+            est_weight_totals, window)
         return cls(totals, weight_totals)
 
 
@@ -401,11 +412,12 @@ class PairCorrBlocks(DensityBlocks):
                   props_data: PropsData, reduce_data: bool = True,
                   as_pure_est: bool = True,
                   pure_est_reduce_factor: np.ndarray = None,
-                  est_every: int = 1, est_weight_totals=None):
+                  est_every: int = 1, est_weight_totals=None,
+                  window: int = 1):
         totals, weight_totals = _pure_aware_totals(
             num_time_steps_block, g2_data, props_data, reduce_data,
             as_pure_est, pure_est_reduce_factor, est_every,
-            est_weight_totals)
+            est_weight_totals, window)
         return cls(totals, weight_totals)
 
     def pair_correlation(self, boson_number: int,
@@ -428,11 +440,12 @@ class SSFPartBlocks(DensityBlocks):
                   props_data: PropsData, reduce_data: bool = True,
                   as_pure_est: bool = True,
                   pure_est_reduce_factor: np.ndarray = None,
-                  est_every: int = 1, est_weight_totals=None):
+                  est_every: int = 1, est_weight_totals=None,
+                  window: int = 1):
         totals, weight_totals = _pure_aware_totals(
             num_time_steps_block, ssf_data, props_data, reduce_data,
             as_pure_est, pure_est_reduce_factor, est_every,
-            est_weight_totals)
+            est_weight_totals, window)
         return cls(totals, weight_totals)
 
 
@@ -451,11 +464,12 @@ class SSFBlocks:
                   props_data: PropsData, reduce_data: bool = True,
                   as_pure_est: bool = True,
                   pure_est_reduce_factor: np.ndarray = None,
-                  est_every: int = 1, est_weight_totals=None):
+                  est_every: int = 1, est_weight_totals=None,
+                  window: int = 1):
         totals, weight_totals = _pure_aware_totals(
             num_time_steps_block, ssf_data, props_data, reduce_data,
             as_pure_est, pure_est_reduce_factor, est_every,
-            est_weight_totals)
+            est_weight_totals, window)
         return cls(
             SSFPartBlocks(totals[..., FDK_SQR_ABS], weight_totals),
             SSFPartBlocks(totals[..., FDK_REAL], weight_totals),

@@ -196,25 +196,33 @@ class Proc(proc_base.Proc):
                     f"{name}: pfw_num_time_steps only applies to pure "
                     f"(forward-walking) estimators")
             if pfw > self.num_time_steps_block:
-                # The reference SILENTLY pins the window to one block
-                # (``mrbp_qmc/dmc_exec/proc.py:337`` pops the key), and
-                # its own committed configs carry values larger than
-                # the block.  Reproduce the effective behavior loudly
-                # instead of rejecting reference files.
-                warnings.warn(
-                    f"{name}: pfw_num_time_steps={pfw} exceeds "
-                    f"num_time_steps_block="
-                    f"{self.num_time_steps_block}; clamping to one "
-                    f"block (the reference's only behavior)",
-                    UserWarning)
-                pfw = self.num_time_steps_block
-                object.__setattr__(self, name,
-                                   replace(spec, pfw_num_time_steps=pfw))
-                spec = getattr(self, name)
+                # Multi-block forward-walking windows: supported when
+                # the window tiles the run (pfw a multiple of the block
+                # length, the window count dividing num_blocks) — the
+                # pure accumulators then persist across blocks and only
+                # window-final blocks contribute statistics samples.
+                # Non-conforming values clamp to one block with a
+                # warning (the reference SILENTLY pins the window to
+                # one block, ``mrbp_qmc/dmc_exec/proc.py:337``, and its
+                # own committed configs carry such values).
+                w_blocks = pfw // self.num_time_steps_block
+                if pfw % self.num_time_steps_block \
+                        or self.num_blocks % w_blocks:
+                    warnings.warn(
+                        f"{name}: pfw_num_time_steps={pfw} does not "
+                        f"tile the run ({self.num_blocks} x "
+                        f"{self.num_time_steps_block}); clamping to "
+                        f"one block (the reference's only behavior)",
+                        UserWarning)
+                    pfw = self.num_time_steps_block
+                    object.__setattr__(
+                        self, name,
+                        replace(spec, pfw_num_time_steps=pfw))
+                    spec = getattr(self, name)
             if pfw <= 0:
                 raise ValueError(
                     f"{name}: pfw_num_time_steps must be in "
-                    f"(0, num_time_steps_block]")
+                    f"(0, num_blocks * num_time_steps_block]")
             if pfw % every:
                 raise ValueError(
                     f"{name}: pfw_num_time_steps must be divisible by "
@@ -630,11 +638,20 @@ class _BlockAccumulator:
         num_blocks = proc.num_blocks
         nts_block = proc.num_time_steps_block
         keep = proc.keep_iter_data
+        # Forward-walking windows may span several blocks; pure
+        # estimators then contribute ONE statistics sample per window
+        # (the end-of-window value; interior blocks are partial sums).
+        self.window = proc.sampling.pfw_window_blocks(nts_block)
+        num_windows = num_blocks // self.window
         shape = (num_blocks, nts_block) if keep else (num_blocks,)
         # Estimator series carry one entry per MEASURED step.
         num_measured = nts_block // proc.est_every
-        est_shape = (num_blocks, num_measured) if keep \
-            else (num_blocks,)
+
+        def _est_rows(as_pure):
+            if keep:
+                return (num_blocks, num_measured)
+            return (num_windows,) if as_pure else (num_blocks,)
+
         self.props = {name: np.zeros(shape) for name in
                       ("energy", "weight", "num_walkers", "ref_energy",
                        "accum_energy")}
@@ -643,16 +660,18 @@ class _BlockAccumulator:
         self.obd_blocks_data = None
         if proc.should_eval_density:
             self.density_blocks_data = np.zeros(
-                est_shape + (proc.density_spec.num_bins,))
+                _est_rows(proc.density_spec.as_pure_est)
+                + (proc.density_spec.num_bins,))
         if proc.should_eval_ssf:
             self.ssf_blocks_data = np.zeros(
-                est_shape + (proc.ssf_spec.num_modes, 3))
+                _est_rows(proc.ssf_spec.as_pure_est)
+                + (proc.ssf_spec.num_modes, 3))
         if proc.should_eval_obd:
             # The OBDM carries its own (sparser) cadence.
             num_measured_obd = nts_block // (proc.est_every
                                              * proc.obd_spec.est_every_mult)
             obd_shape = (num_blocks, num_measured_obd) if keep \
-                else (num_blocks,)
+                else _est_rows(proc.obd_spec.as_pure_est)
             self.obd_blocks_data = np.zeros(
                 obd_shape + (proc.obd_spec.num_pos,))
         self.g2_blocks_data = None
@@ -660,7 +679,7 @@ class _BlockAccumulator:
             num_measured_g2 = nts_block // (
                 proc.est_every * proc.pair_corr_spec.est_every_mult)
             g2_shape = (num_blocks, num_measured_g2) if keep \
-                else (num_blocks,)
+                else _est_rows(proc.pair_corr_spec.as_pure_est)
             self.g2_blocks_data = np.zeros(
                 g2_shape + (proc.pair_corr_spec.num_bins,))
         self.cmd_w2_data = None
@@ -736,26 +755,30 @@ class _BlockAccumulator:
             k = proc.est_every * proc.pair_corr_spec.est_every_mult
             self.g2_weight_totals[block_idx] = \
                 weight[k - 1::k].sum()
+        win_final = (block_idx + 1) % self.window == 0
+        win_idx = (block_idx + 1) // self.window - 1
+
+        def _store(dest, data, as_pure):
+            if not as_pure:
+                dest[block_idx] = data.sum(axis=0)
+            elif win_final:
+                # One sample per forward-walking window: the
+                # end-of-window value (interior blocks hold partial,
+                # under-projected accumulations — not samples).
+                dest[win_idx] = data[-1]
+
         if iter_density is not None:
-            self.density_blocks_data[block_idx] = (
-                iter_density[-1]
-                if proc.density_spec.as_pure_est
-                else iter_density.sum(axis=0))
+            _store(self.density_blocks_data, iter_density,
+                   proc.density_spec.as_pure_est)
         if iter_ssf is not None:
-            self.ssf_blocks_data[block_idx] = (
-                iter_ssf[-1]
-                if proc.ssf_spec.as_pure_est
-                else iter_ssf.sum(axis=0))
+            _store(self.ssf_blocks_data, iter_ssf,
+                   proc.ssf_spec.as_pure_est)
         if iter_obd is not None:
-            self.obd_blocks_data[block_idx] = (
-                iter_obd[-1]
-                if proc.obd_spec.as_pure_est
-                else iter_obd.sum(axis=0))
+            _store(self.obd_blocks_data, iter_obd,
+                   proc.obd_spec.as_pure_est)
         if iter_g2 is not None:
-            self.g2_blocks_data[block_idx] = (
-                iter_g2[-1]
-                if proc.pair_corr_spec.as_pure_est
-                else iter_g2.sum(axis=0))
+            _store(self.g2_blocks_data, iter_g2,
+                   proc.pair_corr_spec.as_pure_est)
 
     def package(self) -> "dmc_data.SamplingData":
         """Block statistics + optional series, reference packaging
@@ -773,7 +796,8 @@ class _BlockAccumulator:
         num_walkers_blocks = dmc_data.NumWalkersBlocks.from_data(
             props_data, reduce_data)
         est_kw = dict(est_every=proc.est_every,
-                      est_weight_totals=self.est_weight_totals)
+                      est_weight_totals=self.est_weight_totals,
+                      window=self.window)
         density_blocks = dmc_data.DensityBlocks.from_data(
             nts_block, self.density_blocks_data, props_data, reduce_data,
             proc.density_spec.as_pure_est, factor, **est_kw) \
@@ -786,14 +810,16 @@ class _BlockAccumulator:
             nts_block, self.obd_blocks_data, props_data, reduce_data,
             proc.obd_spec.as_pure_est, factor,
             est_every=proc.est_every * proc.obd_spec.est_every_mult,
-            est_weight_totals=self.obd_weight_totals) \
+            est_weight_totals=self.obd_weight_totals,
+            window=self.window) \
             if proc.should_eval_obd else None
         g2_blocks = dmc_data.PairCorrBlocks.from_data(
             nts_block, self.g2_blocks_data, props_data, reduce_data,
             proc.pair_corr_spec.as_pure_est, factor,
             est_every=(proc.est_every
                        * proc.pair_corr_spec.est_every_mult),
-            est_weight_totals=self.g2_weight_totals) \
+            est_weight_totals=self.g2_weight_totals,
+            window=self.window) \
             if proc.should_eval_pair_corr else None
 
         cmd_blocks = None

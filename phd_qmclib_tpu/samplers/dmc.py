@@ -439,6 +439,51 @@ class Sampling:
         return spec.pfw_num_time_steps if spec.pfw_num_time_steps \
             else 99999999
 
+    def _pure_aux_shapes(self) -> t.Dict[str, t.Tuple[int, ...]]:
+        """Shapes of the persistent pure-estimator accumulators (the
+        forward-walking aux arrays that may span blocks), in GLOBAL
+        (unsharded) walker coordinates — the mesh path shards them
+        over the walker axis like the state buffers."""
+        max_w = self.max_num_walkers
+        shapes = {}
+        if self.density_est_spec is not None \
+                and self.density_est_spec.as_pure_est:
+            shapes["aux_density"] = (max_w,
+                                     self.density_est_spec.num_bins)
+        if self.ssf_est_spec is not None \
+                and self.ssf_est_spec.as_pure_est:
+            shapes["aux_ssf"] = (max_w, self.ssf_est_spec.num_modes, 3)
+        if self.obd_est_spec is not None \
+                and self.obd_est_spec.as_pure_est:
+            shapes["aux_obd"] = (max_w, self.obd_est_spec.num_pos)
+        if self.pair_corr_est_spec is not None \
+                and self.pair_corr_est_spec.as_pure_est:
+            shapes["aux_g2"] = (max_w,
+                                self.pair_corr_est_spec.num_bins)
+        return shapes
+
+    def pfw_window_blocks(self, num_time_steps_block: int) -> int:
+        """Forward-walking window length in blocks.
+
+        1 (the reference's only behavior — per-block windows) unless a
+        pure estimator's ``pfw_num_time_steps`` exceeds one block, in
+        which case the accumulators persist across ``pfw / nts`` blocks
+        (the window must then be a multiple of the block length)."""
+        window = 1
+        for spec in (self.density_est_spec, self.ssf_est_spec,
+                     self.obd_est_spec, self.pair_corr_est_spec):
+            if spec is None or not spec.as_pure_est \
+                    or not spec.pfw_num_time_steps:
+                continue
+            pfw = int(spec.pfw_num_time_steps)
+            if pfw > num_time_steps_block:
+                if pfw % num_time_steps_block:
+                    raise ValueError(
+                        "a pfw_num_time_steps beyond one block must be "
+                        "a multiple of num_time_steps_block")
+                window = max(window, pfw // num_time_steps_block)
+        return window
+
     # -- state construction ---------------------------------------------------
 
     def build_state(self, sys_conf_set: np.ndarray,
@@ -944,7 +989,14 @@ class Sampling:
             transport_only=True) if cadence > 1 else None
 
         def run_block(state: State, block_key, scalars, cfc,
-                      num_time_steps_block: int):
+                      num_time_steps_block: int, aux_in=None,
+                      step_offset=None):
+            """``aux_in``/``step_offset`` carry the pure-estimator
+            forward-walking window across blocks: the accumulators
+            enter from the previous block (zeros at a window start)
+            and the step indices continue from ``step_offset`` so the
+            freeze/divisor logic sees the GLOBAL position within the
+            window.  ``None`` = the reference's per-block windows."""
             for mspec, mname in ((obd_spec, "obd"), (g2_spec, "g2")):
                 if mspec is not None and mspec.est_every_mult > 1 \
                         and num_time_steps_block % (
@@ -958,19 +1010,37 @@ class Sampling:
                     block_key, jax.lax.axis_index(axis_name))
             max_w = state.pos.shape[0]
             dtype = state.pos.dtype
-            extra0 = {}
-            if density_spec is not None and density_spec.as_pure_est:
-                extra0["aux_density"] = jnp.zeros(
-                    (max_w, density_spec.num_bins), dtype=dtype)
-            if ssf_spec is not None and ssf_spec.as_pure_est:
-                extra0["aux_ssf"] = jnp.zeros(
-                    (max_w, ssf_spec.num_modes, 3), dtype=dtype)
-            if obd_spec is not None and obd_spec.as_pure_est:
-                extra0["aux_obd"] = jnp.zeros(
-                    (max_w, obd_spec.num_pos), dtype=dtype)
-            if g2_spec is not None and g2_spec.as_pure_est:
-                extra0["aux_g2"] = jnp.zeros(
-                    (max_w, g2_spec.num_bins), dtype=dtype)
+            if aux_in is not None:
+                extra0 = dict(aux_in)
+            else:
+                extra0 = {}
+                if density_spec is not None \
+                        and density_spec.as_pure_est:
+                    extra0["aux_density"] = jnp.zeros(
+                        (max_w, density_spec.num_bins), dtype=dtype)
+                if ssf_spec is not None and ssf_spec.as_pure_est:
+                    extra0["aux_ssf"] = jnp.zeros(
+                        (max_w, ssf_spec.num_modes, 3), dtype=dtype)
+                if obd_spec is not None and obd_spec.as_pure_est:
+                    extra0["aux_obd"] = jnp.zeros(
+                        (max_w, obd_spec.num_pos), dtype=dtype)
+                if g2_spec is not None and g2_spec.as_pure_est:
+                    extra0["aux_g2"] = jnp.zeros(
+                        (max_w, g2_spec.num_bins), dtype=dtype)
+            aux_keys = tuple(extra0)
+            varying = tuple(a for a in (axis_name, *extra_varying_axes)
+                            if a is not None)
+            if varying and extra0 and aux_in is None:
+                # Locally-built zeros are replicated constants; mark
+                # them varying over the mesh axes so the scan carry
+                # types line up (the sweep wrapper adds its row axis
+                # via ``extra_varying_axes``).  Accumulators passed in
+                # through shard_map (aux_in) — and ``ref_eprev`` below,
+                # a slice of the sharded state — are varying already
+                # and must NOT be re-cast.
+                extra0 = jax.tree.map(
+                    lambda x: jax.lax.pcast(x, varying, to="varying"),
+                    extra0)
             if self.ref_compat:
                 # Slot-wise previous-step energies.  NOTE: at a block
                 # boundary this re-seeds from the post-diffusion
@@ -978,18 +1048,11 @@ class Sampling:
                 # :meth:`replay_states` runs one uninterrupted scan and
                 # is exact everywhere).
                 extra0["ref_eprev"] = state.energies
-            varying = tuple(a for a in (axis_name, *extra_varying_axes)
-                            if a is not None)
-            if varying and extra0:
-                # Mark the shard-local accumulators as varying over the
-                # mesh axes so the scan carry types line up (the sweep
-                # wrapper adds its row axis via ``extra_varying_axes``).
-                extra0 = jax.tree.map(
-                    lambda x: jax.lax.pcast(x, varying, to="varying"),
-                    extra0)
 
             keys = jax.random.split(block_key, num_time_steps_block)
             steps = jnp.arange(num_time_steps_block)
+            if step_offset is not None:
+                steps = steps + step_offset
 
             if cadence == 1:
                 def body(carry, inputs):
@@ -999,7 +1062,7 @@ class Sampling:
                         st, extra, key, step_idx, scalars, cfc)
                     return (new_state, new_extra), (props, est)
 
-                (final_state, _), (props, est) = jax.lax.scan(
+                (final_state, final_extra), (props, est) = jax.lax.scan(
                     body, (state, extra0), (keys, steps))
             else:
                 # Measurement cadence: chunks of ``cadence`` steps where
@@ -1036,7 +1099,7 @@ class Sampling:
                         props_plain, props_last)
                     return (new_state, new_extra), (props, est)
 
-                (final_state, _), (props, est) = jax.lax.scan(
+                (final_state, final_extra), (props, est) = jax.lax.scan(
                     chunk_body, (state, extra0), (ckeys, csteps))
                 # (chunks, cadence, ...) -> (nts, ...) per-step props.
                 props = jax.tree.map(
@@ -1058,7 +1121,8 @@ class Sampling:
                 est = jax.tree.map(
                     lambda x: jax.lax.psum(x, axis_name), est)
             props_data = PropsData(*props)
-            return final_state, props_data, est
+            aux_out = {k: final_extra[k] for k in aux_keys}
+            return final_state, aux_out, props_data, est
 
         return run_block
 
@@ -1080,16 +1144,29 @@ class Sampling:
             ref_energy=P(), accum_energy=P(), total_energy=P(),
             total_weight=P(),
             cmd_accum=P(ax) if self.cm_diffusion_est else None)
+        aux_spec = {name: P(ax)
+                    for name in (self._pure_aux_shapes() if measure
+                                 else {})}
 
         def sharded_block(state, block_key, scalars, cfc,
-                          num_time_steps_block: int):
+                          num_time_steps_block: int, aux_in=None,
+                          step_offset=None):
+            if aux_in is None:
+                aux_in = {name: jnp.zeros(shape, dtype=state.pos.dtype)
+                          for name, shape
+                          in (self._pure_aux_shapes() if measure
+                              else {}).items()}
+            if step_offset is None:
+                step_offset = jnp.int32(0)
             fn = jax.shard_map(
-                lambda st, k, sc, cf: run_block(
-                    st, k, sc, cf, num_time_steps_block),
+                lambda st, aux, k, off, sc, cf: run_block(
+                    st, k, sc, cf, num_time_steps_block,
+                    aux_in=aux, step_offset=off),
                 mesh=self.mesh,
-                in_specs=(state_spec, P(), P(), P()),
-                out_specs=(state_spec, P(), P()))
-            return fn(state, block_key, scalars, cfc)
+                in_specs=(state_spec, aux_spec, P(), P(), P(), P()),
+                out_specs=(state_spec, aux_spec, P(), P()))
+            return fn(state, aux_in, block_key, step_offset, scalars,
+                      cfc)
 
         return jax.jit(sharded_block,
                        static_argnames=("num_time_steps_block",))
@@ -1144,10 +1221,29 @@ class Sampling:
         rebalance_every = self.rebalance_every \
             if self.num_shards > 1 else None
         cmd_window = self.cm_window_blocks
+        # Forward-walking window bookkeeping: the pure-estimator
+        # accumulators persist across blocks when a pfw window exceeds
+        # one block, zeroed at every window start.
+        pfw_window = self.pfw_window_blocks(num_time_steps_block)
+        aux_shapes = self._pure_aux_shapes()
+
+        def _fresh_aux():
+            return {name: jnp.zeros(shape, dtype=dtype)
+                    for name, shape in aux_shapes.items()}
+
+        aux = _fresh_aux()
         block_idx = 0
         while True:
             if (rebalance_every and block_idx
-                    and block_idx % rebalance_every == 0):
+                    and block_idx % rebalance_every == 0
+                    and (block_idx <= burn_in_blocks
+                         or (block_idx - burn_in_blocks)
+                         % pfw_window == 0)):
+                # Rebalancing permutes the walker buffers; with a
+                # multi-block forward-walking window the aux
+                # accumulators ride OUTSIDE the state, so defer
+                # rebalances to window boundaries where the aux is
+                # freshly zeroed.
                 state = self.rebalance(state)
             if self.cm_diffusion_est:
                 # Open a fresh CM-diffusion window at the first
@@ -1162,10 +1258,19 @@ class Sampling:
             block_key = jax.random.fold_in(base_key,
                                            int(block_offset) + block_idx)
             burning = block_idx < burn_in_blocks
-            block_fn = self._block_fn_burn if burning \
-                else self._block_fn_measure
-            state, props, est = block_fn(state, block_key, scalars, cfc,
-                                         num_time_steps_block)
+            if burning:
+                state, _, props, est = self._block_fn_burn(
+                    state, block_key, scalars, cfc,
+                    num_time_steps_block)
+            else:
+                win_pos = (block_idx - burn_in_blocks) % pfw_window
+                if win_pos == 0:
+                    aux = _fresh_aux()
+                state, aux, props, est = self._block_fn_measure(
+                    state, block_key, scalars, cfc,
+                    num_time_steps_block, aux_in=aux,
+                    step_offset=jnp.int32(win_pos
+                                          * num_time_steps_block))
             density = est.get("density") if not burning else None
             ssf = est.get("ssf") if not burning else None
             obd = est.get("obd") if not burning else None
@@ -1261,8 +1366,8 @@ class Sampling:
         @jax.jit
         def collect(state, block_key, scalars, cfc):
             def body(carry, key):
-                new_state, props, _ = block_fn(carry, key, scalars,
-                                               cfc, thin)
+                new_state, _, props, _ = block_fn(carry, key, scalars,
+                                                  cfc, thin)
                 return new_state, (
                     {"pos": new_state.pos,
                      "energies": new_state.energies,
