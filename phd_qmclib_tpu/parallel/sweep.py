@@ -159,10 +159,8 @@ class ParamSweep:
             cmd_accum=(row_spec(True)
                        if self.samplings[0].cm_diffusion_est else None))
         props_spec = PropsData(*(P(None, sweep) for _ in range(5)))
-        aux_ndims = {"aux_density": 1, "aux_ssf": 2, "aux_obd": 1,
-                     "aux_g2": 1}
-        aux_spec = {name: row_spec(True, aux_ndims[name])
-                    for name in ref._pure_aux_shapes()}
+        aux_spec = {name: row_spec(True, len(shape) - 1)
+                    for name, shape in ref._pure_aux_shapes().items()}
 
         def per_shard(state, aux, block_keys, step_offset, scalars,
                       cfc, num_time_steps_block: int):

@@ -227,6 +227,27 @@ class Proc(proc_base.Proc):
                 raise ValueError(
                     f"{name}: pfw_num_time_steps must be divisible by "
                     f"est_every (x est_every_mult for the OBDM)")
+        # All pure estimators share ONE forward-walking window (the
+        # longest): estimators with shorter pfw freeze at their own
+        # horizon and keep ancestry-transporting to the shared window
+        # end (extra projection — valid forward walking), but they then
+        # contribute one statistics sample per SHARED window.  Make
+        # that audible when windows mix.
+        windows = set()
+        nts = self.num_time_steps_block
+        for spec in (self.density_spec, self.ssf_spec, self.obd_spec,
+                     self.pair_corr_spec):
+            if spec is None or not spec.as_pure_est:
+                continue
+            pfw = spec.pfw_num_time_steps
+            pfw = int(pfw) if pfw else nts
+            windows.add(max(1, pfw // nts) if pfw % nts == 0 else 1)
+        if len(windows) > 1:
+            warnings.warn(
+                f"pure estimators request different forward-walking "
+                f"windows ({sorted(windows)} blocks); all share the "
+                f"longest ({max(windows)} blocks) and contribute one "
+                f"statistics sample per shared window", UserWarning)
 
     # -- config plumbing -----------------------------------------------------
 
@@ -534,22 +555,25 @@ class Proc(proc_base.Proc):
 
         exec_logger.info("Starting the evaluation of estimators...")
         import time as _time
-        if self.profile_dir is not None:
-            # Trace one block for TensorBoard/Perfetto inspection.
-            import jax
-            with jax.profiler.trace(self.profile_dir):
-                probe = next(blocks_iter)
-                jax.block_until_ready(probe.last_state.pos)
-            exec_logger.info(f"profiler trace written to "
-                             f"{self.profile_dir}")
         log_every = max(1, num_blocks // 8)
         t_start = _time.perf_counter()
         total_walker_steps = 0.0
         block_data = None
-        probe_blocks = 1 if self.profile_dir is not None else 0
         num_rebalances = 0
         for block_idx in range(num_blocks):
-            block_data = next(blocks_iter)
+            if block_idx == 0 and self.profile_dir is not None:
+                # Trace the FIRST measured block for TensorBoard /
+                # Perfetto — traced in place (not as a discarded probe)
+                # so it still contributes statistics and the
+                # forward-walking window phase stays aligned.
+                import jax
+                with jax.profiler.trace(self.profile_dir):
+                    block_data = next(blocks_iter)
+                    jax.block_until_ready(block_data.last_state.pos)
+                exec_logger.info(f"profiler trace written to "
+                                 f"{self.profile_dir}")
+            else:
+                block_data = next(blocks_iter)
             shard_nw = np.asarray(block_data.last_state.num_walkers)
             if shard_nw.min() <= 0 and sampling.num_shards > 1:
                 # Per-shard combs cannot repopulate an empty shard; a
@@ -559,19 +583,27 @@ class Proc(proc_base.Proc):
                 # walkers evenly across the shards and continue the run
                 # from the rebalanced state (same RNG stream position).
                 balanced = sampling.rebalance(block_data.last_state)
-                consumed = burn_in_blocks + probe_blocks + block_idx + 1
+                consumed = burn_in_blocks + block_idx + 1
                 blocks_iter = sampling.blocks(
                     balanced, nts_block, burn_in_blocks=0,
                     block_offset=self.block_offset + consumed)
                 block_data = block_data._replace(last_state=balanced)
+                # The restarted iterator opens a fresh forward-walking
+                # window at the next block; realign the accumulator's
+                # window phase so partial windows are DROPPED instead
+                # of being stored as under-projected samples.
+                accumulator.restart_window(block_idx + 1)
                 num_rebalances += 1
                 if num_rebalances <= 3:
                     exec_logger.warning(
                         f"walker population collapsed on a shard "
                         f"(per-shard counts {shard_nw.tolist()}); "
                         f"rebalanced the surviving walkers evenly "
-                        f"across shards and resumed. Consider "
-                        f"rebalance_every or a larger "
+                        f"across shards and resumed"
+                        + (" (forward-walking window restarted; the "
+                           "interrupted window contributes no sample)"
+                           if accumulator.window > 1 else "")
+                        + ". Consider rebalance_every or a larger "
                         f"target_num_walkers.")
             bp = block_data.iter_props
             energy = np.asarray(bp.energy, dtype=np.float64)
@@ -603,8 +635,7 @@ class Proc(proc_base.Proc):
                 self._write_checkpoint(
                     block_data.last_state,
                     blocks_completed=block_idx + 1,
-                    stream_consumed=(burn_in_blocks + probe_blocks
-                                     + block_idx + 1))
+                    stream_consumed=(burn_in_blocks + block_idx + 1))
 
             # Throughput observability (absent in the reference; see
             # SURVEY aux-subsystems notes).
@@ -641,8 +672,14 @@ class _BlockAccumulator:
         # Forward-walking windows may span several blocks; pure
         # estimators then contribute ONE statistics sample per window
         # (the end-of-window value; interior blocks are partial sums).
+        # Samples collect in lists keyed by estimator name so the
+        # window phase can RESTART mid-run (a shard-collapse rebalance
+        # reopens the window; the interrupted window contributes no
+        # sample).
         self.window = proc.sampling.pfw_window_blocks(nts_block)
-        num_windows = num_blocks // self.window
+        self.win_origin = 0
+        self.pure_samples = {}
+        self.win_weights = []
         shape = (num_blocks, nts_block) if keep else (num_blocks,)
         # Estimator series carry one entry per MEASURED step.
         num_measured = nts_block // proc.est_every
@@ -650,7 +687,14 @@ class _BlockAccumulator:
         def _est_rows(as_pure):
             if keep:
                 return (num_blocks, num_measured)
-            return (num_windows,) if as_pure else (num_blocks,)
+            return None if as_pure else (num_blocks,)
+
+        def _alloc(rows, tail, as_pure, name):
+            if as_pure:
+                self.pure_samples[name] = []
+            if rows is None:
+                return None
+            return np.zeros(rows + tail)
 
         self.props = {name: np.zeros(shape) for name in
                       ("energy", "weight", "num_walkers", "ref_energy",
@@ -659,29 +703,33 @@ class _BlockAccumulator:
         self.ssf_blocks_data = None
         self.obd_blocks_data = None
         if proc.should_eval_density:
-            self.density_blocks_data = np.zeros(
-                _est_rows(proc.density_spec.as_pure_est)
-                + (proc.density_spec.num_bins,))
+            self.density_blocks_data = _alloc(
+                _est_rows(proc.density_spec.as_pure_est),
+                (proc.density_spec.num_bins,),
+                proc.density_spec.as_pure_est, "density")
         if proc.should_eval_ssf:
-            self.ssf_blocks_data = np.zeros(
-                _est_rows(proc.ssf_spec.as_pure_est)
-                + (proc.ssf_spec.num_modes, 3))
+            self.ssf_blocks_data = _alloc(
+                _est_rows(proc.ssf_spec.as_pure_est),
+                (proc.ssf_spec.num_modes, 3),
+                proc.ssf_spec.as_pure_est, "ssf")
         if proc.should_eval_obd:
             # The OBDM carries its own (sparser) cadence.
             num_measured_obd = nts_block // (proc.est_every
                                              * proc.obd_spec.est_every_mult)
-            obd_shape = (num_blocks, num_measured_obd) if keep \
+            obd_rows = (num_blocks, num_measured_obd) if keep \
                 else _est_rows(proc.obd_spec.as_pure_est)
-            self.obd_blocks_data = np.zeros(
-                obd_shape + (proc.obd_spec.num_pos,))
+            self.obd_blocks_data = _alloc(
+                obd_rows, (proc.obd_spec.num_pos,),
+                proc.obd_spec.as_pure_est, "obd")
         self.g2_blocks_data = None
         if proc.should_eval_pair_corr:
             num_measured_g2 = nts_block // (
                 proc.est_every * proc.pair_corr_spec.est_every_mult)
-            g2_shape = (num_blocks, num_measured_g2) if keep \
+            g2_rows = (num_blocks, num_measured_g2) if keep \
                 else _est_rows(proc.pair_corr_spec.as_pure_est)
-            self.g2_blocks_data = np.zeros(
-                g2_shape + (proc.pair_corr_spec.num_bins,))
+            self.g2_blocks_data = _alloc(
+                g2_rows, (proc.pair_corr_spec.num_bins,),
+                proc.pair_corr_spec.as_pure_est, "g2")
         self.cmd_w2_data = None
         self.cmd_raw_data = None
         if proc.should_eval_cm_diffusion:
@@ -706,6 +754,13 @@ class _BlockAccumulator:
                 * proc.pair_corr_spec.est_every_mult > 1) \
             else None
 
+    def restart_window(self, next_block_idx: int):
+        """Realign the forward-walking window phase after the sampler
+        stream was restarted (shard-collapse rebalance): the next
+        block opens a fresh window; the interrupted window contributes
+        no statistics sample."""
+        self.win_origin = next_block_idx
+
     def add(self, block_idx: int, energy, weight, num_walkers,
             ref_energy, accum_energy, iter_density=None, iter_ssf=None,
             iter_obd=None, iter_cmd=None, iter_g2=None):
@@ -720,6 +775,36 @@ class _BlockAccumulator:
             self.cmd_w2_data[block_idx] = iter_cmd[:, 0] / nw_meas
             if self.cmd_raw_data is not None:
                 self.cmd_raw_data[block_idx] = iter_cmd
+        # One statistics sample per forward-walking window: the
+        # end-of-window value, weighted by the window-final step's
+        # walker count (interior blocks hold partial, under-projected
+        # accumulations — not samples).  The phase counts from
+        # ``win_origin`` so a stream restart drops the interrupted
+        # window.
+        win_final = (block_idx - self.win_origin + 1) \
+            % self.window == 0
+        if win_final and self.pure_samples:
+            self.win_weights.append(float(num_walkers[nts_block - 1]))
+
+        def _sample(name, data, as_pure):
+            if as_pure and win_final:
+                self.pure_samples[name].append(np.asarray(data[-1]))
+
+        _sample("density", iter_density,
+                proc.should_eval_density
+                and proc.density_spec.as_pure_est
+                and iter_density is not None)
+        _sample("ssf", iter_ssf,
+                proc.should_eval_ssf and proc.ssf_spec.as_pure_est
+                and iter_ssf is not None)
+        _sample("obd", iter_obd,
+                proc.should_eval_obd and proc.obd_spec.as_pure_est
+                and iter_obd is not None)
+        _sample("g2", iter_g2,
+                proc.should_eval_pair_corr
+                and proc.pair_corr_spec.as_pure_est
+                and iter_g2 is not None)
+
         if proc.keep_iter_data:
             props["energy"][block_idx] = energy
             props["weight"][block_idx] = weight
@@ -755,30 +840,23 @@ class _BlockAccumulator:
             k = proc.est_every * proc.pair_corr_spec.est_every_mult
             self.g2_weight_totals[block_idx] = \
                 weight[k - 1::k].sum()
-        win_final = (block_idx + 1) % self.window == 0
-        win_idx = (block_idx + 1) // self.window - 1
 
-        def _store(dest, data, as_pure):
+        def _store_mixed(dest, data, as_pure):
             if not as_pure:
                 dest[block_idx] = data.sum(axis=0)
-            elif win_final:
-                # One sample per forward-walking window: the
-                # end-of-window value (interior blocks hold partial,
-                # under-projected accumulations — not samples).
-                dest[win_idx] = data[-1]
 
         if iter_density is not None:
-            _store(self.density_blocks_data, iter_density,
-                   proc.density_spec.as_pure_est)
+            _store_mixed(self.density_blocks_data, iter_density,
+                         proc.density_spec.as_pure_est)
         if iter_ssf is not None:
-            _store(self.ssf_blocks_data, iter_ssf,
-                   proc.ssf_spec.as_pure_est)
+            _store_mixed(self.ssf_blocks_data, iter_ssf,
+                         proc.ssf_spec.as_pure_est)
         if iter_obd is not None:
-            _store(self.obd_blocks_data, iter_obd,
-                   proc.obd_spec.as_pure_est)
+            _store_mixed(self.obd_blocks_data, iter_obd,
+                         proc.obd_spec.as_pure_est)
         if iter_g2 is not None:
-            _store(self.g2_blocks_data, iter_g2,
-                   proc.pair_corr_spec.as_pure_est)
+            _store_mixed(self.g2_blocks_data, iter_g2,
+                         proc.pair_corr_spec.as_pure_est)
 
     def package(self) -> "dmc_data.SamplingData":
         """Block statistics + optional series, reference packaging
@@ -796,31 +874,64 @@ class _BlockAccumulator:
         num_walkers_blocks = dmc_data.NumWalkersBlocks.from_data(
             props_data, reduce_data)
         est_kw = dict(est_every=proc.est_every,
-                      est_weight_totals=self.est_weight_totals,
-                      window=self.window)
-        density_blocks = dmc_data.DensityBlocks.from_data(
-            nts_block, self.density_blocks_data, props_data, reduce_data,
-            proc.density_spec.as_pure_est, factor, **est_kw) \
-            if proc.should_eval_density else None
-        ssf_blocks = dmc_data.SSFBlocks.from_data(
-            nts_block, self.ssf_blocks_data, props_data, reduce_data,
-            proc.ssf_spec.as_pure_est, factor, **est_kw) \
-            if proc.should_eval_ssf else None
-        obd_blocks = dmc_data.OBDBlocks.from_data(
-            nts_block, self.obd_blocks_data, props_data, reduce_data,
-            proc.obd_spec.as_pure_est, factor,
-            est_every=proc.est_every * proc.obd_spec.est_every_mult,
-            est_weight_totals=self.obd_weight_totals,
-            window=self.window) \
-            if proc.should_eval_obd else None
-        g2_blocks = dmc_data.PairCorrBlocks.from_data(
-            nts_block, self.g2_blocks_data, props_data, reduce_data,
-            proc.pair_corr_spec.as_pure_est, factor,
-            est_every=(proc.est_every
-                       * proc.pair_corr_spec.est_every_mult),
-            est_weight_totals=self.g2_weight_totals,
-            window=self.window) \
-            if proc.should_eval_pair_corr else None
+                      est_weight_totals=self.est_weight_totals)
+        win_w = np.asarray(self.win_weights, dtype=np.float64)
+
+        def _pure(cls, name):
+            totals = np.stack(self.pure_samples[name])
+            return cls(totals, win_w[:, np.newaxis])
+
+        if proc.should_eval_density:
+            if proc.density_spec.as_pure_est:
+                density_blocks = _pure(dmc_data.DensityBlocks,
+                                       "density")
+            else:
+                density_blocks = dmc_data.DensityBlocks.from_data(
+                    nts_block, self.density_blocks_data, props_data,
+                    reduce_data, False, factor, **est_kw)
+        else:
+            density_blocks = None
+        if proc.should_eval_ssf:
+            if proc.ssf_spec.as_pure_est:
+                totals = np.stack(self.pure_samples["ssf"])
+                w = win_w[:, np.newaxis]
+                ssf_blocks = dmc_data.SSFBlocks(
+                    dmc_data.SSFPartBlocks(
+                        totals[..., dmc_data.FDK_SQR_ABS], w),
+                    dmc_data.SSFPartBlocks(
+                        totals[..., dmc_data.FDK_REAL], w),
+                    dmc_data.SSFPartBlocks(
+                        totals[..., dmc_data.FDK_IMAG], w))
+            else:
+                ssf_blocks = dmc_data.SSFBlocks.from_data(
+                    nts_block, self.ssf_blocks_data, props_data,
+                    reduce_data, False, factor, **est_kw)
+        else:
+            ssf_blocks = None
+        if proc.should_eval_obd:
+            if proc.obd_spec.as_pure_est:
+                obd_blocks = _pure(dmc_data.OBDBlocks, "obd")
+            else:
+                obd_blocks = dmc_data.OBDBlocks.from_data(
+                    nts_block, self.obd_blocks_data, props_data,
+                    reduce_data, False, factor,
+                    est_every=(proc.est_every
+                               * proc.obd_spec.est_every_mult),
+                    est_weight_totals=self.obd_weight_totals)
+        else:
+            obd_blocks = None
+        if proc.should_eval_pair_corr:
+            if proc.pair_corr_spec.as_pure_est:
+                g2_blocks = _pure(dmc_data.PairCorrBlocks, "g2")
+            else:
+                g2_blocks = dmc_data.PairCorrBlocks.from_data(
+                    nts_block, self.g2_blocks_data, props_data,
+                    reduce_data, False, factor,
+                    est_every=(proc.est_every
+                               * proc.pair_corr_spec.est_every_mult),
+                    est_weight_totals=self.g2_weight_totals)
+        else:
+            g2_blocks = None
 
         cmd_blocks = None
         if proc.should_eval_cm_diffusion:

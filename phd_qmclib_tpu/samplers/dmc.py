@@ -476,11 +476,16 @@ class Sampling:
                     or not spec.pfw_num_time_steps:
                 continue
             pfw = int(spec.pfw_num_time_steps)
-            if pfw > num_time_steps_block:
-                if pfw % num_time_steps_block:
-                    raise ValueError(
-                        "a pfw_num_time_steps beyond one block must be "
-                        "a multiple of num_time_steps_block")
+            if pfw > num_time_steps_block \
+                    and pfw % num_time_steps_block == 0:
+                # Non-multiple values keep the historical per-block
+                # window (the in-block freeze simply never triggers) —
+                # the exec layer clamps such specs with a warning.
+                # NOTE: estimators with shorter (or unset) pfw share
+                # the LONGEST window: they freeze at their own pfw and
+                # keep ancestry-transporting to the window end (extra
+                # projection — valid forward walking), contributing
+                # one sample per shared window.
                 window = max(window, pfw // num_time_steps_block)
         return window
 
@@ -1231,20 +1236,24 @@ class Sampling:
             return {name: jnp.zeros(shape, dtype=dtype)
                     for name, shape in aux_shapes.items()}
 
-        aux = _fresh_aux()
+        aux = _fresh_aux() if pfw_window > 1 else None
         block_idx = 0
+        rebalance_pending = False
         while True:
             if (rebalance_every and block_idx
-                    and block_idx % rebalance_every == 0
-                    and (block_idx <= burn_in_blocks
-                         or (block_idx - burn_in_blocks)
-                         % pfw_window == 0)):
+                    and block_idx % rebalance_every == 0):
+                rebalance_pending = True
+            if rebalance_pending and (
+                    block_idx <= burn_in_blocks
+                    or (block_idx - burn_in_blocks) % pfw_window == 0):
                 # Rebalancing permutes the walker buffers; with a
                 # multi-block forward-walking window the aux
-                # accumulators ride OUTSIDE the state, so defer
-                # rebalances to window boundaries where the aux is
-                # freshly zeroed.
+                # accumulators ride OUTSIDE the state, so a due
+                # rebalance is held PENDING and executes at the next
+                # window boundary (where the aux is freshly zeroed)
+                # instead of being dropped.
                 state = self.rebalance(state)
+                rebalance_pending = False
             if self.cm_diffusion_est:
                 # Open a fresh CM-diffusion window at the first
                 # measured block and every ``cm_window_blocks``
@@ -1260,6 +1269,13 @@ class Sampling:
             burning = block_idx < burn_in_blocks
             if burning:
                 state, _, props, est = self._block_fn_burn(
+                    state, block_key, scalars, cfc,
+                    num_time_steps_block)
+            elif pfw_window == 1:
+                # Per-block windows (the default): the aux zeros stay
+                # jit-internal constants — the historical zero-overhead
+                # path.
+                state, _, props, est = self._block_fn_measure(
                     state, block_key, scalars, cfc,
                     num_time_steps_block)
             else:

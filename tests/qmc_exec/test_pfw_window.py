@@ -239,3 +239,74 @@ class TestMultiBlockWindows:
         np.testing.assert_allclose(
             kept.data.blocks.density.weight_totals,
             reduced.data.blocks.density.weight_totals, rtol=1e-12)
+
+
+def test_pending_rebalance_executes_at_window_boundary(model_spec,
+                                                       monkeypatch):
+    """A due rebalance mid-window is HELD and executed at the next
+    window start, not dropped (regression: with rebalance_every=2, a
+    2-block window and an odd burn-in the cadence and window phase
+    never coincide, silently disabling rebalancing forever)."""
+    import jax
+
+    from phd_qmclib_tpu.parallel import make_walker_mesh
+
+    calls = []
+    orig = dmc.Sampling.rebalance
+
+    def spy(self, state):
+        calls.append(1)
+        return orig(self, state)
+
+    monkeypatch.setattr(dmc.Sampling, "rebalance", spy)
+    mesh = make_walker_mesh(len(jax.devices()))
+    sampling = dmc.Sampling(
+        model_spec, time_step=1e-3, max_num_walkers=96,
+        target_num_walkers=64, rng_seed=11, mesh=mesh,
+        rebalance_every=2,
+        density_est_spec=dmc.DensityEstSpec(
+            num_bins=8, as_pure_est=True, pfw_num_time_steps=16))
+    rng = np.random.default_rng(4)
+    confs = np.stack([model_spec.init_get_sys_conf(rng=rng)
+                      for _ in range(64)])
+    state = sampling.build_state(confs)
+    it = sampling.blocks(state, num_time_steps_block=8,
+                         burn_in_blocks=1)
+    for _ in range(7):
+        next(it)
+    assert calls, ("the pending rebalance must fire at a window "
+                   "boundary even when the cadence lands mid-window")
+
+
+def test_accumulator_window_restart_drops_partial_window(model_spec):
+    """After a stream restart (shard-collapse path) the interrupted
+    window contributes no sample and subsequent windows realign."""
+    from phd_qmclib_tpu.qmc_exec.dmc import _BlockAccumulator
+
+    proc = dmc_exec.Proc(
+        model_spec=model_spec, time_step=1e-3, max_num_walkers=48,
+        target_num_walkers=32, num_blocks=6, num_time_steps_block=8,
+        burn_in_blocks=0, rng_seed=9, dtype="float64",
+        density_spec=dmc_exec.DensityEstSpec(
+            num_bins=4, as_pure_est=True, pfw_num_time_steps=16))
+    acc = _BlockAccumulator(proc)
+    assert acc.window == 2
+    nts = 8
+    ones = np.ones(nts)
+
+    def add(idx, tag):
+        acc.add(idx, ones, ones, 32 * ones, ones, ones,
+                iter_density=np.full((nts, 4), tag, dtype=float))
+
+    add(0, 1.0)
+    # "Collapse" after block 0: block 1 would have closed window 0 —
+    # the restart drops it and block 1 OPENS a new window instead.
+    acc.restart_window(1)
+    add(1, 2.0)
+    add(2, 3.0)   # closes the realigned window -> first sample
+    add(3, 4.0)
+    add(4, 5.0)   # closes the second window
+    samples = acc.pure_samples["density"]
+    assert len(samples) == 2
+    np.testing.assert_array_equal(samples[0], np.full(4, 3.0))
+    np.testing.assert_array_equal(samples[1], np.full(4, 5.0))
