@@ -279,8 +279,7 @@ def _pure_aware_totals(num_time_steps_block: int, est_data: np.ndarray,
                        as_pure_est: bool,
                        pure_est_reduce_factor: t.Optional[np.ndarray],
                        est_every: int = 1,
-                       est_weight_totals: t.Optional[np.ndarray] = None,
-                       window: int = 1):
+                       est_weight_totals: t.Optional[np.ndarray] = None):
     """Shared estimator-totals logic (``qmc_exec/data/dmc.py:329-374``).
 
     For pure (forward-walking) estimators, ONLY the end-of-block value
@@ -317,27 +316,26 @@ def _pure_aware_totals(num_time_steps_block: int, est_data: np.ndarray,
                 else np.asarray(est_weight_totals,
                                 dtype=weight_data.dtype)
     else:
-        # Pure (forward-walking) estimators: one statistical sample
-        # per WINDOW — the end-of-window value weighted by the
-        # window-final step's walker count.  ``window`` > 1 when the
-        # forward-walking window spans several blocks (the accumulator
-        # persists across them; window-interior blocks hold partial,
-        # under-projected values that are NOT samples).
+        # Pure (forward-walking) estimators with a ONE-block window:
+        # one statistical sample per block — the end-of-block value
+        # weighted by the block-final step's walker count.  Multi-block
+        # windows never reach this function: the exec driver collects
+        # their window-final samples in ``_BlockAccumulator.
+        # pure_samples`` and builds the Blocks objects directly
+        # (``qmc_exec/dmc.py`` ``package()``).
         if reduce_data:
             # Full per-step series available.
-            totals = est_data[window - 1::window, -1]
+            totals = est_data[:, -1]
             weight_totals = np.asarray(
-                props_data.num_walkers)[window - 1::window,
-                                        nts_block - 1].astype(
+                props_data.num_walkers)[:, nts_block - 1].astype(
                     weight_data.dtype)
         else:
             # Block-reduced inputs: the driver stored only the
-            # window-final reductions (est_data has one row per
-            # window) and ``pure_est_reduce_factor = N_w(last)/sum(W)``
-            # recovers the window-final step's walker count exactly.
+            # end-of-block reductions and ``pure_est_reduce_factor =
+            # N_w(last)/sum(W)`` recovers the block-final step's
+            # walker count exactly.
             totals = est_data
-            weight_totals = (weight_data
-                             * pure_est_reduce_factor)[window - 1::window]
+            weight_totals = weight_data * pure_est_reduce_factor
     return totals, weight_totals[..., np.newaxis]
 
 
@@ -352,12 +350,11 @@ class DensityBlocks(PropBlocks):
                   props_data: PropsData, reduce_data: bool = True,
                   as_pure_est: bool = True,
                   pure_est_reduce_factor: np.ndarray = None,
-                  est_every: int = 1, est_weight_totals=None,
-                  window: int = 1):
+                  est_every: int = 1, est_weight_totals=None):
         totals, weight_totals = _pure_aware_totals(
             num_time_steps_block, density_data, props_data, reduce_data,
             as_pure_est, pure_est_reduce_factor, est_every,
-            est_weight_totals, window)
+            est_weight_totals)
         return cls(totals, weight_totals)
 
     @property
@@ -390,12 +387,11 @@ class OBDBlocks(DensityBlocks):
                   props_data: PropsData, reduce_data: bool = True,
                   as_pure_est: bool = True,
                   pure_est_reduce_factor: np.ndarray = None,
-                  est_every: int = 1, est_weight_totals=None,
-                  window: int = 1):
+                  est_every: int = 1, est_weight_totals=None):
         totals, weight_totals = _pure_aware_totals(
             num_time_steps_block, obd_data, props_data, reduce_data,
             as_pure_est, pure_est_reduce_factor, est_every,
-            est_weight_totals, window)
+            est_weight_totals)
         return cls(totals, weight_totals)
 
 
@@ -412,12 +408,11 @@ class PairCorrBlocks(DensityBlocks):
                   props_data: PropsData, reduce_data: bool = True,
                   as_pure_est: bool = True,
                   pure_est_reduce_factor: np.ndarray = None,
-                  est_every: int = 1, est_weight_totals=None,
-                  window: int = 1):
+                  est_every: int = 1, est_weight_totals=None):
         totals, weight_totals = _pure_aware_totals(
             num_time_steps_block, g2_data, props_data, reduce_data,
             as_pure_est, pure_est_reduce_factor, est_every,
-            est_weight_totals, window)
+            est_weight_totals)
         return cls(totals, weight_totals)
 
     def pair_correlation(self, boson_number: int,
@@ -440,12 +435,11 @@ class SSFPartBlocks(DensityBlocks):
                   props_data: PropsData, reduce_data: bool = True,
                   as_pure_est: bool = True,
                   pure_est_reduce_factor: np.ndarray = None,
-                  est_every: int = 1, est_weight_totals=None,
-                  window: int = 1):
+                  est_every: int = 1, est_weight_totals=None):
         totals, weight_totals = _pure_aware_totals(
             num_time_steps_block, ssf_data, props_data, reduce_data,
             as_pure_est, pure_est_reduce_factor, est_every,
-            est_weight_totals, window)
+            est_weight_totals)
         return cls(totals, weight_totals)
 
 
@@ -464,12 +458,11 @@ class SSFBlocks:
                   props_data: PropsData, reduce_data: bool = True,
                   as_pure_est: bool = True,
                   pure_est_reduce_factor: np.ndarray = None,
-                  est_every: int = 1, est_weight_totals=None,
-                  window: int = 1):
+                  est_every: int = 1, est_weight_totals=None):
         totals, weight_totals = _pure_aware_totals(
             num_time_steps_block, ssf_data, props_data, reduce_data,
             as_pure_est, pure_est_reduce_factor, est_every,
-            est_weight_totals, window)
+            est_weight_totals)
         return cls(
             SSFPartBlocks(totals[..., FDK_SQR_ABS], weight_totals),
             SSFPartBlocks(totals[..., FDK_REAL], weight_totals),

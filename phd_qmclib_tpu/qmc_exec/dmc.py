@@ -781,8 +781,14 @@ class _BlockAccumulator:
         # accumulations — not samples).  The phase counts from
         # ``win_origin`` so a stream restart drops the interrupted
         # window.
-        win_final = (block_idx - self.win_origin + 1) \
-            % self.window == 0
+        # Guard against blocks preceding the realigned origin: on a
+        # shard-collapse rebalance ``restart_window(block_idx + 1)``
+        # runs BEFORE this ``add(block_idx)`` for the collapsed block,
+        # and without the guard the modulo wraps to 0 and the
+        # under-projected partial accumulator would be recorded as a
+        # window sample.
+        win_final = block_idx >= self.win_origin and \
+            (block_idx - self.win_origin + 1) % self.window == 0
         if win_final and self.pure_samples:
             self.win_weights.append(float(num_walkers[nts_block - 1]))
 

@@ -299,14 +299,21 @@ def test_accumulator_window_restart_drops_partial_window(model_spec):
                 iter_density=np.full((nts, 4), tag, dtype=float))
 
     add(0, 1.0)
-    # "Collapse" after block 0: block 1 would have closed window 0 —
-    # the restart drops it and block 1 OPENS a new window instead.
-    acc.restart_window(1)
+    # Collapse detected WHILE processing block 1 (the block that would
+    # have closed window 0).  Proc.exec realigns the window BEFORE
+    # folding the collapsed block's data — mirror that exact order:
+    # restart_window(idx + 1) first, then add(idx).  The collapsed
+    # block's under-projected partial accumulator must NOT be recorded
+    # as a window sample.
+    acc.restart_window(2)
     add(1, 2.0)
-    add(2, 3.0)   # closes the realigned window -> first sample
-    add(3, 4.0)
-    add(4, 5.0)   # closes the second window
+    assert acc.pure_samples["density"] == [], \
+        "the collapsed block must not close the realigned window"
+    add(2, 3.0)
+    add(3, 4.0)   # closes the realigned window -> first sample
+    add(4, 5.0)
+    add(5, 6.0)   # closes the second window
     samples = acc.pure_samples["density"]
     assert len(samples) == 2
-    np.testing.assert_array_equal(samples[0], np.full(4, 3.0))
-    np.testing.assert_array_equal(samples[1], np.full(4, 5.0))
+    np.testing.assert_array_equal(samples[0], np.full(4, 4.0))
+    np.testing.assert_array_equal(samples[1], np.full(4, 6.0))
