@@ -213,7 +213,10 @@ class ParamSweep:
 
     def blocks(self, ini_state: State, num_time_steps_block: int,
                burn_in_blocks: int = 0,
-               block_offset: int = 0) -> t.Iterator[SamplingBlock]:
+               block_offset: int = 0,
+               start_block_idx: int = 0,
+               aux_init: t.Optional[dict] = None) \
+            -> t.Iterator[SamplingBlock]:
         """Yield stacked :class:`SamplingBlock` objects — every array
         has a leading sweep-row axis (props: trailing row axis,
         ``(nts, R)``); one device dispatch advances all rows.
@@ -223,6 +226,11 @@ class ParamSweep:
         reproduces its standalone run bit-for-bit).  Rows sharing a
         seed share a stream — give the rows distinct seeds to
         decorrelate them.
+
+        ``start_block_idx``/``aux_init`` resume mid-run checkpoints
+        with continuing window phases (cf.
+        :meth:`samplers.dmc.Sampling.blocks`); ``aux_init`` carries a
+        leading row axis.
         """
         base_keys = jnp.stack([jax.random.PRNGKey(s.rng_seed)
                                for s in self.samplings])
@@ -230,7 +238,7 @@ class ParamSweep:
         scalars = self._stacked_scalars(dtype)
         cfc = self._stacked_cfc(dtype)
         state = ini_state
-        block_idx = 0
+        block_idx = int(start_block_idx)
         cmd_window = self.samplings[0].cm_window_blocks
         if self.samplings[0].cm_diffusion_est \
                 and state.cmd_accum is None:
@@ -249,7 +257,11 @@ class ParamSweep:
             return {name: jnp.zeros((num_rows,) + shape, dtype=dtype)
                     for name, shape in aux_shapes.items()}
 
-        aux = _fresh_aux()
+        if aux_init is not None:
+            aux = {name: jnp.asarray(aux_init[name], dtype=dtype)
+                   for name in aux_shapes}
+        else:
+            aux = _fresh_aux()
         fold = jax.vmap(jax.random.fold_in, in_axes=(0, None))
         while True:
             if self.samplings[0].cm_diffusion_est:
@@ -281,7 +293,10 @@ class ParamSweep:
             cmd = est.get("cmd") if not burning else None
             g2 = est.get("g2") if not burning else None
             yield SamplingBlock(props, density, ssf, state, obd, cmd,
-                                g2)
+                                g2,
+                                aux_carry=(aux if (pfw_window > 1
+                                                   and not burning)
+                                           else None))
             block_idx += 1
 
 

@@ -42,8 +42,16 @@ ModelSysConfSpec = proc_base.ModelSysConfSpec
 
 @dataclass(frozen=True)
 class ProcInput(proc_base.ProcInput):
-    """Input for the DMC procedure: an initial DMC state."""
+    """Input for the DMC procedure: an initial DMC state.
+
+    ``resume`` carries the full measurement state of a mid-run
+    checkpoint (completed-block accumulator data, pure-estimator
+    forward-walking aux carry, window phases, iterator stream
+    position) so :meth:`Proc.exec` continues the interrupted run
+    bit-exactly instead of opening fresh windows; built by
+    :meth:`Proc.restore_checkpoint`, ``None`` for fresh runs."""
     state: dmc_sampler.State
+    resume: t.Optional[dict] = None
 
     @classmethod
     def from_model_sys_conf_spec(cls, sys_conf_spec: ModelSysConfSpec,
@@ -460,16 +468,25 @@ class Proc(proc_base.Proc):
                      sampling_data: dmc_data.SamplingData) -> ProcResult:
         return ProcResult(state, self, sampling_data)
 
-    def _write_checkpoint(self, state, blocks_completed: int = 0,
-                          stream_consumed: int = 0):
-        """Atomic state checkpoint: write to a temp file, then rename.
+    def _write_checkpoint(self, state, blocks_completed: int,
+                          it_offset: int, it_burn: int, it_next: int,
+                          aux: t.Optional[dict] = None,
+                          accum: "t.Optional[_BlockAccumulator]" = None):
+        """Atomic full-state checkpoint: write to a temp file, rename.
 
-        The stored proc_spec describes the *continuation*: its
-        ``block_offset`` is advanced past every block this run consumed
-        from the random stream (burn-in included) and its
-        ``num_blocks`` is reduced to the remaining count, so
-        ``restore_checkpoint`` + ``exec`` finishes the run on an
-        independent stream instead of replaying consumed blocks.
+        Schema v2 (see docs/PARITY.md): beyond the walker state the
+        checkpoint captures the COMPLETE measurement state — the
+        accumulator's completed-block data (props series, mixed
+        estimator reductions, pure window samples, window weights,
+        window-phase origin), the pure-estimator forward-walking aux
+        carry of a window straddling the checkpoint, the CM-diffusion
+        accumulator (inside the state), and the block-stream position
+        of the sampler iterator — so ``restore_checkpoint`` + ``exec``
+        reproduces the uninterrupted run bit-exactly (block keys are
+        ``fold_in(seed, offset + idx)``: deterministic per position).
+        The stored proc_spec is the ORIGINAL config; exec resumes at
+        block ``blocks_completed``.  Exceeds the reference's resume
+        (walker state only, ``qmc_exec/dmc/io.py:35-80``).
         """
         import os
 
@@ -481,15 +498,27 @@ class Proc(proc_base.Proc):
                                             group="checkpoint",
                                             dump_replace=True)
         config = self.as_config()
-        config["block_offset"] = self.block_offset + stream_consumed
-        config["burn_in_blocks"] = 0
-        config["num_blocks"] = max(1, self.num_blocks - blocks_completed)
         tmp_path = f"{self.checkpoint_file}.tmp"
         with h5py.File(tmp_path, "w") as fp:
             handler.save_state(state, fp.require_group(
                 "checkpoint/dmc/state"))
             handler.save_proc(config, fp.require_group(
                 "checkpoint/dmc/proc_spec"))
+            rg = fp.require_group("checkpoint/dmc/resume")
+            rg.attrs["schema"] = 2
+            rg.attrs["blocks_completed"] = int(blocks_completed)
+            rg.attrs["it_offset"] = int(it_offset)
+            rg.attrs["it_burn"] = int(it_burn)
+            rg.attrs["it_next"] = int(it_next)
+            rg.attrs["rebalance_pending"] = bool(
+                _outstanding_rebalance(self.sampling, it_burn, it_next,
+                                       self.num_time_steps_block))
+            if aux is not None:
+                ag = rg.require_group("aux")
+                for name, arr in aux.items():
+                    ag.create_dataset(name, data=np.asarray(arr))
+            if accum is not None:
+                accum.save_snapshot(rg.require_group("accum"))
         os.replace(tmp_path, self.checkpoint_file)
         exec_logger.info(f"checkpoint written to {self.checkpoint_file}")
 
@@ -497,7 +526,13 @@ class Proc(proc_base.Proc):
     def restore_checkpoint(cls, checkpoint_file: str) \
             -> t.Tuple["Proc", ProcInput]:
         """Load a mid-run checkpoint: ``(proc, proc_input)`` ready for
-        ``proc.exec``."""
+        ``proc.exec``.
+
+        Schema-v2 checkpoints resume the interrupted run bit-exactly
+        (full measurement state; see :meth:`_write_checkpoint`).
+        Legacy v1 checkpoints stored a continuation proc_spec and only
+        the walker state — they still load, but estimator windows
+        reopen fresh at the resume point (logged)."""
         import h5py
 
         from . import io as io_mod
@@ -507,7 +542,35 @@ class Proc(proc_base.Proc):
         with h5py.File(checkpoint_file, "r") as fp:
             state = handler.load_state(fp.get("checkpoint/dmc/state"))
             proc = handler.load_proc(fp.get("checkpoint/dmc/proc_spec"))
-        return proc, ProcInput(state)
+            rg = fp.get("checkpoint/dmc/resume")
+            if rg is None:
+                # Legacy (v1) checkpoint: continuation semantics.
+                if proc.sampling.pfw_window_blocks(
+                        proc.num_time_steps_block) > 1 \
+                        or proc.should_eval_cm_diffusion:
+                    exec_logger.warning(
+                        "legacy checkpoint (walker state only): "
+                        "estimator windows reopen FRESH at the resume "
+                        "point — the interrupted window contributes "
+                        "no sample and window phase restarts; "
+                        "re-checkpoint with this version for seamless "
+                        "mid-window resume")
+                return proc, ProcInput(state)
+            resume = {
+                "blocks_completed": int(rg.attrs["blocks_completed"]),
+                "it_offset": int(rg.attrs["it_offset"]),
+                "it_burn": int(rg.attrs["it_burn"]),
+                "it_next": int(rg.attrs["it_next"]),
+                "rebalance_pending": bool(
+                    rg.attrs.get("rebalance_pending", False)),
+            }
+            ag = rg.get("aux")
+            if ag is not None:
+                resume["aux"] = {name: ag[name][()] for name in ag}
+            acg = rg.get("accum")
+            if acg is not None:
+                resume["accum"] = _BlockAccumulator.load_snapshot(acg)
+        return proc, ProcInput(state, resume=resume)
 
     # -- the driver loop -------------------------------------------------------
 
@@ -533,11 +596,38 @@ class Proc(proc_base.Proc):
         self.describe_sampling()
 
         sampling = self.sampling
-        blocks_iter = sampling.blocks(proc_input.state, nts_block,
-                                      burn_in_blocks,
-                                      block_offset=self.block_offset)
+        # The sampler-iterator stream position, tracked so mid-run
+        # checkpoints can record it and a shard-collapse restart can
+        # advance it: block keys are ``fold_in(seed, it_offset +
+        # internal_idx)`` and ``it_offset + it_next`` always points at
+        # the next unconsumed stream position.
+        resume = proc_input.resume
+        start_block = 0
+        if resume is not None:
+            start_block = int(resume["blocks_completed"])
+            it_offset = int(resume["it_offset"])
+            it_burn = int(resume["it_burn"])
+            it_next = int(resume["it_next"])
+            blocks_iter = sampling.blocks(
+                proc_input.state, nts_block, burn_in_blocks=it_burn,
+                block_offset=it_offset, start_block_idx=it_next,
+                aux_init=resume.get("aux"),
+                rebalance_pending0=resume.get("rebalance_pending",
+                                              False))
+            exec_logger.info(
+                f"resuming from a mid-run checkpoint at block "
+                f"{start_block}/{num_blocks} (full measurement state: "
+                f"window phases, pure-estimator carries and the "
+                f"random stream continue seamlessly)")
+        else:
+            it_offset = self.block_offset
+            it_burn = burn_in_blocks
+            it_next = 0
+            blocks_iter = sampling.blocks(proc_input.state, nts_block,
+                                          burn_in_blocks,
+                                          block_offset=self.block_offset)
 
-        if burn_in_blocks:
+        if burn_in_blocks and resume is None:
             exec_logger.info("Computing DMC burn-in stage...")
             burn_iter = range(burn_in_blocks)
             if self.verbose:
@@ -545,13 +635,16 @@ class Proc(proc_base.Proc):
                 burn_iter = tqdm.tqdm(burn_iter, dynamic_ncols=True)
             for _ in burn_iter:
                 next(blocks_iter)
+                it_next += 1
             exec_logger.info("Burn-in stage completed.")
-        else:
+        elif resume is None:
             exec_logger.info("No burn-in blocks requested.")
 
         # Accumulators shaped by keep_iter_data
         # (``qmc_exec/dmc/proc.py:202-255``).
         accumulator = _BlockAccumulator(self)
+        if resume is not None and "accum" in resume:
+            accumulator.restore(resume["accum"])
 
         exec_logger.info("Starting the evaluation of estimators...")
         import time as _time
@@ -560,7 +653,7 @@ class Proc(proc_base.Proc):
         total_walker_steps = 0.0
         block_data = None
         num_rebalances = 0
-        for block_idx in range(num_blocks):
+        for block_idx in range(start_block, num_blocks):
             if block_idx == 0 and self.profile_dir is not None:
                 # Trace the FIRST measured block for TensorBoard /
                 # Perfetto — traced in place (not as a discarded probe)
@@ -574,6 +667,7 @@ class Proc(proc_base.Proc):
                                  f"{self.profile_dir}")
             else:
                 block_data = next(blocks_iter)
+            it_next += 1
             shard_nw = np.asarray(block_data.last_state.num_walkers)
             if shard_nw.min() <= 0 and sampling.num_shards > 1:
                 # Per-shard combs cannot repopulate an empty shard; a
@@ -583,10 +677,12 @@ class Proc(proc_base.Proc):
                 # walkers evenly across the shards and continue the run
                 # from the rebalanced state (same RNG stream position).
                 balanced = sampling.rebalance(block_data.last_state)
-                consumed = burn_in_blocks + block_idx + 1
+                it_offset = it_offset + it_next
+                it_burn = 0
+                it_next = 0
                 blocks_iter = sampling.blocks(
                     balanced, nts_block, burn_in_blocks=0,
-                    block_offset=self.block_offset + consumed)
+                    block_offset=it_offset)
                 block_data = block_data._replace(last_state=balanced)
                 # The restarted iterator opens a fresh forward-walking
                 # window at the next block; realign the accumulator's
@@ -635,7 +731,10 @@ class Proc(proc_base.Proc):
                 self._write_checkpoint(
                     block_data.last_state,
                     blocks_completed=block_idx + 1,
-                    stream_consumed=(burn_in_blocks + block_idx + 1))
+                    it_offset=it_offset, it_burn=it_burn,
+                    it_next=it_next,
+                    aux=block_data.aux_carry,
+                    accum=accumulator)
 
             # Throughput observability (absent in the reference; see
             # SURVEY aux-subsystems notes).
@@ -655,6 +754,33 @@ class Proc(proc_base.Proc):
         last_state = block_data.last_state if block_data is not None \
             else proc_input.state
         return self.build_result(last_state, accumulator.package())
+
+
+def _outstanding_rebalance(sampling, it_burn: int, it_next: int,
+                           nts_block: int) -> bool:
+    """Whether the block generator holds a cadence rebalance deferred
+    to the next forward-walking window boundary, reconstructed from
+    the iterator position alone (mirrors the pending/clear logic at
+    the top of :meth:`samplers.dmc.Sampling.blocks`): pending is set
+    at internal blocks ``j > 0`` with ``j % rebalance_every == 0`` and
+    cleared (executed) at every block ``b <= it_burn`` or
+    ``(b - it_burn) % pfw_window == 0``.  Needed so a checkpoint cut
+    between a cadence point and its window boundary re-arms the
+    rebalance on resume."""
+    re_every = sampling.rebalance_every if sampling.num_shards > 1 \
+        else None
+    if not re_every:
+        return False
+    p = it_next - 1  # last internal block already processed
+    if p < 1:
+        return False
+    window = sampling.pfw_window_blocks(nts_block)
+    if p <= it_burn:
+        b_star = p
+    else:
+        b_star = it_burn + ((p - it_burn) // window) * window
+    j_max = (p // re_every) * re_every
+    return j_max > 0 and j_max > b_star
 
 
 class _BlockAccumulator:
@@ -760,6 +886,80 @@ class _BlockAccumulator:
         block opens a fresh window; the interrupted window contributes
         no statistics sample."""
         self.win_origin = next_block_idx
+
+    #: Optional per-estimator arrays captured by checkpoints (None
+    #: entries are skipped; shapes are fixed by the proc config so a
+    #: restore into the same config round-trips exactly).
+    _SNAPSHOT_ARRAYS = ("density_blocks_data", "ssf_blocks_data",
+                        "obd_blocks_data", "g2_blocks_data",
+                        "cmd_w2_data", "cmd_raw_data",
+                        "pure_est_reduce_factor", "est_weight_totals",
+                        "obd_weight_totals", "g2_weight_totals")
+
+    def save_snapshot(self, group):
+        """Write the complete accumulator state (completed-block data,
+        window samples/weights/phase) to an HDF5 group — the
+        measurement half of a mid-run checkpoint (schema v2)."""
+        group.attrs["win_origin"] = int(self.win_origin)
+        group.create_dataset(
+            "win_weights",
+            data=np.asarray(self.win_weights, dtype=np.float64))
+        pg = group.require_group("props")
+        for name, arr in self.props.items():
+            pg.create_dataset(name, data=arr)
+        ag = group.require_group("arrays")
+        for name in self._SNAPSHOT_ARRAYS:
+            arr = getattr(self, name)
+            if arr is not None:
+                ag.create_dataset(name, data=arr)
+        sg = group.require_group("pure_samples")
+        for name, samples in self.pure_samples.items():
+            if samples:
+                sg.create_dataset(name, data=np.stack(samples))
+            else:
+                sg.create_dataset(name, data=np.zeros(0))
+
+    @staticmethod
+    def load_snapshot(group) -> dict:
+        """Inverse of :meth:`save_snapshot`: a payload dict for
+        :meth:`restore`."""
+        payload = {
+            "win_origin": int(group.attrs["win_origin"]),
+            "win_weights": group["win_weights"][()],
+            "props": {name: ds[()]
+                      for name, ds in group["props"].items()},
+            "arrays": {name: ds[()]
+                       for name, ds in group["arrays"].items()},
+            "pure_samples": {name: ds[()]
+                             for name, ds in
+                             group["pure_samples"].items()},
+        }
+        return payload
+
+    def restore(self, payload: dict):
+        """Refill this (freshly-constructed) accumulator from a
+        checkpoint payload; shapes must match the proc config the
+        checkpoint was written under."""
+        self.win_origin = int(payload["win_origin"])
+        self.win_weights = [float(w) for w in payload["win_weights"]]
+        for name, arr in payload["props"].items():
+            np.copyto(self.props[name], arr)
+        for name, arr in payload["arrays"].items():
+            dest = getattr(self, name)
+            if dest is None:
+                raise ValueError(
+                    f"checkpoint carries accumulator array {name!r} "
+                    f"but the current proc config does not allocate "
+                    f"it — restore into the original configuration")
+            np.copyto(dest, arr)
+        for name, samples in payload["pure_samples"].items():
+            if name not in self.pure_samples:
+                raise ValueError(
+                    f"checkpoint carries pure-estimator samples "
+                    f"{name!r} but the current proc config does not "
+                    f"enable that pure estimator")
+            self.pure_samples[name] = \
+                [np.asarray(s) for s in samples] if samples.size else []
 
     def add(self, block_idx: int, energy, weight, num_walkers,
             ref_energy, accum_energy, iter_density=None, iter_ssf=None,

@@ -258,6 +258,13 @@ class DmcHDF5FileHandler(HDF5FileHandler):
         group.create_dataset("shard_num_walkers",
                              data=np.atleast_1d(
                                  np.asarray(state.num_walkers)))
+        if state.cmd_accum is not None:
+            # CM-diffusion window accumulator (extra dataset; absent
+            # in the reference layout and ignored by its readers).  A
+            # checkpoint cut mid-window then resumes the window
+            # instead of restarting it.
+            group.create_dataset("cmd_accum",
+                                 data=np.asarray(state.cmd_accum))
 
     def load_state(self, group: h5py.Group,
                    proc_inst=None) -> dmc_sampler.State:
@@ -285,6 +292,7 @@ class DmcHDF5FileHandler(HDF5FileHandler):
         pos = confs[:, mrbp.SysConfSlot.pos, :]
         drift = confs[:, mrbp.SysConfSlot.drift, :]
         dtype = pos.dtype
+        cmd_ds = group.get("cmd_accum")
         return dmc_sampler.State(
             pos=jnp.asarray(pos), drift=jnp.asarray(drift),
             energies=jnp.asarray(energies, dtype=dtype),
@@ -296,7 +304,9 @@ class DmcHDF5FileHandler(HDF5FileHandler):
             ref_energy=jnp.asarray(attrs["ref_energy"], dtype=dtype),
             accum_energy=jnp.asarray(attrs["accum_energy"], dtype=dtype),
             total_energy=jnp.asarray(totals[0], dtype=dtype),
-            total_weight=jnp.asarray(totals[1], dtype=dtype))
+            total_weight=jnp.asarray(totals[1], dtype=dtype),
+            cmd_accum=(jnp.asarray(cmd_ds[()], dtype=dtype)
+                       if cmd_ds is not None else None))
 
     def load_sampling_data(self, group: h5py.Group):
         return dmc_data.SamplingData.from_hdf5_data(group)

@@ -50,19 +50,28 @@ def _validate_sweep_checkpoints(procs):
 
 
 def _write_sweep_checkpoints(procs, last_state, block_idx: int,
-                             burn_in_blocks: int):
+                             burn_in_blocks: int, aux_carry=None,
+                             accumulators=None):
     """Slice the fused state per row and write each row's standalone
-    checkpoint — a resumed row restores with ``Proc.restore_checkpoint``
-    exactly like an unfused run, and the restored rows compose back
-    into a continuation sweep."""
+    full-state checkpoint (schema v2) — a resumed row restores with
+    ``Proc.restore_checkpoint`` exactly like an unfused run, and the
+    restored rows compose back into a continuation sweep."""
     import jax
 
     for r, p in enumerate(procs):
         row_state = jax.tree.map(lambda x, r=r: np.asarray(x[r]),
                                  last_state)
+        row_aux = None
+        if aux_carry is not None:
+            row_aux = {name: np.asarray(arr[r])
+                       for name, arr in aux_carry.items()}
         p._write_checkpoint(
             row_state, blocks_completed=block_idx + 1,
-            stream_consumed=burn_in_blocks + block_idx + 1)
+            it_offset=p.block_offset, it_burn=burn_in_blocks,
+            it_next=burn_in_blocks + block_idx + 1,
+            aux=row_aux,
+            accum=(accumulators[r] if accumulators is not None
+                   else None))
 
 
 @dataclass(frozen=True)
@@ -136,16 +145,57 @@ class SweepProc:
         # initial state is a plain stack of the standalone states.
         state = jax.tree.map(lambda *xs: jnp.stack(xs),
                              *[pi.state for pi in proc_inputs])
-        blocks_iter = sweep.blocks(state, nts_block, burn_in_blocks,
-                                   block_offset=ref.block_offset)
-        for _ in range(burn_in_blocks):
-            next(blocks_iter)
-        if burn_in_blocks:
-            exec_logger.info("Burn-in stage completed.")
+        resumes = [pi.resume for pi in proc_inputs]
+        start_block = 0
+        aux_init = None
+        if any(r is not None for r in resumes):
+            if any(r is None for r in resumes):
+                raise ValueError(
+                    "fused sweep resume is all-or-none: every row "
+                    "must restore from a checkpoint or none")
+            completed = {r["blocks_completed"] for r in resumes}
+            if len(completed) != 1:
+                raise ValueError(
+                    "fused sweep rows must resume from the same "
+                    "block (synchronized checkpoints)")
+            for r, p in zip(resumes, procs):
+                if r["it_offset"] != p.block_offset or \
+                        r["it_burn"] != burn_in_blocks:
+                    raise ValueError(
+                        "a row's checkpoint stream position diverged "
+                        "from the sweep stream (it was written by a "
+                        "rebalanced standalone run?) — resume that "
+                        "row unfused")
+            start_block = completed.pop()
+            if all("aux" in r for r in resumes):
+                names = resumes[0]["aux"].keys()
+                aux_init = {name: np.stack([r["aux"][name]
+                                            for r in resumes])
+                            for name in names}
+        if start_block:
+            blocks_iter = sweep.blocks(
+                state, nts_block, burn_in_blocks,
+                block_offset=ref.block_offset,
+                start_block_idx=burn_in_blocks + start_block,
+                aux_init=aux_init)
+            exec_logger.info(
+                f"resuming fused sweep from synchronized checkpoints "
+                f"at block {start_block}/{num_blocks}")
+        else:
+            blocks_iter = sweep.blocks(state, nts_block,
+                                       burn_in_blocks,
+                                       block_offset=ref.block_offset)
+            for _ in range(burn_in_blocks):
+                next(blocks_iter)
+            if burn_in_blocks:
+                exec_logger.info("Burn-in stage completed.")
 
         accumulators = [_BlockAccumulator(p) for p in procs]
+        for r, acc in zip(resumes, accumulators):
+            if r is not None and "accum" in r:
+                acc.restore(r["accum"])
         block_data = None
-        for block_idx in range(num_blocks):
+        for block_idx in range(start_block, num_blocks):
             block_data = next(blocks_iter)
             bp = block_data.iter_props
             # Fused props have a trailing row axis (nts, R); estimator
@@ -179,7 +229,9 @@ class SweepProc:
             if ref.checkpoint_file is not None and \
                     (block_idx + 1) % ref.checkpoint_every == 0:
                 _write_sweep_checkpoints(procs, block_data.last_state,
-                                         block_idx, burn_in_blocks)
+                                         block_idx, burn_in_blocks,
+                                         aux_carry=block_data.aux_carry,
+                                         accumulators=accumulators)
         exec_logger.info("Fused DMC sweep completed.")
 
         results = []
@@ -254,16 +306,43 @@ class VmcSweepProc:
         sweep = self.sweep
         state = jax.tree.map(lambda *xs: jnp.stack(xs),
                              *[pi.state for pi in proc_inputs])
-        blocks_iter = sweep.blocks(ns_block, state,
-                                   block_offset=ref.block_offset)
-        for _ in range(burn_in_blocks):
-            next(blocks_iter)
-        if burn_in_blocks:
-            exec_logger.info("Burn-in stage completed.")
+        resumes = [pi.resume for pi in proc_inputs]
+        start_block = 0
+        if any(r is not None for r in resumes):
+            if any(r is None for r in resumes):
+                raise ValueError(
+                    "fused sweep resume is all-or-none: every row "
+                    "must restore from a checkpoint or none")
+            completed = {r["blocks_completed"] for r in resumes}
+            if len(completed) != 1:
+                raise ValueError(
+                    "fused sweep rows must resume from the same "
+                    "block (synchronized checkpoints)")
+            start_block = completed.pop()
+        if start_block:
+            # VMC has no window phases; an offset shift by the
+            # consumed count reproduces the per-position block keys.
+            blocks_iter = sweep.blocks(
+                ns_block, state,
+                block_offset=(ref.block_offset + burn_in_blocks
+                              + start_block))
+            exec_logger.info(
+                f"resuming fused VMC sweep from synchronized "
+                f"checkpoints at block {start_block}/{num_blocks}")
+        else:
+            blocks_iter = sweep.blocks(ns_block, state,
+                                       block_offset=ref.block_offset)
+            for _ in range(burn_in_blocks):
+                next(blocks_iter)
+            if burn_in_blocks:
+                exec_logger.info("Burn-in stage completed.")
 
         accumulators = [vmc_exec._VmcBlockAccumulator(p) for p in procs]
+        for r, acc in zip(resumes, accumulators):
+            if r is not None and "accum" in r:
+                acc.restore(r["accum"])
         block_data = None
-        for block_idx in range(num_blocks):
+        for block_idx in range(start_block, num_blocks):
             block_data = next(blocks_iter)
             bp = block_data.iter_props
             # Fused arrays have a leading row axis (R, nts, ...).
@@ -286,7 +365,8 @@ class VmcSweepProc:
             if ref.checkpoint_file is not None and \
                     (block_idx + 1) % ref.checkpoint_every == 0:
                 _write_sweep_checkpoints(procs, block_data.last_state,
-                                         block_idx, burn_in_blocks)
+                                         block_idx, burn_in_blocks,
+                                         accumulators=accumulators)
         exec_logger.info("Fused VMC sweep completed.")
 
         results = []

@@ -70,8 +70,15 @@ class PairCorrEstSpec:
 
 @dataclass(frozen=True)
 class ProcInput(proc_base.ProcInput):
-    """Input for the VMC procedure: an initial VMC state."""
+    """Input for the VMC procedure: an initial VMC state.
+
+    ``resume`` carries the measurement state of a mid-run checkpoint
+    (completed-block accumulator data + stream position) so
+    :meth:`Proc.exec` continues the interrupted run bit-exactly;
+    built by :meth:`Proc.restore_checkpoint`, ``None`` for fresh
+    runs."""
     state: vmc_sampler.State
+    resume: t.Optional[dict] = None
 
     @classmethod
     def from_model_sys_conf_spec(cls, sys_conf_spec: ModelSysConfSpec,
@@ -317,12 +324,15 @@ class Proc(proc_base.Proc):
                      sampling_data: vmc_data.SamplingData) -> ProcResult:
         return ProcResult(state, self, sampling_data)
 
-    def _write_checkpoint(self, state, blocks_completed: int = 0,
-                          stream_consumed: int = 0):
-        """Atomic state checkpoint (DMC parity, ``dmc.Proc``): temp
-        file + rename; the stored proc_spec describes the continuation
-        (advanced ``block_offset``, remaining ``num_blocks``, no
-        burn-in)."""
+    def _write_checkpoint(self, state, blocks_completed: int,
+                          it_offset: int = 0, it_burn: int = 0,
+                          it_next: int = 0, aux=None, accum=None):
+        """Atomic full-state checkpoint (DMC parity, ``dmc.Proc``):
+        temp file + rename.  Schema v2 stores the ORIGINAL proc_spec
+        plus a resume group with the completed-block accumulator data
+        and the stream position, so ``restore_checkpoint`` + ``exec``
+        reproduces the uninterrupted run bit-exactly (``aux`` is
+        unused — VMC has no forward-walking windows)."""
         import os
 
         import h5py
@@ -333,15 +343,19 @@ class Proc(proc_base.Proc):
                                             group="checkpoint",
                                             dump_replace=True)
         config = self.as_config()
-        config["block_offset"] = self.block_offset + stream_consumed
-        config["burn_in_blocks"] = 0
-        config["num_blocks"] = max(1, self.num_blocks - blocks_completed)
         tmp_path = f"{self.checkpoint_file}.tmp"
         with h5py.File(tmp_path, "w") as fp:
             handler.save_state(state, fp.require_group(
                 "checkpoint/vmc/state"))
             handler.save_proc(config, fp.require_group(
                 "checkpoint/vmc/proc_spec"))
+            rg = fp.require_group("checkpoint/vmc/resume")
+            rg.attrs["schema"] = 2
+            rg.attrs["blocks_completed"] = int(blocks_completed)
+            rg.attrs["it_offset"] = int(it_offset)
+            rg.attrs["it_next"] = int(it_next)
+            if accum is not None:
+                accum.save_snapshot(rg.require_group("accum"))
         os.replace(tmp_path, self.checkpoint_file)
         exec_logger.info(f"checkpoint written to {self.checkpoint_file}")
 
@@ -349,7 +363,8 @@ class Proc(proc_base.Proc):
     def restore_checkpoint(cls, checkpoint_file: str) \
             -> t.Tuple["Proc", ProcInput]:
         """Load a mid-run checkpoint: ``(proc, proc_input)`` ready for
-        ``proc.exec``."""
+        ``proc.exec``.  Schema-v2 checkpoints resume bit-exactly;
+        legacy v1 files fall back to continuation semantics."""
         import h5py
 
         from . import io as io_mod
@@ -360,7 +375,19 @@ class Proc(proc_base.Proc):
             proc = handler.load_proc(fp.get("checkpoint/vmc/proc_spec"))
             state = handler.load_state(fp.get("checkpoint/vmc/state"),
                                        proc)
-        return proc, ProcInput(state)
+            rg = fp.get("checkpoint/vmc/resume")
+            if rg is None:
+                return proc, ProcInput(state)
+            resume = {
+                "blocks_completed": int(rg.attrs["blocks_completed"]),
+                "it_offset": int(rg.attrs["it_offset"]),
+                "it_next": int(rg.attrs["it_next"]),
+            }
+            acg = rg.get("accum")
+            if acg is not None:
+                resume["accum"] = \
+                    _VmcBlockAccumulator.load_snapshot(acg)
+        return proc, ProcInput(state, resume=resume)
 
     def exec(self, proc_input: ProcInput) -> ProcResult:
         """Run the VMC sampling (reference driver:
@@ -382,27 +409,43 @@ class Proc(proc_base.Proc):
         self.describe_model_spec()
 
         sampling = self.sampling
-        blocks_iter = sampling.blocks(ns_block, proc_input.state,
-                                      block_offset=self.block_offset)
+        resume = proc_input.resume
+        start_block = 0
+        it_offset = self.block_offset
+        it_next = 0
+        if resume is not None:
+            start_block = int(resume["blocks_completed"])
+            it_offset = int(resume["it_offset"])
+            it_next = int(resume["it_next"])
+            # Same per-position block keys as the uninterrupted run:
+            # shift the offset by the consumed count (VMC has no
+            # window phases, so offset arithmetic is the whole state).
+            blocks_iter = sampling.blocks(
+                ns_block, proc_input.state,
+                block_offset=it_offset + it_next)
+            exec_logger.info(
+                f"resuming from a mid-run checkpoint at block "
+                f"{start_block}/{num_blocks}")
+        else:
+            blocks_iter = sampling.blocks(ns_block, proc_input.state,
+                                          block_offset=self.block_offset)
 
-        if burn_in_blocks:
+        if burn_in_blocks and resume is None:
             exec_logger.info(
                 f"Computing VMC burn-in stage ({burn_in_blocks} blocks)...")
             for _ in range(burn_in_blocks):
                 next(blocks_iter)
+                it_next += 1
             exec_logger.info("Burn-in stage completed.")
 
         accumulator = _VmcBlockAccumulator(self)
+        if resume is not None and "accum" in resume:
+            accumulator.restore(resume["accum"])
 
         block_data = None
-        for block_idx in range(num_blocks):
+        for block_idx in range(start_block, num_blocks):
             block_data = next(blocks_iter)
-            if self.checkpoint_file is not None and \
-                    (block_idx + 1) % self.checkpoint_every == 0:
-                self._write_checkpoint(
-                    block_data.last_state,
-                    blocks_completed=block_idx + 1,
-                    stream_consumed=(burn_in_blocks + block_idx + 1))
+            it_next += 1
             bp = block_data.iter_props
             accumulator.add(
                 block_idx,
@@ -419,6 +462,15 @@ class Proc(proc_base.Proc):
                 iter_g2=(np.asarray(block_data.iter_g2,
                                     dtype=np.float64)
                          if should_eval_g2 else None))
+            if self.checkpoint_file is not None and \
+                    (block_idx + 1) % self.checkpoint_every == 0:
+                # AFTER the accumulator folds this block, so the
+                # snapshot carries the checkpointed block's statistics.
+                self._write_checkpoint(
+                    block_data.last_state,
+                    blocks_completed=block_idx + 1,
+                    it_offset=it_offset, it_next=it_next,
+                    accum=accumulator)
 
         exec_logger.info("VMC sampling completed.")
         exec_logger.info(
@@ -504,6 +556,48 @@ class _VmcBlockAccumulator:
             if iter_g2 is not None:
                 self.g2_data[block_idx] = \
                     iter_g2.mean(axis=0) / num_walkers
+
+    #: Optional estimator arrays captured by checkpoints (None entries
+    #: are skipped; shapes are fixed by the proc config).
+    _SNAPSHOT_ARRAYS = ("wf_abs_log", "energy", "move_stat",
+                        "ssf_data", "obd_data", "g2_data")
+
+    def save_snapshot(self, group):
+        """Write the complete accumulator state to an HDF5 group —
+        the measurement half of a mid-run checkpoint (schema v2)."""
+        group.create_dataset(
+            "accept_rates",
+            data=np.asarray(self.accept_rates, dtype=np.float64))
+        ag = group.require_group("arrays")
+        for name in self._SNAPSHOT_ARRAYS:
+            arr = getattr(self, name)
+            if arr is not None:
+                ag.create_dataset(name, data=arr)
+
+    @staticmethod
+    def load_snapshot(group) -> dict:
+        """Inverse of :meth:`save_snapshot`: a payload for
+        :meth:`restore`."""
+        return {
+            "accept_rates": group["accept_rates"][()],
+            "arrays": {name: ds[()]
+                       for name, ds in group["arrays"].items()},
+        }
+
+    def restore(self, payload: dict):
+        """Refill this (freshly-constructed) accumulator from a
+        checkpoint payload; shapes must match the proc config the
+        checkpoint was written under."""
+        self.accept_rates = [float(a)
+                             for a in payload["accept_rates"]]
+        for name, arr in payload["arrays"].items():
+            dest = getattr(self, name)
+            if dest is None:
+                raise ValueError(
+                    f"checkpoint carries accumulator array {name!r} "
+                    f"but the current proc config does not allocate "
+                    f"it — restore into the original configuration")
+            np.copyto(dest, arr)
 
     @property
     def mean_accept_rate(self) -> float:

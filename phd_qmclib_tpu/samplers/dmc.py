@@ -133,6 +133,13 @@ class SamplingBlock(t.NamedTuple):
     #: Direct pair-correlation histogram sums, shape
     #: ``(nts_measured, num_bins)``; ``None`` when disabled.
     iter_g2: t.Optional[jnp.ndarray] = None
+    #: Post-block pure-estimator forward-walking accumulators (the
+    #: aux carry: ``{"aux_density": (Wm, bins), ...}``) when the pfw
+    #: window spans several blocks; ``None`` otherwise.  Exposed so
+    #: the execution layer can persist the COMPLETE measurement state
+    #: in mid-run checkpoints (a window straddling a checkpoint then
+    #: resumes bit-exactly instead of restarting).
+    aux_carry: t.Optional[dict] = None
 
 
 @dataclass(frozen=True)
@@ -1197,7 +1204,11 @@ class Sampling:
 
     def blocks(self, ini_state: State, num_time_steps_block: int,
                burn_in_blocks: int = 0,
-               block_offset: int = 0) -> t.Iterator[SamplingBlock]:
+               block_offset: int = 0,
+               start_block_idx: int = 0,
+               aux_init: t.Optional[dict] = None,
+               rebalance_pending0: bool = False) \
+            -> t.Iterator[SamplingBlock]:
         """Yield :class:`SamplingBlock` objects indefinitely.
 
         The first ``burn_in_blocks`` blocks skip estimator evaluation
@@ -1210,6 +1221,16 @@ class Sampling:
         where the original left off instead of replaying it (the
         execution layer plumbs this automatically; see
         ``qmc_exec.dmc.Proc.block_offset``).
+
+        Full-state resume (mid-run checkpoints): ``start_block_idx``
+        starts the internal block counter at an arbitrary position so
+        ALL phase arithmetic (random stream, pfw window position,
+        CM-diffusion window cadence, rebalance cadence) continues
+        exactly as if the generator had run from block 0;
+        ``aux_init`` seeds the pure-estimator forward-walking
+        accumulators when resuming inside a multi-block window, and
+        ``rebalance_pending0`` re-arms a cadence rebalance that was
+        deferred to a window boundary when the checkpoint was cut.
         """
         base_key = jax.random.PRNGKey(self.rng_seed)
         state = ini_state
@@ -1236,9 +1257,16 @@ class Sampling:
             return {name: jnp.zeros(shape, dtype=dtype)
                     for name, shape in aux_shapes.items()}
 
-        aux = _fresh_aux() if pfw_window > 1 else None
-        block_idx = 0
-        rebalance_pending = False
+        if pfw_window > 1:
+            if aux_init is not None:
+                aux = {name: jnp.asarray(aux_init[name], dtype=dtype)
+                       for name in aux_shapes}
+            else:
+                aux = _fresh_aux()
+        else:
+            aux = None
+        block_idx = int(start_block_idx)
+        rebalance_pending = bool(rebalance_pending0)
         while True:
             if (rebalance_every and block_idx
                     and block_idx % rebalance_every == 0):
@@ -1293,7 +1321,10 @@ class Sampling:
             cmd = est.get("cmd") if not burning else None
             g2 = est.get("g2") if not burning else None
             yield SamplingBlock(props, density, ssf, state, obd, cmd,
-                                g2)
+                                g2,
+                                aux_carry=(aux if (pfw_window > 1
+                                                   and not burning)
+                                           else None))
             block_idx += 1
 
     def states(self, ini_state: State) -> t.Iterator[State]:

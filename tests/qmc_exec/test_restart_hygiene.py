@@ -58,36 +58,46 @@ def test_block_offset_shifts_the_stream(model_spec):
 
 
 def test_checkpoint_restore_resumes_the_stream(model_spec, tmp_path):
+    """Full-state resume hygiene: a run restored from its mid-run
+    checkpoint continues the random stream exactly where the original
+    left off — the completed result is bit-identical to the
+    uninterrupted run (so no key is replayed and none is skipped)."""
+    def make(ckpt=None):
+        return dmc_proc.Proc(
+            model_spec=model_spec, time_step=1e-3, max_num_walkers=48,
+            target_num_walkers=32, rng_seed=17, num_blocks=4,
+            num_time_steps_block=8, burn_in_blocks=1, dtype="float64",
+            checkpoint_file=ckpt, checkpoint_every=2)
+
     ckpt = str(tmp_path / "run.ckpt.h5")
-    proc = dmc_proc.Proc(
-        model_spec=model_spec, time_step=1e-3, max_num_walkers=48,
-        target_num_walkers=32, rng_seed=17, num_blocks=4,
-        num_time_steps_block=8, burn_in_blocks=1, dtype="float64",
-        checkpoint_file=ckpt, checkpoint_every=2)
+    proc = make(ckpt)
     proc_input = dmc_proc.ProcInput.from_model_sys_conf_spec(
         dmc_proc.ModelSysConfSpec(type="MODEL_SYS_CONF"), proc)
-    result = proc.exec(proc_input)
+    full = make().exec(dmc_proc.ProcInput(proc_input.state))
+    proc.exec(proc_input)
 
-    restored_proc, restored_input = dmc_proc.Proc.restore_checkpoint(ckpt)
-    # The last checkpoint fired after measured block 4 (burn-in 1 +
-    # 4 measured = 5 consumed).
-    assert restored_proc.block_offset == 5
-    assert restored_proc.burn_in_blocks == 0
+    import h5py
+    with h5py.File(ckpt, "r") as fp:
+        completed = int(fp["checkpoint/dmc/resume"]
+                        .attrs["blocks_completed"])
+    restored_proc, restored_input = dmc_proc.Proc.restore_checkpoint(
+        ckpt)
+    # v2 checkpoints keep the ORIGINAL spec; the resume payload holds
+    # the stream position (burn-in 1 + measured blocks consumed).
+    assert restored_proc.block_offset == 0
+    assert restored_proc.burn_in_blocks == 1
     assert restored_proc.rng_seed == 17
+    assert restored_input.resume["it_next"] == 1 + completed
 
-    continued = restored_proc.exec(restored_input)
-    # The continuation consumed fresh keys: its per-block totals differ
-    # from every block of the original run (a replay would reproduce
-    # them bit-for-bit given the identical checkpointed state).
-    orig = np.asarray(result.data.blocks.energy.totals)
-    cont = np.asarray(continued.data.blocks.energy.totals)
-    assert not np.isin(cont, orig).any()
-
-    # The two runs' statistics compose (restart composition,
-    # reference ``qmc_exec/data/dmc.py:737-757``).
-    merged = result.data.blocks.merge(continued.data.blocks)
-    assert len(merged.energy) == len(orig) + len(cont)
-    assert np.isfinite(merged.energy.mean)
+    continued = restored_proc.evolve(
+        {"checkpoint_file": None}).exec(restored_input)
+    # Bit-identical composition: resuming replays nothing and skips
+    # nothing (a stream replay or skip would shift every totals entry
+    # after the checkpoint).
+    np.testing.assert_array_equal(
+        np.asarray(continued.data.blocks.energy.totals),
+        np.asarray(full.data.blocks.energy.totals))
+    assert np.isfinite(continued.data.blocks.energy.mean)
 
 
 def test_appspec_restart_advances_offset(model_spec, tmp_path):

@@ -36,7 +36,24 @@ def _dmc_input(proc):
         dmc_exec.ModelSysConfSpec(dist_type="RANDOM"), proc)
 
 
-def test_dmc_sweep_checkpoint_resume_bit_identical(tmp_path):
+class _Killed(RuntimeError):
+    """Simulated kill right after a round of sweep checkpoints."""
+
+
+def _kill_sweep_after(monkeypatch, at_block_idx: int):
+    from phd_qmclib_tpu.qmc_exec import sweep as sweep_mod
+    original = sweep_mod._write_sweep_checkpoints
+
+    def dying(procs, last_state, block_idx, *args, **kwargs):
+        original(procs, last_state, block_idx, *args, **kwargs)
+        if block_idx == at_block_idx:
+            raise _Killed
+
+    monkeypatch.setattr(sweep_mod, "_write_sweep_checkpoints", dying)
+
+
+def test_dmc_sweep_checkpoint_resume_bit_identical(tmp_path,
+                                                   monkeypatch):
     ckpts = [str(tmp_path / f"row{r}.h5") for r in range(len(GNS))]
     procs = tuple(_dmc_proc(gn, ckpt)
                   for gn, ckpt in zip(GNS, ckpts))
@@ -45,27 +62,27 @@ def test_dmc_sweep_checkpoint_resume_bit_identical(tmp_path):
     full = SweepProc(tuple(_dmc_proc(gn) for gn in GNS)).exec(
         [dmc_exec.ProcInput(i.state) for i in inputs])
 
-    # "Interrupted" run: execute only the first half...
-    half_procs = tuple(_dmc_proc(gn, ckpt, num_blocks=2)
-                       for gn, ckpt in zip(GNS, ckpts))
-    half = SweepProc(half_procs).exec(
-        [dmc_exec.ProcInput(i.state) for i in inputs])
-    # ...then restore every row from ITS checkpoint and finish.
+    # "Interrupted" run: kill right after the block-2 checkpoints...
+    with monkeypatch.context() as mp:
+        _kill_sweep_after(mp, at_block_idx=1)
+        with pytest.raises(_Killed):
+            SweepProc(procs).exec(
+                [dmc_exec.ProcInput(i.state) for i in inputs])
+    # ...then restore every row from ITS checkpoint and finish: the
+    # completed results must equal the uninterrupted fused run
+    # bit-exactly (full-state resume).
     restored = [dmc_exec.Proc.restore_checkpoint(c) for c in ckpts]
-    cont_procs = tuple(p.evolve({"num_blocks": 2,
-                                 "checkpoint_file": None})
+    cont_procs = tuple(p.evolve({"checkpoint_file": None})
                        for p, _ in restored)
-    assert cont_procs[0].block_offset == 2
     cont = SweepProc(cont_procs).exec([pi for _, pi in restored])
 
     for r in range(len(GNS)):
         np.testing.assert_array_equal(
             np.asarray(cont[r].state.pos), np.asarray(full[r].state.pos),
             err_msg=f"row {r} resumed trajectory diverged")
-        merged = half[r].data.blocks.merge(cont[r].data.blocks)
-        np.testing.assert_allclose(
-            merged.energy.totals, full[r].data.blocks.energy.totals,
-            rtol=1e-12)
+        np.testing.assert_array_equal(
+            cont[r].data.blocks.energy.totals,
+            full[r].data.blocks.energy.totals)
 
 
 def test_sweep_checkpoint_validation(tmp_path):
@@ -90,7 +107,8 @@ def _vmc_proc(gn, seed, ckpt=None, **overrides):
     return vmc_exec.Proc(**kwargs)
 
 
-def test_vmc_sweep_checkpoint_resume_bit_identical(tmp_path):
+def test_vmc_sweep_checkpoint_resume_bit_identical(tmp_path,
+                                                   monkeypatch):
     ckpts = [str(tmp_path / f"vrow{r}.h5") for r in range(len(GNS))]
     procs = tuple(_vmc_proc(gn, 61 + i, ckpt)
                   for i, (gn, ckpt) in enumerate(zip(GNS, ckpts)))
@@ -101,14 +119,13 @@ def test_vmc_sweep_checkpoint_resume_bit_identical(tmp_path):
         _vmc_proc(gn, 61 + i) for i, gn in enumerate(GNS))).exec(
         [vmc_exec.ProcInput(i.state) for i in inputs])
 
-    half_procs = tuple(_vmc_proc(gn, 61 + i, ckpt, num_blocks=2)
-                       for i, (gn, ckpt)
-                       in enumerate(zip(GNS, ckpts)))
-    VmcSweepProc(half_procs).exec(
-        [vmc_exec.ProcInput(i.state) for i in inputs])
+    with monkeypatch.context() as mp:
+        _kill_sweep_after(mp, at_block_idx=1)
+        with pytest.raises(_Killed):
+            VmcSweepProc(procs).exec(
+                [vmc_exec.ProcInput(i.state) for i in inputs])
     restored = [vmc_exec.Proc.restore_checkpoint(c) for c in ckpts]
-    cont_procs = tuple(p.evolve({"num_blocks": 2,
-                                 "checkpoint_file": None})
+    cont_procs = tuple(p.evolve({"checkpoint_file": None})
                        for p, _ in restored)
     cont = VmcSweepProc(cont_procs).exec([pi for _, pi in restored])
 
@@ -117,3 +134,6 @@ def test_vmc_sweep_checkpoint_resume_bit_identical(tmp_path):
             np.asarray(cont[r].state.pos),
             np.asarray(full[r].state.pos),
             err_msg=f"VMC row {r} resumed trajectory diverged")
+        np.testing.assert_array_equal(
+            cont[r].data.blocks.energy.totals,
+            full[r].data.blocks.energy.totals)

@@ -26,24 +26,38 @@ def run(proc):
         vmc_exec.ModelSysConfSpec(dist_type="RANDOM"), proc))
 
 
-def test_mid_run_checkpoint_and_restore(tmp_path):
-    """Mirror of the DMC gate (``test_checkpoint.py``)."""
+def test_mid_run_checkpoint_and_restore(tmp_path, monkeypatch):
+    """Mirror of the DMC gate (``test_checkpoint.py``): kill after a
+    mid-run checkpoint, restore, finish — bit-identical to the
+    uninterrupted run (full-state resume)."""
+    from tests.qmc_exec.test_checkpoint import kill_after_checkpoint
+
     ckpt = str(tmp_path / "vmc_ckpt.h5")
     proc = make_proc(checkpoint_file=ckpt, checkpoint_every=2)
-    result = run(proc)
+    proc_input = vmc_exec.ProcInput.from_model_sys_conf_spec(
+        vmc_exec.ModelSysConfSpec(dist_type="RANDOM"), proc)
+    full = make_proc().exec(vmc_exec.ProcInput(proc_input.state))
+
+    with monkeypatch.context() as mp:
+        killed = kill_after_checkpoint(mp, vmc_exec.Proc, at_blocks=2)
+        with pytest.raises(killed):
+            proc.exec(proc_input)
 
     proc2, proc_input2 = vmc_exec.Proc.restore_checkpoint(ckpt)
     assert proc2.model_spec == proc.model_spec
     assert proc2.move_spread == proc.move_spread
-    # Stream hygiene: the continuation starts past every consumed block.
-    assert proc2.block_offset == proc.num_blocks
-    assert proc2.burn_in_blocks == 0
-    # checkpoint_every == 2 with num_blocks == 4 -> final state stored.
-    np.testing.assert_allclose(np.asarray(proc_input2.state.pos),
-                               np.asarray(result.state.pos))
-    result2 = proc2.evolve({"num_blocks": 2,
-                            "checkpoint_file": None}).exec(proc_input2)
-    assert np.isfinite(result2.data.blocks.energy.mean)
+    assert proc2.num_blocks == proc.num_blocks  # ORIGINAL config
+    assert proc_input2.resume["blocks_completed"] == 2
+    resumed = proc2.evolve({"checkpoint_file": None}).exec(proc_input2)
+    np.testing.assert_array_equal(np.asarray(resumed.state.pos),
+                                  np.asarray(full.state.pos))
+    np.testing.assert_array_equal(
+        resumed.data.blocks.energy.totals,
+        full.data.blocks.energy.totals)
+    f_ssf = full.data.blocks.ss_factor
+    r_ssf = resumed.data.blocks.ss_factor
+    np.testing.assert_array_equal(r_ssf.fdk_sqr_abs_part.totals,
+                                  f_ssf.fdk_sqr_abs_part.totals)
 
 
 def test_cadence_preserves_dynamics_and_subsamples_estimators():
