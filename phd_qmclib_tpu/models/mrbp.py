@@ -143,7 +143,7 @@ class Spec:
                            float(self.tbf_contact_cutoff))
 
         if not abs(self.tbf_contact_cutoff) <= abs(self.supercell_size / 2):
-            raise ValueError("parameter value 'rm' out of domain")
+            raise ValueError("tbf_contact_cutoff (rm) lies outside its allowed range")
 
         # Defect handling: reference ``mrbp_qmc/model.py:174-196``.
         lattice_depth = self.lattice_depth
@@ -163,15 +163,15 @@ class Spec:
                                     defect_magnitude is not None
                                     else lattice_depth)
             if num_defects < 0:
-                raise ValueError("number of defects can't be negative")
+                raise ValueError("num_defects must be zero or positive")
             num_sites = int(math.ceil(self.supercell_size))
             if num_defects and (num_sites % num_defects):
                 raise ValueError(
-                    f"the specified number of defects ({num_defects:d}) "
-                    f"can't be evenly distributed in the lattice")
+                    f"num_defects ({num_defects:d}) does not divide the "
+                    f"lattice into equal defect spacings")
             if defect_magnitude > lattice_depth:
-                raise ValueError("Defect magnitude can't be greater than "
-                                 "the lattice depth.")
+                raise ValueError("defect_magnitude must not exceed "
+                                 "lattice_depth")
             object.__setattr__(self, "defect_magnitude", defect_magnitude)
             object.__setattr__(self, "num_defects", num_defects)
 
@@ -294,7 +294,7 @@ class Spec:
         rm = self.tbf_contact_cutoff
 
         if not abs(rm) <= abs(sc_size / 2):
-            raise ValueError("parameter value 'rm' out of domain")
+            raise ValueError("tbf_contact_cutoff (rm) lies outside its allowed range")
 
         if gn == 0:
             return TBFParams(sc_size, rm, param_k2=0.0, param_beta=0.0,

@@ -86,7 +86,7 @@ class AppSpec:
         output_handler = get_io_handler(self_config["proc_output"],
                                         sampling_type)
         if not isinstance(output_handler, io_mod.HDF5FileHandler):
-            raise TypeError("only the HDF5_FILE is supported as output "
+            raise TypeError("HDF5_FILE is the single accepted output "
                             "handler")
         return cls(proc=proc, proc_input=input_handler,
                    proc_output=output_handler, proc_id=proc_id,

@@ -153,7 +153,7 @@ class PropBlocks(Mapping):
     def __getitem__(self, index):
         if isinstance(index, tuple):
             if len(index) > 1:
-                raise TypeError("only one-element tuples are allowed")
+                raise TypeError("index tuples of length one are the only accepted form")
         if isinstance(index, int):
             return PropBlock(self.totals[index],
                              weight=self.weight_totals[index])
@@ -173,14 +173,14 @@ class PropBlocks(Mapping):
         try:
             totals = np.concatenate([self.totals, other.totals], axis=0)
         except ValueError as e:
-            raise ValueError("'totals' are incompatible between "
-                             "instances") from e
+            raise ValueError("the two objects' totals shapes do not "
+                             "match for concatenation") from e
         try:
             weight_totals = np.concatenate(
                 [self.weight_totals, other.weight_totals], axis=0)
         except ValueError as e:
-            raise ValueError("'weight_totals' are incompatible between "
-                             "instances") from e
+            raise ValueError("the two objects' weight_totals shapes do "
+                             "not match for concatenation") from e
         return type(self)(totals, weight_totals)
 
 
@@ -212,7 +212,7 @@ class UnWeightedPropBlocks(Mapping):
     def __getitem__(self, index):
         if isinstance(index, tuple):
             if len(index) > 1:
-                raise TypeError("only one-element tuples are allowed")
+                raise TypeError("index tuples of length one are the only accepted form")
         if isinstance(index, int):
             return PropBlock(self.totals[index])
         return UnWeightedPropBlocks(self.totals[index])
@@ -230,8 +230,8 @@ class UnWeightedPropBlocks(Mapping):
         try:
             totals = np.concatenate([self.totals, other.totals], axis=0)
         except ValueError as e:
-            raise ValueError("'totals' are incompatible between "
-                             "instances") from e
+            raise ValueError("the two objects' totals shapes do not "
+                             "match for concatenation") from e
         return type(self)(totals)
 
 
@@ -782,7 +782,7 @@ class PropsDataBlocks:
     def merge(self, other: "PropsDataBlocks") -> "PropsDataBlocks":
         """Concatenate block data from a continuation run."""
         if not isinstance(other, PropsDataBlocks):
-            raise TypeError("'other' must be an instance of "
+            raise TypeError("merge requires another "
                             "'PropsDataBlocks'")
         density = self.density
         if density is None:

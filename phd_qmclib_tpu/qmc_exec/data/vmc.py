@@ -70,7 +70,7 @@ class PropBlocks(Mapping):
     def __getitem__(self, index):
         if isinstance(index, tuple):
             if len(index) > 1:
-                raise TypeError("only one-element tuples are allowed")
+                raise TypeError("index tuples of length one are the only accepted form")
         if isinstance(index, int):
             return PropBlock(self.totals[index])
         return PropBlocks(self.totals[index])
@@ -88,8 +88,8 @@ class PropBlocks(Mapping):
         try:
             totals = np.concatenate([self.totals, other.totals], axis=0)
         except ValueError as e:
-            raise ValueError("'totals' are incompatible between "
-                             "instances") from e
+            raise ValueError("the two objects' totals shapes do not "
+                             "match for concatenation") from e
         return type(self)(totals)
 
 
@@ -354,7 +354,7 @@ class PropsDataBlocks:
 
     def merge(self, other: "PropsDataBlocks") -> "PropsDataBlocks":
         if not isinstance(other, PropsDataBlocks):
-            raise TypeError("'other' must be an instance of "
+            raise TypeError("merge requires another "
                             "'PropsDataBlocks'")
         ssf = self.ss_factor
         if ssf is None:

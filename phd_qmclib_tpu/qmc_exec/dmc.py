@@ -589,7 +589,7 @@ class Proc(proc_base.Proc):
 
         if not isinstance(proc_input, ProcInput):
             raise proc_base.ProcInputError(
-                "the input data for the DMC procedure is not valid")
+                "DMC procedure input must be a dmc ProcInput instance")
 
         exec_logger.info("Starting DMC sampling...")
         self.describe_model_spec()

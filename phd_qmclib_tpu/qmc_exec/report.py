@@ -337,7 +337,11 @@ def _luttinger_lines(blocks, proc, nop: int, sc: float,
     if not np.isfinite(k_obdm):
         return []
     lines = [f"Luttinger   K from the OBDM tail "
-             f"(n1 ~ d^(-1/2K)) = {_fmt(k_obdm, k_err)}"]
+             f"(n1 ~ d^(-1/2K)) = {_fmt(k_obdm, k_err)}",
+             "            NOTE: finite-size/window bias inflates the "
+             "OBDM-tail K — treat it as an UPPER bound; prefer the "
+             "hydrodynamic K below when available (BASELINE.md "
+             "Luttinger study: tail-K ~2.4x high at the TG point)"]
     if blocks.ss_factor is not None \
             and blocks.cm_diffusion is not None:
         num_modes = np.asarray(

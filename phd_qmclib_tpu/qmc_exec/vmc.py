@@ -403,7 +403,7 @@ class Proc(proc_base.Proc):
 
         if not isinstance(proc_input, ProcInput):
             raise proc_base.ProcInputError(
-                "the input data for the VMC procedure is not valid")
+                "VMC procedure input must be a vmc ProcInput instance")
 
         exec_logger.info("Starting VMC sampling...")
         self.describe_model_spec()

@@ -418,7 +418,7 @@ class Sampling:
     def ssf_momenta(self) -> np.ndarray:
         if self.ssf_est_spec is None:
             raise TypeError(
-                "the static structure factor spec has not been specified")
+                "no S(k) estimator spec was configured for this sampling")
         num_modes = self.ssf_est_spec.num_modes
         sc_size = self.model_spec.supercell_size
         return np.arange(num_modes) * 2 * np.pi / sc_size
@@ -515,8 +515,8 @@ class Sampling:
         elif sys_conf_set.ndim == 2 and sys_conf_set.shape[-1] == nop:
             pos_set = sys_conf_set
         else:
-            raise ValueError("sys_conf_set is not a valid set of "
-                             "configurations of the model spec")
+            raise ValueError("sys_conf_set does not match the model's "
+                             "configuration layout")
 
         # Only take as many items as target_num_walkers (the most
         # recent ones, reference ``mrbp_qmc/dmc.py:290``).

@@ -207,7 +207,7 @@ class Sampling:
     def ssf_momenta(self) -> np.ndarray:
         """Momenta ``k_j = 2 pi j / L`` (``mrbp_qmc/vmc.py:129-143``)."""
         if self.ssf_est_spec is None:
-            raise TypeError("the static structure factor spec has not "
+            raise TypeError("no S(k) estimator spec was configured "
                             "been specified")
         num_modes = self.ssf_est_spec.num_modes
         sc_size = self.model_spec.supercell_size
@@ -251,7 +251,7 @@ class Sampling:
         elif sys_conf.shape[-1] == nop:
             pos = sys_conf
         else:
-            raise ValueError("sys_conf is not a valid configuration of "
+            raise ValueError("sys_conf does not match the model's "
                              "the model spec")
         if pos.ndim == 1:
             pos = np.broadcast_to(pos, (self.num_walkers, nop))
@@ -631,7 +631,7 @@ class Sampling:
         """The VMC sampling as a single block of ``num_steps`` steps
         (``qmc_base/vmc.py:772-806``)."""
         if num_steps < 1:
-            raise ValueError("num_steps must be nonzero and positive")
+            raise ValueError("num_steps must be at least 1")
         return next(self.blocks(num_steps, ini_state))
 
     def states(self, ini_state: State) -> t.Iterator[State]:

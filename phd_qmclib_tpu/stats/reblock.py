@@ -221,7 +221,7 @@ class IACTimeFit:
                                      self.iac_times)
         except TypeError as e:
             raise TypeError(
-                "attempt to fit data to target function failed") from e
+                "IAC time-fit did not converge on this series") from e
 
     @staticmethod
     def __func__(time, iac_time, eac_time, const):
@@ -357,8 +357,8 @@ class Object(_AnalysisMixin):
         max_order = int(floor(log2(data_length)))
         min_order = int(ceil(log2(self.min_num_blocks)))
         if max_order < min_order:
-            raise ValueError("source data cannot be grouped in the minimum "
-                             "number of blocks requested")
+            raise ValueError("the series is shorter than min_num_blocks "
+                             "at every reblocking level")
         return (1 << np.arange(max_order - min_order + 1)).astype(np.int64)
 
     @property
@@ -391,17 +391,17 @@ class OTFObject(_AnalysisMixin):
                  min_num_blocks: t.Optional[int] = 2):
         source_data = np.asarray(source_data)
         if source_data.dtype != otf_data_dtype:
-            raise TypeError("source_data is not a reblocking table.")
+            raise TypeError("source_data lacks the reblocking structured dtype")
         if source_data.ndim != 1:
-            raise ValueError("source_data must be a 1d array")
+            raise ValueError("expected a rank-1 source_data array")
         min_num_blocks = min_num_blocks or 2
         if min_num_blocks < 2:
             raise ValueError("min_num_blocks must be at least 2 for a "
                              "blocking analysis")
         criterion = source_data[NUM_BLOCKS_FIELD] >= min_num_blocks
         if not np.count_nonzero(criterion):
-            raise ValueError("the source data is empty for the requested "
-                             "minimum number of blocks.")
+            raise ValueError("no reblocking level reaches "
+                             "min_num_blocks; the series is too short")
         self.source_data = source_data[criterion]
         self.min_num_blocks = min_num_blocks
         self.var_ddof = 1
@@ -459,9 +459,9 @@ class OTFSet(_AnalysisMixin, Mapping):
                  min_num_blocks: t.Optional[int] = 2):
         source_data = np.asarray(source_data)
         if source_data.dtype != otf_data_dtype:
-            raise TypeError("source_data is not a reblocking table.")
+            raise TypeError("source_data lacks the reblocking structured dtype")
         if source_data.ndim != 2:
-            raise ValueError("source_data must be a 2d array")
+            raise ValueError("expected a rank-2 source_data array")
         block_size_set = source_data[BLOCK_SIZE_FIELD]
         assert np.all(np.diff(block_size_set, axis=0) == 0)
         min_num_blocks = min_num_blocks or 2
@@ -471,8 +471,8 @@ class OTFSet(_AnalysisMixin, Mapping):
         data_num_blocks = source_data[NUM_BLOCKS_FIELD][0, :]
         criterion = data_num_blocks >= min_num_blocks
         if not np.count_nonzero(criterion):
-            raise ValueError("the source data is empty for the requested "
-                             "minimum number of blocks.")
+            raise ValueError("no reblocking level reaches "
+                             "min_num_blocks; the series is too short")
         self.source_data = source_data[:, criterion]
         self.min_num_blocks = min_num_blocks
         self.var_ddof = 1

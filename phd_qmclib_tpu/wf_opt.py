@@ -63,8 +63,8 @@ class CSWFOptimizer:
         if sys_conf_set.ndim == 3 and sys_conf_set.shape[-2] == 2:
             sys_conf_set = sys_conf_set[:, mrbp.SysConfSlot.pos, :]
         if sys_conf_set.shape[-1] != nop:
-            raise ValueError("sys_conf_set is not a valid set of "
-                             "configurations of the model spec")
+            raise ValueError("sys_conf_set does not match the model's "
+                             "configuration layout")
         object.__setattr__(self, "sys_conf_set", sys_conf_set)
         object.__setattr__(self, "ini_wf_abs_log_set",
                            np.asarray(self.ini_wf_abs_log_set))

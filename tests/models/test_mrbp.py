@@ -287,7 +287,7 @@ class TestSpecValidation:
                       tbf_contact_cutoff=0.6 * SC_SIZE)
 
     def test_defect_validation(self):
-        with pytest.raises(ValueError, match="evenly"):
+        with pytest.raises(ValueError, match="equal defect spacings"):
             mrbp.Spec(lattice_depth=V0, lattice_ratio=R,
                       interaction_strength=GN, boson_number=NOP,
                       supercell_size=SC_SIZE, tbf_contact_cutoff=RM,

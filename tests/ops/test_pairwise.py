@@ -60,3 +60,50 @@ def test_core_funcs_pallas_dispatch(setup, monkeypatch):
     cfc64 = jax.tree.map(lambda x: jnp.float64(x), cfc)
     e64, _ = pfuncs.energy_and_drift(pos64, cfc64)
     assert e64.dtype == jnp.float64
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_shadow_kernel_consistency_randomized_configs(seed,
+                                                      monkeypatch):
+    """Double-maintenance guard (docs/DESIGN.md §6): the retired-but-
+    kept Pallas pairwise kernel must track every production-formula
+    change across the model-config space — free gas, ideal gas,
+    lattices with and without defects, varying couplings and sizes —
+    not just the single config the targeted tests use."""
+    rng = np.random.default_rng(1000 + seed)
+    nop = int(rng.choice([16, 64]))
+    sc = float(nop)
+    variant = seed % 3
+    kwargs = dict(lattice_ratio=1.0, boson_number=nop,
+                  supercell_size=sc,
+                  tbf_contact_cutoff=float(rng.uniform(0.2, 0.45)))
+    if variant == 0:      # free gas (no lattice)
+        kwargs.update(lattice_depth=0.0,
+                      interaction_strength=float(rng.uniform(0.5, 20)))
+    elif variant == 1:    # ideal lattice gas
+        kwargs.update(lattice_depth=float(rng.uniform(1.0, 30.0)),
+                      interaction_strength=0.0)
+    else:                 # interacting defected lattice
+        kwargs.update(lattice_depth=float(rng.uniform(5.0, 30.0)),
+                      interaction_strength=float(rng.uniform(0.5, 10)),
+                      num_defects=max(1, nop // 8),
+                      defect_magnitude=float(rng.uniform(0.1, 1.0)))
+    spec = mrbp.Spec(**kwargs)
+    funcs = mrbp.core_funcs(spec)
+    cfc = jax.tree.map(lambda x: jnp.float32(x), spec.cfc_params)
+    pos = jnp.asarray(rng.uniform(0, sc, (16, nop)), dtype=jnp.float32)
+
+    monkeypatch.setattr(mrbp, "_PALLAS_INTERPRET", True)
+    pfuncs = mrbp.core_funcs(spec, pairwise_impl="pallas")
+    e_p, d_p = pfuncs.energy_and_drift(pos, cfc)
+    e_x, d_x = funcs.energy_and_drift(pos, cfc)
+    np.testing.assert_allclose(np.asarray(e_p), np.asarray(e_x),
+                               rtol=5e-5, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(d_p), np.asarray(d_x),
+                               rtol=1e-3, atol=1e-4)
+    lp_p, ep2 = pfuncs.log_psi_and_energy(pos, cfc)
+    lp_x, ex2 = funcs.log_psi_and_energy(pos, cfc)
+    np.testing.assert_allclose(np.asarray(lp_p), np.asarray(lp_x),
+                               rtol=5e-5, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(ep2), np.asarray(ex2),
+                               rtol=5e-5, atol=5e-5)

@@ -3,6 +3,8 @@
 ``CMDiffusionBlocks``, with windows spanning blocks.
 """
 import numpy as np
+
+from tests.warn_utils import expect_opt_block_warning
 import pytest
 
 from phd_qmclib_tpu import ideal
@@ -70,7 +72,8 @@ class TestCmDiffusionProc:
     def test_report_renders_effective_mass(self, result):
         from phd_qmclib_tpu.qmc_exec.report import describe_dmc
 
-        text = describe_dmc(result)
+        with expect_opt_block_warning():
+            text = describe_dmc(result)
         assert "m/m* (superfluid fraction)" in text
         assert "2 CM-diffusion windows" in text
 

@@ -4,6 +4,8 @@ the mixed-estimator trial-function bias; recommended by this
 framework's own OBDM docs).
 """
 import numpy as np
+
+from tests.warn_utils import expect_opt_block_warning
 import pytest
 from click.testing import CliRunner
 
@@ -49,7 +51,8 @@ def run_pair(spec, pure=False):
 
 def test_extrapolated_math_and_lines():
     dres, vres = run_pair(make_spec())
-    text = report.describe_extrapolated(dres, vres, full=True)
+    with expect_opt_block_warning():
+        text = report.describe_extrapolated(dres, vres, full=True)
     assert "extrapolated estimators" in text
     assert "n1_ext" in text and "condensate fraction" in text
     assert "S(k)" in text and "g2(r)" in text
@@ -79,8 +82,10 @@ def test_cli_extrapolate_option(tmp_path):
     DmcHDF5FileHandler(dpath, group="run").dump(dres)
     VmcHDF5FileHandler(vpath, group="var").dump(vres)
     runner = CliRunner()
-    out = runner.invoke(mrbp_cli.dmc_cli,
-                        ["analyze", dpath, "--extrapolate-with", vpath])
+    with expect_opt_block_warning():
+        out = runner.invoke(mrbp_cli.dmc_cli,
+                            ["analyze", dpath,
+                             "--extrapolate-with", vpath])
     assert out.exit_code == 0, out.output
     assert "extrapolated estimators" in out.output
     assert "n1_ext" in out.output
@@ -97,9 +102,10 @@ def test_cli_json_with_extrapolation_is_valid_json(tmp_path):
     DmcHDF5FileHandler(dpath, group="run").dump(dres)
     VmcHDF5FileHandler(vpath, group="var").dump(vres)
     runner = CliRunner()
-    out = runner.invoke(mrbp_cli.dmc_cli,
-                        ["analyze", dpath, "--json",
-                         "--extrapolate-with", vpath])
+    with expect_opt_block_warning():
+        out = runner.invoke(mrbp_cli.dmc_cli,
+                            ["analyze", dpath, "--json",
+                             "--extrapolate-with", vpath])
     assert out.exit_code == 0, out.output
     payload = json.loads(out.output)  # must not raise "Extra data"
     entry = payload[0]

@@ -4,6 +4,8 @@ line, and a physics cross-check of the direct histogram against the
 Fourier (from-S(k)) route on the same run.
 """
 import numpy as np
+
+from tests.warn_utils import expect_opt_block_warning
 import pytest
 
 from phd_qmclib_tpu.models import mrbp
@@ -71,7 +73,8 @@ def test_dmc_hdf5_and_report(tmp_path):
     np.testing.assert_array_equal(loaded.data.blocks.pair_corr.totals,
                                   g2b.totals)
     assert loaded.proc.pair_corr_spec == proc.pair_corr_spec
-    text = report.describe_dmc(loaded, full=True)
+    with expect_opt_block_warning():
+        text = report.describe_dmc(loaded, full=True)
     assert "g2(r)" in text and "contact" in text
     # Restart merge concatenates the block axis.
     merged = loaded.data.blocks.merge(result.data.blocks)
@@ -103,10 +106,11 @@ def test_direct_vs_fourier_g2_cross_check():
                                                 as_pure_est=False),
         ssf_spec=dmc_exec.SSFEstSpec(num_modes=24, as_pure_est=False))
     result = run_dmc(proc)
-    r, g2_direct, g2_err = \
-        result.data.blocks.pair_corr.pair_correlation(nop, sc)
-    g2_fourier, g2f_err = result.data.blocks.ss_factor.pair_correlation(
-        r, nop, sc)
+    with expect_opt_block_warning():
+        r, g2_direct, g2_err = \
+            result.data.blocks.pair_corr.pair_correlation(nop, sc)
+        g2_fourier, g2f_err = \
+            result.data.blocks.ss_factor.pair_correlation(r, nop, sc)
     # Away from r=0 the truncated Fourier series converges; tolerate
     # a few sigma plus the truncation scale.
     mask = r > sc / 8
@@ -129,8 +133,9 @@ def test_vmc_exec_g2(tmp_path):
         vmc_exec.ModelSysConfSpec(dist_type="RANDOM"), proc)
     result = proc.exec(proc_input)
     g2b = result.data.blocks.pair_corr
-    r, g2, g2_err = g2b.pair_correlation(spec.boson_number,
-                                         spec.supercell_size)
+    with expect_opt_block_warning():
+        r, g2, g2_err = g2b.pair_correlation(spec.boson_number,
+                                             spec.supercell_size)
     assert np.all(np.isfinite(g2))
     path = str(tmp_path / "g2v.h5")
     handler = VmcHDF5FileHandler(path, group="run")
@@ -139,5 +144,6 @@ def test_vmc_exec_g2(tmp_path):
     np.testing.assert_array_equal(loaded.data.blocks.pair_corr.totals,
                                   g2b.totals)
     assert loaded.proc.pair_corr_spec == proc.pair_corr_spec
-    text = report.describe_vmc(loaded)
+    with expect_opt_block_warning():
+        text = report.describe_vmc(loaded)
     assert "g2(r)" in text

@@ -107,7 +107,7 @@ class TestRobustness:
         sampling = dmc.Sampling(spec, time_step=TIME_STEP,
                                 max_num_walkers=32,
                                 target_num_walkers=24, rng_seed=1)
-        with pytest.raises(ValueError, match="valid set"):
+        with pytest.raises(ValueError, match="configuration layout"):
             sampling.build_state(np.zeros((8, NOP + 2)))
 
     def test_more_confs_than_target_are_truncated(self):

@@ -8,6 +8,8 @@ the exact ground state, so mixed == pure == the analytic integral) plus
 transport/shape/config checks.
 """
 import numpy as np
+
+from tests.warn_utils import expect_opt_block_warning
 import pytest
 
 from phd_qmclib_tpu.models import mrbp
@@ -133,7 +135,8 @@ def test_proc_config_roundtrip_and_exec(tmp_path):
     mean = obd_blocks.mean
     assert mean.shape == (4,)
     assert mean[0] == pytest.approx(1.0, rel=1e-6)
-    assert np.all(np.isfinite(obd_blocks.mean_error))
+    with expect_opt_block_warning():
+        assert np.all(np.isfinite(obd_blocks.mean_error))
 
     path = tmp_path / "dmc-obd.h5"
     with h5py.File(path, "w") as fp:

@@ -10,6 +10,8 @@ the exactly-solvable ideal-gas limit.
 """
 import jax
 import numpy as np
+
+from tests.warn_utils import expect_opt_block_warning
 import pytest
 
 from phd_qmclib_tpu.models import mrbp
@@ -239,7 +241,8 @@ class TestProcIntegration:
         assert mean.shape == (5,)
         assert mean[0] == pytest.approx(1.0, rel=1e-6)
         assert np.all(mean > 0.0)
-        assert obd_blocks.mean_error.shape == (5,)
+        with expect_opt_block_warning():
+            assert obd_blocks.mean_error.shape == (5,)
 
         # HDF5 round-trip through the blocks data model.
         path = tmp_path / "obd.h5"

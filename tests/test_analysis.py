@@ -5,6 +5,7 @@ import numpy as np
 import pytest
 
 from phd_qmclib_tpu import analysis
+from tests.warn_utils import expect_opt_block_warning
 from phd_qmclib_tpu.models import mrbp
 
 
@@ -177,18 +178,22 @@ class TestPairCorrelationFromSSF:
         part = ddata.SSFPartBlocks(dmc_totals, np.broadcast_to(
             weights[:, None], (B, M)).copy())
         blocks = ddata.SSFBlocks(part, part, part)
-        g2_d, err_d = blocks.pair_correlation(r, N, L)
-        ref = analysis.pair_correlation_from_ssf(
-            momenta, part.mean, r, N, L, rho2_err=part.mean_error)
+        with expect_opt_block_warning():
+            g2_d, err_d = blocks.pair_correlation(r, N, L)
+            ref = analysis.pair_correlation_from_ssf(
+                momenta, part.mean, r, N, L,
+                rho2_err=part.mean_error)
         np.testing.assert_allclose(g2_d, ref[0])
         np.testing.assert_allclose(err_d, ref[1])
         assert np.all(err_d > 0)
 
         vpart = vdata.SSFPartBlocks(base + noise)
         vblocks = vdata.SSFBlocks(vpart, vpart, vpart)
-        g2_v, err_v = vblocks.pair_correlation(r, N, L)
-        vref = analysis.pair_correlation_from_ssf(
-            momenta, vpart.mean, r, N, L, rho2_err=vpart.mean_error)
+        with expect_opt_block_warning():
+            g2_v, err_v = vblocks.pair_correlation(r, N, L)
+            vref = analysis.pair_correlation_from_ssf(
+                momenta, vpart.mean, r, N, L,
+                rho2_err=vpart.mean_error)
         np.testing.assert_allclose(g2_v, vref[0])
         np.testing.assert_allclose(g2_v, 1.0, atol=0.1)
 
@@ -226,7 +231,8 @@ class TestDensityFromSSF:
         # bin with a fine sub-grid before comparing.
         sub = 32
         z = (np.arange(bins * sub) + 0.5) * (width / sub)
-        n_fine, _ = blocks.ss_factor.density_profile(z, nop, sc)
+        with expect_opt_block_warning():
+            n_fine, _ = blocks.ss_factor.density_profile(z, nop, sc)
         n_fourier = n_fine.reshape(bins, sub).mean(axis=1)
         binned = blocks.density.mean / width  # counts -> density
         assert np.allclose(n_fourier, binned,
@@ -236,7 +242,8 @@ class TestDensityFromSSF:
     def test_normalization_and_errors(self, result):
         blocks = result.data.blocks
         z = np.linspace(0, 8.0, 4001)
-        n, n_err = blocks.ss_factor.density_profile(z, 8, 8.0)
+        with expect_opt_block_warning():
+            n, n_err = blocks.ss_factor.density_profile(z, 8, 8.0)
         # integral n dz == N (the k=0 mode pins it).
         assert np.trapezoid(n, z) == pytest.approx(8.0, rel=1e-3)
         assert np.all(np.isfinite(n_err))
@@ -264,7 +271,9 @@ def test_vmc_density_from_ssf_matches_exact_orbital():
         vmc_exec.ModelSysConfSpec(dist_type="RANDOM"), proc))
 
     z = np.linspace(0.0, 1.0, 201)  # one lattice period
-    n, n_err = result.data.blocks.ss_factor.density_profile(z, nop, sc)
+    with expect_opt_block_warning():
+        n, n_err = result.data.blocks.ss_factor.density_profile(
+            z, nop, sc)
 
     import jax.numpy as jnp
     from phd_qmclib_tpu.models.mrbp import core_funcs
@@ -381,10 +390,12 @@ class TestFeynmanSpectrum:
         with h5py.File(path, "r") as fp:
             blocks = dmc_data.SSFBlocks.from_hdf5_data(
                 fp["ssf-data-group/dmc/data/blocks/ss_factor"])
-        kk, om, om_err = blocks.feynman_spectrum(8, 8.0)
+        with expect_opt_block_warning():
+            kk, om, om_err = blocks.feynman_spectrum(8, 8.0)
         assert kk.shape == om.shape == om_err.shape == (15,)
         assert np.isfinite(om).all() and (om > 0).all()
-        c, c_err = blocks.sound_speed(8, 8.0)
+        with expect_opt_block_warning():
+            c, c_err = blocks.sound_speed(8, 8.0)
         assert np.isfinite(c) and c > 0
 
 
