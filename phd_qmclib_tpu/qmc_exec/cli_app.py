@@ -14,7 +14,8 @@ from . import dmc as dmc_proc, io as io_mod, vmc as vmc_proc
 from .logging import exec_logger
 from .proc import MODEL_SYS_CONF_TYPE, ModelSysConfSpec
 
-__all__ = ["AppMeta", "AppSpec", "CLIApp", "get_io_handler"]
+__all__ = ["AppMeta", "AppSpec", "CLIApp", "WFOptAppSpec",
+           "get_io_handler"]
 
 
 def proc_cli_tags_converter(tag_or_tags) -> str:
@@ -137,6 +138,97 @@ class AppSpec:
 
 
 @dataclass(frozen=True)
+class WFOptAppSpec:
+    """A ``proc_type: wf_opt`` stanza: obtain equilibrated VMC
+    configurations (either by running a VMC procedure or by loading a
+    stored VMC result), then optimize ``tbf_contact_cutoff`` by
+    correlated sampling (:class:`phd_qmclib_tpu.wf_opt.WFOptProc`).
+    The optimal rm* flows into every SUBSEQUENT stanza of the same
+    config, so one YAML runs VMC -> optimize -> DMC at rm*.
+
+    The reference ships the same optimizer but never surfaces it in
+    its config/CLI layer (``mrbp_qmc/wf_opt/wf_opt.py:13-67`` is only
+    reachable from Python) — this stanza closes that gap.
+
+    Config shape::
+
+        app_spec:
+          - proc_type: wf_opt
+            proc: { ...VMC proc config... }     # or omit and use an
+            input: { type: MODEL_SYS_CONF }     # HDF5_FILE input of a
+            num_sys_confs: 128                  # stored VMC result
+            method: de | grad
+          - proc: { ...DMC proc config... }     # runs at rm*
+            ...
+    """
+    vmc_proc: t.Optional[t.Any]
+    proc_input: t.Any
+    num_sys_confs: int = 128
+    method: str = "de"
+    ref_energy: t.Optional[float] = None
+    verbose: bool = False
+    proc_id: t.Optional[int] = None
+    sampling_type: t.ClassVar[str] = "wf_opt"
+
+    @classmethod
+    def from_config(cls, config: t.Mapping):
+        self_config = dict(config)
+        self_config.pop("proc_type", None)
+        proc_config = self_config.pop("proc", None)
+        proc = vmc_proc.Proc.from_config(proc_config) \
+            if proc_config is not None else None
+        # The config Loader renames "input" -> "proc_input"; accept
+        # both so hand-built dicts and loaded files behave alike.
+        input_config = self_config.pop(
+            "proc_input",
+            self_config.pop("input", {"type": MODEL_SYS_CONF_TYPE}))
+        input_handler = get_io_handler(input_config, "vmc")
+        if proc is None and not isinstance(input_handler,
+                                           io_mod.HDF5FileHandler):
+            raise TypeError(
+                "a wf_opt stanza needs either a VMC proc to run or an "
+                "HDF5_FILE input holding a stored VMC result")
+        return cls(vmc_proc=proc, proc_input=input_handler,
+                   num_sys_confs=int(self_config.pop("num_sys_confs",
+                                                     128)),
+                   method=str(self_config.pop("method", "de")),
+                   ref_energy=self_config.pop("ref_energy", None),
+                   verbose=bool(self_config.pop("verbose", False)),
+                   proc_id=self_config.pop("proc_id", None))
+
+    def exec(self):
+        """Run (or load) the VMC stage and optimize; returns the
+        optimized model spec."""
+        from ..wf_opt import WFOptProc
+
+        if isinstance(self.proc_input, io_mod.HDF5FileHandler):
+            result = self.proc_input.load()
+            if self.vmc_proc is not None:
+                exec_logger.info(
+                    "wf_opt stanza: using the stored VMC result "
+                    "(the inline VMC proc is ignored)")
+            state, model_spec = result.state, result.proc.model_spec
+        else:
+            proc = self.vmc_proc
+            proc_input = vmc_proc.ProcInput.from_model_sys_conf_spec(
+                self.proc_input, proc)
+            result = proc.exec(proc_input)
+            state, model_spec = result.state, proc.model_spec
+        import numpy as np
+
+        opt = WFOptProc(num_sys_confs=self.num_sys_confs,
+                        ref_energy=self.ref_energy,
+                        verbose=self.verbose, method=self.method)
+        opt_spec = opt.exec(model_spec, np.asarray(state.pos),
+                            np.asarray(state.wf_abs_log))
+        exec_logger.info(
+            f"wf_opt: optimal rm = {opt_spec.tbf_contact_cutoff:.6G} "
+            f"(was {model_spec.tbf_contact_cutoff:.6G}); subsequent "
+            f"procedures run at the optimized value")
+        return opt_spec
+
+
+@dataclass(frozen=True)
 class CLIApp:
     """Entry point executing a sequence of procedures
     (``mrbp_qmc/dmc_exec/cli_app.py:167-230``).
@@ -166,6 +258,15 @@ class CLIApp:
             app_spec_config = dict(app_spec_config)
             if app_spec_config.get("proc_id") is None:
                 app_spec_config["proc_id"] = proc_num
+            if app_spec_config.get("proc_type") == "wf_opt":
+                if fused_sweep:
+                    raise ValueError(
+                        "wf_opt stanzas cannot ride a fused sweep "
+                        "(the optimized rm must flow serially into "
+                        "the following procedures)")
+                app_spec_set.append(
+                    WFOptAppSpec.from_config(app_spec_config))
+                continue
             app_spec_set.append(
                 AppSpec.from_config(app_spec_config, sampling_type))
         return cls(meta=app_meta, app_spec=app_spec_set,
@@ -197,9 +298,24 @@ class CLIApp:
         if self.fused_sweep and len(app_spec_set) > 1:
             return self._exec_fused()
         results = []
+        rm_star = None
         for proc_num, app_spec in enumerate(app_spec_set, 1):
             exec_logger.info(f"Starting procedure ID{proc_num}...")
-            results.append(app_spec.exec())
+            if isinstance(app_spec, WFOptAppSpec):
+                opt_spec = app_spec.exec()
+                rm_star = opt_spec.tbf_contact_cutoff
+                results.append(opt_spec)
+            else:
+                if rm_star is not None:
+                    from dataclasses import replace
+
+                    new_spec = app_spec.proc.model_spec.evolve(
+                        tbf_contact_cutoff=rm_star)
+                    app_spec = replace(
+                        app_spec,
+                        proc=replace(app_spec.proc,
+                                     model_spec=new_spec))
+                results.append(app_spec.exec())
             exec_logger.info(f"Procedure ID{proc_num} completed.")
         exec_logger.info("All the QMC calculations have completed.")
         return results

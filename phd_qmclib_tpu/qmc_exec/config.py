@@ -73,7 +73,12 @@ class Loader:
             app_spec_config["proc_output"] = app_spec_config.pop("output")
 
         for key in ("proc_input", "proc_output"):
-            handler = app_spec_config[key]
+            handler = app_spec_config.get(key)
+            if handler is None:
+                # wf_opt stanzas have no output handler (the optimized
+                # spec flows into the following stanzas instead), and
+                # their input handler is optional.
+                continue
             if handler["type"] in self.io_file_handler_types:
                 location = handler["location"]
                 handler["location"] = str(config_path / location)
