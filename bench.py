@@ -38,6 +38,12 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 #: 79.66 ws/s/core (this host) x 32 assumed cores.  See BASELINE.md.
 REFERENCE_CPU_WALKER_STEPS_PER_SEC = 32 * 79.66
 
+#: Reference CPU estimate for the VMC stage (chain-steps/s, N=64):
+#: measured proxy ``benchmarks/cpu_reference_proxy.py --vmc --nop 64``
+#: = 3180 chain-steps/s/core at its most cache-favorable chain count
+#: (512), x 32 assumed cores.  See BASELINE.md.
+REFERENCE_CPU_VMC_CHAIN_STEPS_PER_SEC = 32 * 3180.0
+
 #: Internal wall-clock budget (s).  The driver's own timeout is not
 #: published; stay well under the conventional ``timeout 600``.
 TOTAL_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 480.0))
@@ -137,6 +143,74 @@ def run_bench(nop: int, target: int, max_w: int, nts: int,
     return rate, extras
 
 
+def run_vmc_bench(nop: int, num_chains: int, nts: int,
+                  timed_blocks: int, burn_blocks: int = 1,
+                  partial_stream=None):
+    """Measure the VMC steady-state rate (BASELINE configs #1-#2:
+    Metropolis chains with the S(k) estimator on)."""
+    import jax
+
+    import numpy as np
+
+    _enable_compile_cache()
+
+    from phd_qmclib_tpu.models import mrbp
+    from phd_qmclib_tpu.samplers import vmc
+
+    spec = mrbp.Spec(lattice_depth=20.0, lattice_ratio=1.0,
+                     interaction_strength=1.0, boson_number=nop,
+                     supercell_size=float(nop), tbf_contact_cutoff=0.4)
+    sampling = vmc.Sampling(
+        spec, move_spread=0.4, rng_seed=1, num_walkers=num_chains,
+        ssf_est_spec=vmc.SSFEstSpec(num_modes=32))
+    rng = np.random.default_rng(0)
+    confs = rng.uniform(0.0, float(nop), size=(num_chains, nop)) \
+        .astype(np.float32)
+    state = sampling.build_state(confs)
+
+    blocks = sampling.blocks(nts, state)
+    for _ in range(burn_blocks):
+        block = next(blocks)
+    # block_until_ready is a no-op on axon; fetch a scalar to sync.
+    float(np.asarray(block.last_state.wf_abs_log[:1])[0])
+
+    def emit_partial(rate, extras):
+        if partial_stream is None:
+            return
+        payload = {"value": rate}
+        payload.update(extras)
+        print(f"PARTIAL {json.dumps(payload)}", file=partial_stream,
+              flush=True)
+
+    t0 = time.perf_counter()
+    total_steps = 0.0
+    extras = {}
+    rate = 0.0
+    for _ in range(timed_blocks):
+        block = next(blocks)
+        # Fetching the acceptance rate synchronizes the device.
+        acc = float(np.asarray(block.accept_rate))
+        total_steps += float(num_chains * nts)
+        elapsed = time.perf_counter() - t0
+        rate = total_steps / elapsed
+        e = float(np.asarray(block.iter_props.energy,
+                             dtype=np.float64)[-1].mean())
+        extras = {"energy_per_boson": e / nop, "accept_rate": acc}
+        emit_partial(rate, extras)
+    return rate, extras
+
+
+def vmc_result_line(rate: float, extras: dict) -> str:
+    result = {
+        "metric": "vmc_chain_steps_per_sec_per_chip",
+        "value": rate,
+        "unit": "chain-steps/s/chip",
+        "vs_baseline": rate / REFERENCE_CPU_VMC_CHAIN_STEPS_PER_SEC,
+    }
+    result.update(extras)
+    return json.dumps(result)
+
+
 def build_metric_name(args) -> str:
     metric = "dmc_walker_steps_per_sec_per_chip"
     if args.estimators:
@@ -159,6 +233,17 @@ def result_line(metric: str, rate: float, extras: dict) -> str:
 
 def child_main(args) -> int:
     """The actual measurement process (``--child``)."""
+    if args.vmc_stage:
+        if args.quick:
+            rate, extras = run_vmc_bench(nop=32, num_chains=2048,
+                                         nts=64, timed_blocks=2,
+                                         partial_stream=sys.stdout)
+        else:
+            rate, extras = run_vmc_bench(nop=64, num_chains=16384,
+                                         nts=512, timed_blocks=2,
+                                         partial_stream=sys.stdout)
+        print(vmc_result_line(rate, extras))
+        return 0
     if args.quick:
         rate, extras = run_bench(nop=32, target=2048, max_w=2560,
                                  nts=32, timed_blocks=2,
@@ -265,6 +350,26 @@ def parent_main(args) -> int:
                     "--target", str(args.target),
                     "--max-walkers", str(args.max_walkers)]
 
+    def finish(dmc_line: str) -> int:
+        """Append the VMC stage (BASELINE configs #1-#2) and print the
+        DMC metric LAST so it stays the parsed headline.  The VMC
+        stage is best-effort: serialized after the DMC stage (never
+        two device processes at once) and skipped when the budget or
+        the backend will not allow it."""
+        if remaining() > 60.0:
+            vmc_args = ["--vmc-stage"] + (
+                ["--quick"] if args.quick else [])
+            vfinal, vpartial = _run_attempt(
+                vmc_args, timeout_s=max(45.0,
+                                        min(remaining() - 20.0,
+                                            180.0)))
+            if vfinal is not None:
+                print(json.dumps(vfinal))
+            elif vpartial is not None:
+                print(vmc_result_line(vpartial.pop("value"), vpartial))
+        print(dmc_line)
+        return 0
+
     # Attempt 1: the full requested configuration.  It gets nearly the
     # whole budget: under a degraded relay the warmup cost is dominated
     # by cached-executable LOADS (observed 10-45 s each), which a
@@ -273,15 +378,14 @@ def parent_main(args) -> int:
     full_args = passthrough + ["--nts", str(args.nts),
                                "--blocks", str(args.blocks)]
     final, partial = _run_attempt(
-        full_args, timeout_s=max(60.0, remaining() - 60.0))
+        full_args, timeout_s=max(60.0, remaining() - 120.0))
     if final is not None:
-        print(json.dumps(final))
-        return 0
+        return finish(json.dumps(final))
     if partial is not None:
         # The attempt died mid-measurement but produced at least one
         # honestly-timed block at the full configuration.
-        print(result_line(metric, partial.pop("value"), partial))
-        return 0
+        return finish(result_line(metric, partial.pop("value"),
+                                  partial))
 
     # Attempt 2: same physical configuration (same N, same ensemble -
     # same steady-state rate), minimal timed work.  Only reached when
@@ -296,6 +400,8 @@ def parent_main(args) -> int:
         if partial is not None:
             print(result_line(metric, partial.pop("value"), partial))
             return 0
+        # (no VMC stage on the fallback path: a backend that cannot
+        # complete attempt 1 will not produce a second measurement)
 
     print("bench: no measurement could be completed within "
           f"{TOTAL_BUDGET_S:.0f}s (backend unavailable?)",
@@ -325,6 +431,10 @@ def main():
     parser.add_argument("--est-every", type=int, default=1,
                         help="estimator measurement cadence (see "
                              "Sampling.est_every)")
+    parser.add_argument("--vmc-stage", action="store_true",
+                        help="measure the VMC (Metropolis) stage "
+                             "instead of DMC (N=64, 16k chains, S(k) "
+                             "on; BASELINE configs #1-#2)")
     parser.add_argument("--child", action="store_true",
                         help=argparse.SUPPRESS)
     parser.add_argument("--no-subprocess", action="store_true",

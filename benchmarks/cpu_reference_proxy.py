@@ -128,17 +128,94 @@ def measure(nop: int, num_walkers: int, num_steps: int = 20,
     return total_wsteps / elapsed
 
 
+
+
+def log_psi_numpy(pos: np.ndarray, spec: mrbp.Spec):
+    """Bijl-Jastrow log |psi| (constants dropped - Metropolis ratios
+    only), vectorized NumPy; same branch structure as the reference
+    (``qmc_base/jastrow/model.py`` one/two-body functions)."""
+    obf = spec.obf_params
+    tbf = spec.tbf_params
+    L = spec.supercell_size
+    k1, kp1 = obf.param_k1, obf.param_kp1
+    z_a, z_b = obf.well_width, obf.barrier_width
+
+    z_cell = np.mod(pos, 1.0)
+    in_barrier = z_a < z_cell
+    ob = np.where(in_barrier,
+                  np.log(np.cosh(kp1 * (z_cell - 1.0 + 0.5 * z_b))),
+                  np.log(np.abs(np.cos(k1 * (z_cell - 0.5 * z_a)))))
+
+    d = pos[..., :, None] - pos[..., None, :]
+    half = 0.5 * L
+    d = np.where(np.abs(d) > half, -half + np.mod(d + half, L), d)
+    r = np.abs(d)
+    nop = pos.shape[-1]
+    off = ~np.eye(nop, dtype=bool)
+    rm, k2 = tbf.tbf_contact_cutoff, tbf.param_k2
+    beta, r_off = tbf.param_beta, tbf.param_r_off
+    r_safe = np.where(off, r, 0.25 * L)
+    inside = r_safe < abs(rm)
+    tb = np.where(inside,
+                  np.log(np.abs(np.cos(k2 * (r_safe - r_off)))),
+                  beta * np.log(np.abs(np.sin(np.pi * r_safe / L))))
+    return ob.sum(axis=-1) + 0.5 * np.where(off, tb, 0.0).sum(
+        axis=(-1, -2))
+
+
+def measure_vmc(nop: int, num_chains: int, num_steps: int = 20,
+                move_spread: float = 0.4, seed: int = 0):
+    """Reference-algorithm VMC rate: full-configuration uniform
+    displacement + Metropolis accept per chain, one O(N^2) pair pass
+    per step (``qmc_base/vmc.py:400-415, 636``)."""
+    spec = make_params(nop)
+    rng = np.random.default_rng(seed)
+    pos = rng.uniform(0, spec.supercell_size, size=(num_chains, nop))
+    lp = log_psi_numpy(pos, spec)
+
+    # Warm-up.
+    for _ in range(2):
+        prop = np.mod(pos + rng.uniform(-move_spread, move_spread,
+                                        size=pos.shape),
+                      spec.supercell_size)
+        lp_prop = log_psi_numpy(prop, spec)
+        accept = lp_prop > 0.5 * np.log(rng.random(num_chains)) + lp
+        pos = np.where(accept[:, None], prop, pos)
+        lp = np.where(accept, lp_prop, lp)
+
+    t0 = time.perf_counter()
+    for _ in range(num_steps):
+        prop = np.mod(pos + rng.uniform(-move_spread, move_spread,
+                                        size=pos.shape),
+                      spec.supercell_size)
+        lp_prop = log_psi_numpy(prop, spec)
+        accept = lp_prop > 0.5 * np.log(rng.random(num_chains)) + lp
+        pos = np.where(accept[:, None], prop, pos)
+        lp = np.where(accept, lp_prop, lp)
+    elapsed = time.perf_counter() - t0
+    return num_chains * num_steps / elapsed
+
+
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("--nop", type=int, default=128)
     parser.add_argument("--walkers", type=int, default=512)
     parser.add_argument("--steps", type=int, default=20)
+    parser.add_argument("--vmc", action="store_true",
+                        help="measure the VMC (Metropolis) proxy")
     args = parser.parse_args()
-    rate = measure(args.nop, args.walkers, args.steps)
+    if args.vmc:
+        rate = measure_vmc(args.nop, args.walkers, args.steps)
+        metric = "cpu_reference_proxy_vmc_chain_steps_per_sec_per_core"
+        unit = "chain-steps/s/core"
+    else:
+        rate = measure(args.nop, args.walkers, args.steps)
+        metric = "cpu_reference_proxy_walker_steps_per_sec_per_core"
+        unit = "walker-steps/s/core"
     print(json.dumps({
-        "metric": "cpu_reference_proxy_walker_steps_per_sec_per_core",
+        "metric": metric,
         "nop": args.nop,
         "walkers": args.walkers,
         "value": rate,
-        "unit": "walker-steps/s/core",
+        "unit": unit,
     }))
