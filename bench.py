@@ -54,9 +54,14 @@ def _enable_compile_cache():
 
     cache_dir = os.path.join(HERE, ".jax_cache")
     try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                          0.5)
+        # Atomic-write hardening matters here: the parent watchdog
+        # kills hung children, and a mid-write kill would otherwise
+        # leave a truncated cache entry that aborts every later
+        # attempt (see utils/compile_cache.py).
+        from phd_qmclib_tpu.utils.compile_cache import \
+            enable_persistent_cache
+
+        enable_persistent_cache(cache_dir, min_compile_time_secs=0.5)
     except Exception:  # pragma: no cover - older jax fallback
         pass
 

@@ -16,6 +16,7 @@ energy, two-body matching constants solved with ``brentq``) are computed
 once on CPU; the kernels are pure batched JAX functions produced by
 :func:`phd_qmclib_tpu.models.jastrow.build_core_funcs`.
 """
+import functools
 import math
 import typing as t
 from dataclasses import dataclass, field, replace
@@ -736,6 +737,21 @@ def core_funcs(spec_or_static,
     """
     static = (spec_or_static.static_spec
               if isinstance(spec_or_static, Spec) else spec_or_static)
+    return _core_funcs_cached(static, pairwise_impl)
+
+
+@functools.lru_cache(maxsize=64)
+def _core_funcs_cached(static: "StaticSpec",
+                       pairwise_impl: str) -> "jastrow.SimpleNamespace":
+    """One kernel namespace per compile-time structure.
+
+    The namespace (and with it every ``jax.jit`` cache inside it) is
+    shared by all specs with the same static structure: continuous
+    parameters travel as traced pytree arguments, so two ``Spec``s that
+    differ only in depths/couplings/rm reuse the same traces and
+    compiled executables.  This removes per-``Proc`` retracing in
+    parameter sweeps and repeated driver construction.
+    """
     funcs = jastrow.build_core_funcs(
         one_body=_one_body,
         one_body_log_dz=_one_body_log_dz,

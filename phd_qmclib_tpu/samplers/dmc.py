@@ -43,7 +43,7 @@ TPU-native re-design of the reference DMC machine
 """
 import typing as t
 from dataclasses import dataclass
-from functools import cached_property, partial
+from functools import cached_property, lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -272,6 +272,26 @@ def branching_comb(weights: jnp.ndarray, num_walkers: jnp.ndarray,
     marks = marks2d.reshape(q_count * r_split)[:max_w].astype(jnp.int32)
     parent = jnp.clip(jnp.cumsum(marks), 0, max_w - 1)
     return parent, new_num
+
+
+@lru_cache(maxsize=32)
+def _shared_block_fn(sampling: "Sampling", measure: bool):
+    """One traced block function per distinct sampling spec.
+
+    :class:`Sampling` is a frozen dataclass, so value-equal specs hash
+    equal; re-constructing a driver (sweeps, checkpoint restores, the
+    exec layer's run/variant pairs) reuses the existing trace and
+    compiled executables instead of paying a full re-trace of the block
+    ``lax.scan``.
+
+    The cache is BOUNDED: every retained entry pins compiled
+    executables, whose mmap'd code sections count against the kernel's
+    per-process mapping limit (``vm.max_map_count``) — an unbounded
+    cache exhausted it under a long test session ("LLVM ERROR: Unable
+    to allocate section memory").  Eviction releases the executables;
+    live ``Sampling`` instances keep theirs via ``cached_property``.
+    """
+    return sampling._make_block_fn(measure)
 
 
 @dataclass(frozen=True)
@@ -1185,11 +1205,11 @@ class Sampling:
 
     @cached_property
     def _block_fn_measure(self):
-        return self._make_block_fn(measure=True)
+        return _shared_block_fn(self, True)
 
     @cached_property
     def _block_fn_burn(self):
-        return self._make_block_fn(measure=False)
+        return _shared_block_fn(self, False)
 
     def _scalars(self, dtype) -> dict:
         f = partial(jnp.asarray, dtype=dtype)

@@ -28,7 +28,7 @@ Jastrow/mrbp bindings).  Differences by design:
 """
 import typing as t
 from dataclasses import dataclass
-from functools import cached_property
+from functools import cached_property, lru_cache
 
 import jax
 import jax.numpy as jnp
@@ -143,6 +143,16 @@ class PairCorrEstSpec:
     #: bit-identical for any value; ``iter_g2`` carries
     #: ``num_steps_block // (est_every * est_every_mult)`` entries.
     est_every_mult: int = 1
+
+
+@lru_cache(maxsize=32)
+def _shared_block_fn(sampling: "Sampling"):
+    """One traced block function per distinct sampling spec (frozen
+    dataclass: value-equal specs hash equal), so re-constructed drivers
+    reuse traces and compiled executables instead of re-tracing the
+    block ``lax.scan``.  Bounded for the same mapping-limit reason as
+    the DMC twin (``samplers/dmc.py::_shared_block_fn``)."""
+    return sampling._make_block_fn()
 
 
 @dataclass(frozen=True)
@@ -504,6 +514,9 @@ class Sampling:
 
     @cached_property
     def _block_fn(self):
+        return _shared_block_fn(self)
+
+    def _make_block_fn(self):
         use_ssf = self.ssf_est_spec is not None
         use_obd = self.obd_est_spec is not None
         axis_name = self.mesh_axis if self.mesh is not None else None

@@ -42,8 +42,24 @@ _ensure_native_built()
 
 # Persistent XLA compilation cache: the suite compiles hundreds of
 # (mostly identical across runs) CPU executables; caching them on disk
-# cuts repeat-run wall time substantially on this 1-CPU host.
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(__file__), os.pardir,
-                               ".jax_cache_cpu"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+# cuts repeat-run wall time substantially on this 1-CPU host.  The
+# hardened enable makes entry writes atomic — a suite run killed
+# mid-write must not leave a truncated entry that aborts every later
+# run (observed failure mode; see utils/compile_cache.py).
+from phd_qmclib_tpu.utils.compile_cache import \
+    enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache(
+    os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache_cpu"),
+    min_compile_time_secs=0.2)
+
+# Freeze the long-lived startup object graph so the cyclic GC stops
+# re-scanning it on every collection (the suite allocates heavily
+# while tracing).  Do NOT raise the GC thresholds: jitted functions
+# sit in reference cycles, and delaying their collection keeps dead
+# executables' mmap'd code sections alive — the per-process mapping
+# limit (vm.max_map_count) is the scarce resource here, not RAM.
+import gc  # noqa: E402
+
+gc.collect()
+gc.freeze()

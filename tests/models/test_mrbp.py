@@ -196,8 +196,12 @@ class TestAutodiffIdentities:
         np.testing.assert_allclose(np.asarray(funcs.drift(pos, cfc)),
                                    np.asarray(grad), rtol=1e-9)
 
+    @pytest.mark.slow
     def test_energy_is_minus_laplacian_plus_potential(self, spec, funcs,
                                                       pos):
+        # Full-tier: the hessian trace is the slowest single compile in
+        # the model suite; the fast tier keeps drift==grad here plus
+        # the replay kernel-agreement and golden-energy gates.
         cfc = spec.cfc_params
         f = lambda p: funcs.log_psi(p, cfc)  # noqa: E731
         g = jax.grad(f)(pos)

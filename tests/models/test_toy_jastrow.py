@@ -101,7 +101,10 @@ def test_drift_is_grad(funcs, cfc, pos):
                                np.asarray(grad), rtol=1e-8)
 
 
+@pytest.mark.slow
 def test_energy_matches_laplacian(funcs, cfc, pos):
+    # Full-tier (hessian compile); the fast tier keeps drift==grad,
+    # fused-consistency and delta-move identities on this toy model.
     f = lambda p: funcs.log_psi(p, cfc)  # noqa: E731
     g = jax.grad(f)(pos)
     h = jax.hessian(f)(pos)

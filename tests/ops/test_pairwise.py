@@ -10,13 +10,16 @@ from phd_qmclib_tpu.ops import pairwise
 
 @pytest.fixture(scope="module")
 def setup():
+    # N=32, 32 walkers: interpret-mode cost scales ~ W*N^2, and 32
+    # keeps the batch aligned with the production tile width so the
+    # dispatch test exercises the real Pallas path (not the fallback).
     spec = mrbp.Spec(lattice_depth=20.0, lattice_ratio=1.0,
-                     interaction_strength=1.0, boson_number=64,
-                     supercell_size=64.0, tbf_contact_cutoff=0.4)
+                     interaction_strength=1.0, boson_number=32,
+                     supercell_size=32.0, tbf_contact_cutoff=0.4)
     funcs = mrbp.core_funcs(spec)
     cfc = jax.tree.map(lambda x: jnp.float32(x), spec.cfc_params)
     rng = np.random.default_rng(0)
-    pos = jnp.asarray(rng.uniform(0, 64.0, (32, 64)), dtype=jnp.float32)
+    pos = jnp.asarray(rng.uniform(0, 32.0, (32, 32)), dtype=jnp.float32)
     return spec, funcs, cfc, pos
 
 
@@ -24,7 +27,7 @@ def test_kernel_matches_xla(setup):
     spec, funcs, cfc, pos = setup
     pv = jnp.asarray(pairwise.pack_params(spec.cfc_params))
     lp_p, e_p, d_p = pairwise.energy_and_drift_pallas(
-        pos, pv, nop=64, is_free=False, is_ideal=False, defects_sep=1,
+        pos, pv, nop=32, is_free=False, is_ideal=False, defects_sep=1,
         tw=8, with_log_psi=True, interpret=True)
     lp_x, e_x = funcs.log_psi_and_energy(pos, cfc)
     _, d_x = funcs.energy_and_drift(pos, cfc)
@@ -32,8 +35,10 @@ def test_kernel_matches_xla(setup):
                                rtol=2e-6)
     np.testing.assert_allclose(np.asarray(d_p), np.asarray(d_x),
                                rtol=1e-4, atol=2e-5)
+    # log|psi| accumulates ~N^2/2 pair terms in f32: the inherent
+    # summation noise is ~eps*sqrt(pairs) ~ 3e-6 relative.
     np.testing.assert_allclose(np.asarray(lp_p), np.asarray(lp_x),
-                               rtol=2e-6)
+                               rtol=1e-5)
 
 
 def test_traced_param_packing(setup):

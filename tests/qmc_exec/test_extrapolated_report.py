@@ -49,8 +49,18 @@ def run_pair(spec, pure=False):
     return dres, vres
 
 
-def test_extrapolated_math_and_lines():
-    dres, vres = run_pair(make_spec())
+import pytest as _pytest
+
+
+@_pytest.fixture(scope="module")
+def default_pair():
+    """The default-spec DMC+VMC pair, shared by every test that needs
+    the mixed-estimator result (one exec instead of four)."""
+    return run_pair(make_spec())
+
+
+def test_extrapolated_math_and_lines(default_pair):
+    dres, vres = default_pair
     with expect_opt_block_warning():
         text = report.describe_extrapolated(dres, vres, full=True)
     assert "extrapolated estimators" in text
@@ -69,15 +79,15 @@ def test_pure_estimators_are_skipped_with_note():
     assert text.count("forward walking") == 3  # OBDM, S(k), g2 skipped
 
 
-def test_model_mismatch_raises():
-    dres, _ = run_pair(make_spec())
+def test_model_mismatch_raises(default_pair):
+    dres, _ = default_pair
     _, vres = run_pair(make_spec(interaction_strength=3.0))
     with pytest.raises(ValueError, match="matching model specs"):
         report.describe_extrapolated(dres, vres)
 
 
-def test_cli_extrapolate_option(tmp_path):
-    dres, vres = run_pair(make_spec())
+def test_cli_extrapolate_option(tmp_path, default_pair):
+    dres, vres = default_pair
     dpath, vpath = str(tmp_path / "d.h5"), str(tmp_path / "v.h5")
     DmcHDF5FileHandler(dpath, group="run").dump(dres)
     VmcHDF5FileHandler(vpath, group="var").dump(vres)
@@ -91,13 +101,14 @@ def test_cli_extrapolate_option(tmp_path):
     assert "n1_ext" in out.output
 
 
-def test_cli_json_with_extrapolation_is_valid_json(tmp_path):
+def test_cli_json_with_extrapolation_is_valid_json(tmp_path,
+                                                   default_pair):
     """--json + --extrapolate-with must emit ONE parseable JSON payload
     with the extrapolated values folded in (regression: the text block
     used to be appended after the JSON array)."""
     import json
 
-    dres, vres = run_pair(make_spec())
+    dres, vres = default_pair
     dpath, vpath = str(tmp_path / "d.h5"), str(tmp_path / "v.h5")
     DmcHDF5FileHandler(dpath, group="run").dump(dres)
     VmcHDF5FileHandler(vpath, group="var").dump(vres)

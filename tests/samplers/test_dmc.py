@@ -42,17 +42,20 @@ class TestBranchingComb:
 
     def test_expected_clone_count(self):
         # E[floor(w + u)] == w exactly for uniform u.  Use a buffer with
-        # ample headroom so the max_num_walkers cap never bites.
+        # ample headroom so the max_num_walkers cap never bites.  All
+        # trials run in ONE vmapped dispatch (a per-trial Python loop
+        # costs ~5 ms/dispatch on this host).
         w = np.zeros(96)
         w[:32] = np.linspace(0.2, 1.8, 32)
         w = jnp.asarray(w)
-        counts = np.zeros(96)
         trials = 2000
-        for s in range(trials):
-            parent, nw = dmc.branching_comb(
-                w, jnp.asarray(32), jax.random.PRNGKey(s))
-            p = np.asarray(parent)[: int(nw)]
-            counts += np.bincount(p, minlength=96)
+        us = jax.random.uniform(jax.random.PRNGKey(7), (trials, 96))
+        parents, nws = jax.vmap(
+            lambda u: dmc.branching_comb(w, jnp.asarray(32), u=u))(us)
+        parents, nws = np.asarray(parents), np.asarray(nws)
+        live = np.arange(96)[None, :] < nws[:, None]
+        sel = np.where(live, parents, 96)  # park dead slots off-range
+        counts = np.bincount(sel.ravel(), minlength=97)[:96]
         mean_clones = counts / trials
         np.testing.assert_allclose(mean_clones[:32], np.asarray(w)[:32],
                                    atol=0.12)
@@ -74,30 +77,43 @@ class TestBranchingComb:
         assert int(nw) == 3
         assert np.asarray(parent)[: 3].max() <= 2
 
+    @staticmethod
+    def _check_oracle(max_w, num, seed):
+        # The defining relation: parent[slot] = #{i : cum[i] <= slot}
+        # (searchsorted-right into the clone-count cumsum).
+        rng = np.random.default_rng(seed)
+        w = rng.uniform(0.0, 2.5, size=max_w)
+        u = rng.uniform(0.0, 1.0, size=max_w)
+        parent, nw = dmc.branching_comb(
+            jnp.asarray(w), jnp.asarray(num), u=jnp.asarray(u))
+        n_clones = np.floor(w + u).astype(int)
+        n_clones[num:] = 0
+        cum = np.cumsum(n_clones)
+        expect_nw = min(cum[-1], max_w)
+        oracle = np.clip(
+            np.searchsorted(cum, np.arange(max_w), side="right"),
+            0, max_w - 1)
+        assert int(nw) == expect_nw
+        np.testing.assert_array_equal(np.asarray(parent), oracle)
+
     def test_parent_matches_searchsorted_oracle(self):
-        # The MXU-factorized marks histogram must reproduce the
-        # defining relation parent[slot] = #{i : cum[i] <= slot}
-        # (i.e. searchsorted-right into the clone-count cumsum) for
-        # arbitrary weights, masks, and buffer sizes — including
-        # non-multiple-of-128 buffers that exercise the q*128+r
-        # factorization padding.
+        # Fast tier: three fixed buffer shapes that pin the corner
+        # cases of the MXU-factorized marks histogram — tiny (<128),
+        # non-multiple-of-128 (exercises the q*128+r factorization
+        # padding), and an exact multiple.  The slow tier widens this
+        # to a randomized shape sweep.
+        self._check_oracle(5, 3, seed=0)
+        self._check_oracle(131, 97, seed=1)
+        self._check_oracle(256, 200, seed=2)
+
+    @pytest.mark.slow
+    def test_parent_matches_searchsorted_oracle_wide(self):
+        # Randomized weights/masks/buffer sizes, arbitrary shapes.
         for seed in range(8):
             rng = np.random.default_rng(seed)
             max_w = int(rng.integers(5, 300))
             num = int(rng.integers(1, max_w + 1))
-            w = rng.uniform(0.0, 2.5, size=max_w)
-            u = rng.uniform(0.0, 1.0, size=max_w)
-            parent, nw = dmc.branching_comb(
-                jnp.asarray(w), jnp.asarray(num), u=jnp.asarray(u))
-            n_clones = np.floor(w + u).astype(int)
-            n_clones[num:] = 0
-            cum = np.cumsum(n_clones)
-            expect_nw = min(cum[-1], max_w)
-            oracle = np.clip(
-                np.searchsorted(cum, np.arange(max_w), side="right"),
-                0, max_w - 1)
-            assert int(nw) == expect_nw
-            np.testing.assert_array_equal(np.asarray(parent), oracle)
+            self._check_oracle(max_w, num, seed=seed + 100)
 
 
 class TestRobustness:

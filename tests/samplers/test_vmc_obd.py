@@ -54,7 +54,11 @@ class TestGridKernel:
                 sz, pos, spec.cfc_params))
             np.testing.assert_allclose(grid[:, j], single, rtol=1e-10)
 
+    @pytest.mark.slow
     def test_matches_brute_force_wf_ratios(self):
+        # Full-tier: the deep oracle (N x offsets separate log_psi
+        # evaluations); the fast tier keeps grid==single-offset,
+        # zero-offset unity and free/ideal unity.
         # n1(sz) = (1/N) sum_i psi(..., z_i + sz, ...) / psi(z) computed
         # through log_psi directly.
         spec = make_spec()

@@ -126,7 +126,10 @@ class TestPairCorrelationFromSSF:
             analysis.pair_correlation_from_ssf(
                 momenta, rho2, np.zeros(1), 1, L)
 
+    @pytest.mark.slow
     def test_contact_hole_deepens_with_coupling(self):
+        # Full-tier: three coupled VMC runs; the class's exactness
+        # tests (free-fermion closed form, sum rule) stay fast.
         """End to end: g2(0) from measured VMC S(k) parts falls as the
         repulsion grows (the contact hole the interaction digs)."""
         from phd_qmclib_tpu.models import mrbp

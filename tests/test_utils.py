@@ -32,3 +32,33 @@ def test_meshes():
 
     dict_mesh = utils.mapping_to_mesh({"a": [1, 2], "b": [3]})
     assert dict_mesh == [{"a": 1, "b": 3}, {"a": 2, "b": 3}]
+
+
+def test_persistent_cache_hygiene(tmp_path):
+    """Atomic-write hardening of the JAX compile cache: entry writes
+    go through temp+rename (no torn files for killed processes to trip
+    over), and startup sweeps remove zero-length entries and temp
+    leftovers from crashed runs (a truncated entry hard-aborts XLA's
+    deserializer — observed failure mode)."""
+    from jax._src import lru_cache as _lru
+
+    from phd_qmclib_tpu.utils import compile_cache
+
+    compile_cache.harden_cache_writes()
+    assert getattr(_lru.LRUCache.put, "_atomic_writes", False)
+
+    cache = _lru.LRUCache(str(tmp_path), max_size=-1)
+    cache.put("k1", b"payload")
+    assert cache.get("k1") == b"payload"
+    # Same key again: first write wins, still no temp leftovers.
+    cache.put("k1", b"other")
+    assert cache.get("k1") == b"payload"
+    names = {p.name for p in tmp_path.iterdir()}
+    assert names == {"k1-cache"}
+
+    # Crash debris: a zero-length entry and an orphaned temp file.
+    (tmp_path / "dead-cache").write_bytes(b"")
+    (tmp_path / "k2-cache.__tmp.123").write_bytes(b"zz")
+    compile_cache._sweep(str(tmp_path))
+    names = {p.name for p in tmp_path.iterdir()}
+    assert names == {"k1-cache"}
