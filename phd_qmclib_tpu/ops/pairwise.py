@@ -89,6 +89,23 @@ def _sincos_poly(x):
     return x * s, c
 
 
+#: Rational tan (see ``models/mrbp._tancot_poly32`` — same tuples).
+_TAN_P_COEFFS = (1.0, -0.12820512820512820, 2.7972027972027972e-03,
+                 -7.4000074000074000e-06)
+_TAN_Q_COEFFS = (1.0, -0.46153846153846154, 2.3310023310023310e-02,
+                 -2.0720020720020720e-04)
+
+
+def _tancot_poly(x):
+    z2 = x * x
+    p = jnp.float32(_TAN_P_COEFFS[-1])
+    q = jnp.float32(_TAN_Q_COEFFS[-1])
+    for k in range(len(_TAN_P_COEFFS) - 2, -1, -1):
+        p = p * z2 + jnp.float32(_TAN_P_COEFFS[k])
+        q = q * z2 + jnp.float32(_TAN_Q_COEFFS[k])
+    return x * p, q
+
+
 def _kernel(params_ref, pos_ref, energy_ref, drift_ref, *maybe_logpsi,
             nop: int, is_free: bool, is_ideal: bool, defects_sep: int,
             tw: int, npad: int, with_log_psi: bool):
@@ -165,10 +182,12 @@ def _kernel(params_ref, pos_ref, energy_ref, drift_ref, *maybe_logpsi,
         arg = jnp.where(in_cut, k2 * (r - r_off), jnp.pi * r / L)
         one = jnp.ones_like(r)
         pref = jnp.pi / L
-        # Reduced-range polynomial sincos (the argument never leaves
-        # (-pi/2, pi/2]); same coefficients as models/mrbp.py.
-        s, c = _sincos_poly(arg)
+        # Reduced-range polynomials (the argument never leaves
+        # (-pi/2, pi/2]); same coefficients as models/mrbp.py.  The
+        # log path needs the factors (sincos); the forward path only
+        # their ratio (rational tan, fewer fma).
         if with_log_psi:
+            s, c = _sincos_poly(arg)
             s_o = jnp.where(in_cut, one, s)
             c_o = jnp.where(in_cut, one, c)
             c_i = jnp.where(in_cut, c, one)
@@ -180,7 +199,8 @@ def _kernel(params_ref, pos_ref, energy_ref, drift_ref, *maybe_logpsi,
                              * ((beta - 1.0) * cot * cot - 1.0))
         else:
             # Forward-only fast path: one divide serves both branches
-            # (tan inside the cutoff, cot outside).
+            # (tan = xP/Q inside the cutoff, cot = Q/(xP) outside).
+            s, c = _tancot_poly(arg)
             num = jnp.where(in_cut, s, c)
             den = jnp.where(in_cut, c, s)
             v = num / den
