@@ -7,13 +7,14 @@ beyond the reference's N=128 headline scale.
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/n_scaling.py
 
-Measured (v5e single chip, 16384 walkers, f32, bare step):
+Measured (v5e single chip, 16384 walkers, f32, bare step; round 4,
+after the rational-tan fast path — round-3 numbers in parens):
 
     N    walker-steps/s   pair-evals/s
-    32       14.10M          14.4G
-    64        9.05M          37.0G
-    128       2.99M          49.0G
-    256       0.91M          59.8G
+    32       18.08M          18.5G   (14.10M / 14.4G)
+    64       10.92M          44.7G   ( 9.05M / 37.0G)
+    128       3.78M          62.0G   ( 2.99M / 49.0G)
+    256       1.20M          78.9G   ( 0.91M / 59.8G)
 
 Pair throughput still RISES at N=256 (the fixed per-walker overheads -
 normals, comb, gathers - amortize away), so the framework scales to
