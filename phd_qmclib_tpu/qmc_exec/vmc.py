@@ -150,6 +150,12 @@ class Proc(proc_base.Proc):
     #: carry ``num_steps_block // est_every`` entries per block; chain
     #: dynamics are identical for any K.
     est_every: int = 1
+    #: Gaussian proposals of width ``move_spread`` instead of uniform
+    #: box moves — the reference's normal-distribution sampling
+    #: (``mrbp_qmc/vmc_ndf.py``, ``sigma = sqrt(time_step)``), which it
+    #: never surfaced through its driver/config layer; here one config
+    #: key switches it.
+    gaussian: bool = False
     verbose: bool = False
 
     # VMC has no density estimator in the reference either.
@@ -243,6 +249,7 @@ class Proc(proc_base.Proc):
             "dtype": self.dtype,
             "num_mesh_devices": self.num_mesh_devices,
             "est_every": self.est_every,
+            "gaussian": self.gaussian or None,  # omit the default
         }
         if self.ssf_spec is not None:
             config["ssf_spec"] = {"num_modes": self.ssf_spec.num_modes}
@@ -305,8 +312,8 @@ class Proc(proc_base.Proc):
             self.model_spec, self.move_spread, self.rng_seed,
             ssf_est_spec=ssf_est_spec, obd_est_spec=obd_est_spec,
             pair_corr_est_spec=pair_corr_est_spec,
-            num_walkers=self.num_walkers, mesh=mesh,
-            est_every=self.est_every)
+            num_walkers=self.num_walkers, gaussian=self.gaussian,
+            mesh=mesh, est_every=self.est_every)
 
     def describe_model_spec(self):
         spec = self.model_spec

@@ -292,10 +292,15 @@ def test_config_fuzz_wide(seed, tmp_path):
     fuzz_one(seed, tmp_path)
 
 
-@pytest.mark.parametrize("seed", [5])
+@pytest.mark.parametrize(
+    "seed", [pytest.param(5, marks=pytest.mark.slow), 9])
 def test_vmc_config_fuzz(seed, tmp_path):
     """The VMC side of the same harness: cadence bit-identity, HDF5
-    round-trip, kill/restore bit-exactness."""
+    round-trip, kill/restore bit-exactness.  Seed 9 (fast tier) uses
+    Gaussian (vmc_ndf-style) proposals — the config key the driver now
+    exposes — so the invariants cover the normal-distribution sampling
+    too; seed 5 keeps the uniform-proposal draw in the slow tier (that
+    path is exercised by every other VMC test)."""
     rng = np.random.default_rng(seed)
     cfg = {
         "model_spec": {
@@ -307,6 +312,7 @@ def test_vmc_config_fuzz(seed, tmp_path):
         "burn_in_blocks": 1, "num_walkers": 16,
         "rng_seed": int(rng.integers(1, 10_000)), "dtype": "float64",
         "est_every": 2,
+        "gaussian": seed == 9,
         "ssf_spec": {"num_modes": 4},
         "obd_spec": {"num_pos": 3, "est_every_mult": 2},
         "pair_corr_spec": {"num_bins": 6},
@@ -352,3 +358,59 @@ def test_vmc_config_fuzz(seed, tmp_path):
     np.testing.assert_array_equal(
         resumed.data.blocks.energy.totals,
         result.data.blocks.energy.totals)
+
+
+def draw_sweep_rows(rng: np.random.Generator) -> list:
+    """Two fused-sweep rows over a random estimator/cadence/window
+    draw: same block structure and estimator specs (the SweepProc
+    contract), couplings varying across rows."""
+    cfg = draw_dmc_config(rng)
+    cfg.pop("num_mesh_devices", None)   # fused rows are single-device
+    cfg.pop("rebalance_every", None)
+    gns = (float(cfg["model_spec"]["interaction_strength"]),
+           float(rng.uniform(0.5, 4.0)))
+    return [{**cfg,
+             "model_spec": {**cfg["model_spec"],
+                            "interaction_strength": gn}}
+            for gn in gns]
+
+
+def _sweep_fuzz_one(seed):
+    from phd_qmclib_tpu.qmc_exec.sweep import SweepProc
+
+    rng = np.random.default_rng(seed)
+    rows = draw_sweep_rows(rng)
+    procs = [dmc_exec.Proc.from_config(c) for c in rows]
+    inputs = [dmc_exec.ProcInput.from_model_sys_conf_spec(
+        dmc_exec.ModelSysConfSpec(dist_type="RANDOM"), p)
+        for p in procs]
+    fused = SweepProc(tuple(procs)).exec(inputs)
+    for cfg_row, proc, pin, fres in zip(rows, procs, inputs, fused):
+        assert_invariants(cfg_row, fres)
+        alone = proc.exec(dmc_exec.ProcInput(pin.state))
+        np.testing.assert_array_equal(
+            np.asarray(fres.state.pos), np.asarray(alone.state.pos),
+            err_msg=f"fused row diverged (seed {seed}, cfg {cfg_row})")
+        want, got = _series(alone.data.blocks), _series(
+            fres.data.blocks)
+        assert want.keys() == got.keys()
+        for name in want:
+            np.testing.assert_array_equal(
+                got[name], want[name],
+                err_msg=f"fused {name} (seed {seed}, cfg {cfg_row})")
+
+
+@pytest.mark.parametrize("seed", [10])
+def test_sweep_config_fuzz(seed):
+    """Fused sweep x the estimator knob cross-product: every row of the
+    fused dispatch stream must be bit-identical to its standalone run
+    (series AND final ensemble), for whatever estimator subset /
+    cadence / pure-window combination the draw produces.  Seed 10
+    draws pure multi-block windows + cadence multipliers."""
+    _sweep_fuzz_one(seed)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", [11, 12, 14])
+def test_sweep_config_fuzz_wide(seed):
+    _sweep_fuzz_one(seed)
