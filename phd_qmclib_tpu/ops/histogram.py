@@ -64,10 +64,15 @@ def walker_histogram_mxu(pos, bin_size, num_bins: int, r_split: int = 32):
     bins = jnp.clip((pos // bin_size).astype(jnp.int32), 0, num_bins - 1)
     bq = bins // r
     br = bins % r
+    # The factors are exact 0/1, so on f32 inputs they travel as bf16
+    # (half the HBM bytes, double the MXU rate) while the accumulation
+    # stays f32 — counts remain EXACT integers (each dot sums <= N
+    # ones), bit-identical to the f32-factor form.
+    fdtype = jnp.bfloat16 if pos.dtype == jnp.float32 else pos.dtype
     fq = (bq[..., :, None]
-          == jnp.arange(q, dtype=jnp.int32)).astype(pos.dtype)
+          == jnp.arange(q, dtype=jnp.int32)).astype(fdtype)
     fr = (br[..., :, None]
-          == jnp.arange(r, dtype=jnp.int32)).astype(pos.dtype)
+          == jnp.arange(r, dtype=jnp.int32)).astype(fdtype)
     hqr = jnp.einsum("...iq,...ir->...qr", fq, fr,
                      preferred_element_type=pos.dtype)
     return hqr.reshape(pos.shape[:-1] + (q * r,))[..., :num_bins]

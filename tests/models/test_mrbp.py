@@ -320,3 +320,56 @@ class TestSpecValidation:
         spec2 = spec.evolve(tbf_contact_cutoff=0.8)
         assert spec2.tbf_contact_cutoff == 0.8
         assert spec2.tbf_params.param_k2 != spec.tbf_params.param_k2
+
+
+class TestFastPathPolynomials:
+    """Pin the f32 fast-path approximations against exact f64 trig.
+
+    The forward hot path evaluates tan/cot via the rational
+    ``_tancot_poly32`` and the log path sin/cos via ``_sincos_poly32``;
+    these bounds are the measured accuracy the kernels rely on (see
+    docs/DESIGN.md section 7).  A coefficient regression shows up here
+    before it can bias physics."""
+
+    def test_tancot_rational_accuracy(self):
+        x64 = np.linspace(1e-9, np.pi / 2, 200_001)[:-1]
+        x = jnp.asarray(x64, dtype=jnp.float32)
+        num, den = mrbp._tancot_poly32(x)
+        tan = np.tan(x64)
+        v = np.asarray(num, dtype=np.float64) / np.asarray(
+            den, dtype=np.float64)
+        cot_v = 1.0 / v
+        small = np.abs(tan) < 10
+        rel = np.abs(v[small] / tan[small] - 1)
+        assert rel.max() < 2e-6  # measured 1.44e-6
+        cot_abs = np.abs(cot_v[~small] - 1 / tan[~small])
+        assert cot_abs.max() < 3e-7  # measured 1.6e-7
+
+    def test_sincos_poly_accuracy(self):
+        x64 = np.linspace(-np.pi / 2, np.pi / 2, 200_001)
+        x = jnp.asarray(x64, dtype=jnp.float32)
+        s, c = mrbp._sincos_poly32(x)
+        assert np.abs(np.asarray(s, dtype=np.float64)
+                      - np.sin(x64)).max() < 3e-7
+        assert np.abs(np.asarray(c, dtype=np.float64)
+                      - np.cos(x64)).max() < 3e-7
+
+    def test_f32_fast_path_matches_f64_kernel(self):
+        # End-to-end: the f32 forward fast path (rational tan) against
+        # the exact-library f64 evaluation of the same pair terms.
+        spec = mrbp.Spec(lattice_depth=V0, lattice_ratio=R,
+                         interaction_strength=GN, boson_number=NOP,
+                         supercell_size=SC_SIZE,
+                         tbf_contact_cutoff=RM)
+        funcs = mrbp.core_funcs(spec)
+        rng = np.random.default_rng(11)
+        pos64 = jnp.asarray(rng.uniform(0, SC_SIZE, size=(64, NOP)))
+        cfc64 = spec.cfc_params
+        e64, d64 = funcs.energy_and_drift(pos64, cfc64)
+        pos32 = jnp.asarray(np.asarray(pos64), dtype=jnp.float32)
+        cfc32 = jax.tree.map(jnp.float32, cfc64)
+        e32, d32 = funcs.energy_and_drift(pos32, cfc32)
+        np.testing.assert_allclose(np.asarray(e32), np.asarray(e64),
+                                   rtol=5e-5)
+        np.testing.assert_allclose(np.asarray(d32), np.asarray(d64),
+                                   rtol=1e-3, atol=5e-4)
