@@ -244,8 +244,11 @@ def child_main(args) -> int:
                                          nts=64, timed_blocks=2,
                                          partial_stream=sys.stdout)
         else:
+            # 4 timed blocks (~6 s of steady-state work): 2 blocks was
+            # a ~3 s measurement and a single dispatch hiccup moved
+            # the reading by up to 20% between runs.
             rate, extras = run_vmc_bench(nop=64, num_chains=16384,
-                                         nts=512, timed_blocks=2,
+                                         nts=512, timed_blocks=4,
                                          partial_stream=sys.stdout)
         print(vmc_result_line(rate, extras))
         return 0

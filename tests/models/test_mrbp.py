@@ -363,7 +363,7 @@ class TestFastPathPolynomials:
                          tbf_contact_cutoff=RM)
         funcs = mrbp.core_funcs(spec)
         rng = np.random.default_rng(11)
-        pos64 = jnp.asarray(rng.uniform(0, SC_SIZE, size=(64, NOP)))
+        pos64 = jnp.asarray(rng.uniform(0, SC_SIZE, size=(16, NOP)))
         cfc64 = spec.cfc_params
         e64, d64 = funcs.energy_and_drift(pos64, cfc64)
         pos32 = jnp.asarray(np.asarray(pos64), dtype=jnp.float32)
