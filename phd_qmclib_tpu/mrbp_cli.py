@@ -94,6 +94,49 @@ def _make_cli(sampling_type: str, prefix: str):
         app = cli_app.CLIApp.from_config(config_data, sampling_type)
         app.exec()
 
+    @cli.command(name="resume")
+    @click.argument("checkpoint_path", type=config_path_type)
+    @click.argument("output_path", type=output_path_type)
+    @click.option("-g", "--group", default="resumed",
+                  help="result group inside the output file")
+    @click.option("--no-checkpointing", is_flag=True, default=False,
+                  help="do not keep writing mid-run checkpoints while "
+                       "finishing the run")
+    def resume(checkpoint_path: str, output_path: str,
+               group: str = "resumed", no_checkpointing: bool = False):
+        """Finish a killed run from its mid-run checkpoint file.
+
+        Schema-v2 checkpoints resume bit-exactly (identical to the
+        uninterrupted run, including every estimator series); the
+        completed result is dumped to OUTPUT_PATH like ``start`` would
+        have done.  The reference offers no mid-run recovery at all —
+        its state saves happen only at procedure completion
+        (``qmc_exec/dmc/io.py:35-80``).
+        """
+        if sampling_type == "dmc":
+            from .qmc_exec import dmc as proc_mod
+            from .qmc_exec.io import DmcHDF5FileHandler as Handler
+        else:
+            from .qmc_exec import vmc as proc_mod
+            from .qmc_exec.io import VmcHDF5FileHandler as Handler
+
+        try:
+            proc, pin = proc_mod.Proc.restore_checkpoint(
+                checkpoint_path)
+        except (ValueError, KeyError, OSError) as exc:
+            raise click.ClickException(
+                f"not a readable {sampling_type} checkpoint: "
+                f"{exc}") from exc
+        done = pin.resume["blocks_completed"]
+        click.echo(f"Resuming at block {done}/{proc.num_blocks} "
+                   f"from '{checkpoint_path}'")
+        if no_checkpointing:
+            proc = proc.evolve({"checkpoint_file": None})
+        result = proc.exec(pin)
+        Handler(location=output_path, group=group).dump(result)
+        click.echo(f"Resumed result saved to '{output_path}' "
+                   f"(group '{group}')")
+
     @cli.command(name="analyze")
     @click.argument("result_path", type=config_path_type)
     @click.option("-g", "--group", default=None,
