@@ -127,7 +127,16 @@ def _make_cli(sampling_type: str, prefix: str):
             raise click.ClickException(
                 f"not a readable {sampling_type} checkpoint: "
                 f"{exc}") from exc
-        done = pin.resume["blocks_completed"]
+        if pin.resume is None:
+            # Legacy (v1) checkpoint: walker state only, no resume
+            # payload — the run continues from the saved state with
+            # fresh estimator windows (restore_checkpoint logged it).
+            done = 0
+            click.echo("Legacy (v1) checkpoint: continuing from the "
+                       "saved walker state (estimator windows reopen "
+                       "fresh)")
+        else:
+            done = pin.resume["blocks_completed"]
         click.echo(f"Resuming at block {done}/{proc.num_blocks} "
                    f"from '{checkpoint_path}'")
         if no_checkpointing:

@@ -25,6 +25,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import trig
+
 __all__ = ["energy_and_drift_pallas", "pack_params", "supports"]
 
 #: Packed-parameter layout (f32 SMEM vector).
@@ -72,38 +74,11 @@ def supports(nop: int, dtype) -> bool:
     return nop <= 128 and jnp.dtype(dtype) == jnp.float32
 
 
-#: Reduced-range sincos polynomials (see ``models/mrbp._sincos_poly32``).
-_SIN_COEFFS = (1.0, -1.66666666e-01, 8.33333098e-03, -1.98408615e-04,
-               2.75252866e-06, -2.38894895e-08)
-_COS_COEFFS = (1.0, -4.99999994e-01, 4.16666362e-02, -1.38883608e-03,
-               2.47601348e-05, -2.60510641e-07)
-
-
-def _sincos_poly(x):
-    z2 = x * x
-    s = jnp.float32(_SIN_COEFFS[-1])
-    c = jnp.float32(_COS_COEFFS[-1])
-    for k in range(len(_SIN_COEFFS) - 2, -1, -1):
-        s = s * z2 + jnp.float32(_SIN_COEFFS[k])
-        c = c * z2 + jnp.float32(_COS_COEFFS[k])
-    return x * s, c
-
-
-#: Rational tan (see ``models/mrbp._tancot_poly32`` — same tuples).
-_TAN_P_COEFFS = (1.0, -0.12820512820512820, 2.7972027972027972e-03,
-                 -7.4000074000074000e-06)
-_TAN_Q_COEFFS = (1.0, -0.46153846153846154, 2.3310023310023310e-02,
-                 -2.0720020720020720e-04)
-
-
-def _tancot_poly(x):
-    z2 = x * x
-    p = jnp.float32(_TAN_P_COEFFS[-1])
-    q = jnp.float32(_TAN_Q_COEFFS[-1])
-    for k in range(len(_TAN_P_COEFFS) - 2, -1, -1):
-        p = p * z2 + jnp.float32(_TAN_P_COEFFS[k])
-        q = q * z2 + jnp.float32(_TAN_Q_COEFFS[k])
-    return x * p, q
+# Reduced-range trig polynomials — single source shared with the
+# production path (``ops/trig.py``); jnp evaluation lowers fine inside
+# the Pallas kernel body.
+_sincos_poly = trig.sincos_poly32
+_tancot_poly = trig.tancot_poly32
 
 
 def _kernel(params_ref, pos_ref, energy_ref, drift_ref, *maybe_logpsi,

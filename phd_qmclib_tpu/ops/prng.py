@@ -22,12 +22,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import trig
+
 __all__ = ["normal_pallas", "available"]
 
-_SIN_COEFFS = (1.0, -1.66666666e-01, 8.33333098e-03, -1.98408615e-04,
-               2.75252866e-06, -2.38894895e-08)
-_COS_COEFFS = (1.0, -4.99999994e-01, 4.16666362e-02, -1.38883608e-03,
-               2.47601348e-05, -2.60510641e-07)
+# Single-source coefficient tuples (ops/trig.py); this kernel folds to
+# quarter-wave so it evaluates sin and cos separately.
+_SIN_COEFFS = trig.SIN_COEFFS
+_COS_COEFFS = trig.COS_COEFFS
 
 
 def _cos_poly(arg):

@@ -218,7 +218,7 @@ class Sampling:
         """Momenta ``k_j = 2 pi j / L`` (``mrbp_qmc/vmc.py:129-143``)."""
         if self.ssf_est_spec is None:
             raise TypeError("no S(k) estimator spec was configured "
-                            "been specified")
+                            "for this sampling")
         num_modes = self.ssf_est_spec.num_modes
         sc_size = self.model_spec.supercell_size
         return np.arange(num_modes) * 2 * np.pi / sc_size
@@ -261,8 +261,8 @@ class Sampling:
         elif sys_conf.shape[-1] == nop:
             pos = sys_conf
         else:
-            raise ValueError("sys_conf does not match the model's "
-                             "the model spec")
+            raise ValueError("sys_conf shape does not match the "
+                             "model spec")
         if pos.ndim == 1:
             pos = np.broadcast_to(pos, (self.num_walkers, nop))
         if pos.shape[0] != self.num_walkers:

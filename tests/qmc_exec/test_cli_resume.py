@@ -112,3 +112,30 @@ def test_resume_rejects_non_checkpoint(tmp_path):
                               str(tmp_path / "o.h5")])
     assert res.exit_code != 0
     assert "not a readable dmc checkpoint" in res.output
+
+
+def test_resume_command_on_legacy_v1_checkpoint(tmp_path):
+    """A v1 checkpoint (walker state only, no resume payload) must not
+    crash the CLI — it continues from the saved state with fresh
+    estimator windows (regression: ``pin.resume`` is ``None`` there)."""
+    import h5py
+
+    ckpt = str(tmp_path / "legacy.ckpt.h5")
+    cfg = _dmc_cfg(ckpt)
+    proc = dmc_exec.Proc.from_config(cfg)
+    pin = dmc_exec.ProcInput.from_model_sys_conf_spec(
+        dmc_exec.ModelSysConfSpec(dist_type="RANDOM"), proc)
+    proc.exec(pin)
+    # Strip the v2 resume payload -> a v1-shaped file.
+    with h5py.File(ckpt, "a") as fp:
+        del fp["checkpoint/dmc/resume"]
+
+    out = str(tmp_path / "legacy-resumed.h5")
+    res = CliRunner().invoke(mrbp_cli.dmc_cli,
+                             ["resume", ckpt, out,
+                              "--no-checkpointing"])
+    assert res.exit_code == 0, res.output
+    assert "Legacy (v1) checkpoint" in res.output
+    assert "Resuming at block 0/6" in res.output
+    loaded = DmcHDF5FileHandler(location=out, group="resumed").load()
+    assert np.isfinite(loaded.data.blocks.energy.mean)
