@@ -177,6 +177,11 @@ def run_vmc_bench(nop: int, num_chains: int, nts: int,
     for _ in range(burn_blocks):
         block = next(blocks)
     # block_until_ready is a no-op on axon; fetch a scalar to sync.
+    # Run the SAME scalar fetches the timed loop uses so their one-time
+    # compiles/dispatch warmup happen before the timer (a cold first
+    # timed block read 2.7M while steady state is ~9.0M).
+    float(np.asarray(block.accept_rate))
+    float(np.asarray(block.iter_props.energy[-1].mean()))
     float(np.asarray(block.last_state.wf_abs_log[:1])[0])
 
     def emit_partial(rate, extras):
@@ -188,19 +193,27 @@ def run_vmc_bench(nop: int, num_chains: int, nts: int,
               flush=True)
 
     t0 = time.perf_counter()
+    t_prev = t0
+    block_rates = []
     total_steps = 0.0
     extras = {}
     rate = 0.0
     for _ in range(timed_blocks):
         block = next(blocks)
-        # Fetching the acceptance rate synchronizes the device.
+        # Reduce ON DEVICE, fetch scalars: materializing the raw
+        # (nts, W) energy array on the host moved ~32 MB/block through
+        # the relay and its transfer-speed swings dominated the
+        # measurement (2.8-4.6M readings for identical code).  The
+        # scalar fetches below synchronize the device.
         acc = float(np.asarray(block.accept_rate))
+        e = float(np.asarray(block.iter_props.energy[-1].mean()))
+        t_now = time.perf_counter()
+        block_rates.append(num_chains * nts / (t_now - t_prev))
+        t_prev = t_now
         total_steps += float(num_chains * nts)
-        elapsed = time.perf_counter() - t0
-        rate = total_steps / elapsed
-        e = float(np.asarray(block.iter_props.energy,
-                             dtype=np.float64)[-1].mean())
-        extras = {"energy_per_boson": e / nop, "accept_rate": acc}
+        rate = total_steps / (t_now - t0)
+        extras = {"energy_per_boson": e / nop, "accept_rate": acc,
+                  "block_rates": [round(r) for r in block_rates]}
         emit_partial(rate, extras)
     return rate, extras
 

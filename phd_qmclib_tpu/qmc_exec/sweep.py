@@ -345,10 +345,14 @@ class VmcSweepProc:
         for block_idx in range(start_block, num_blocks):
             block_data = next(blocks_iter)
             bp = block_data.iter_props
-            # Fused arrays have a leading row axis (R, nts, ...).
-            lp = np.asarray(bp.wf_abs_log, dtype=np.float64)
-            energy = np.asarray(bp.energy, dtype=np.float64)
-            mv = np.asarray(bp.move_stat, dtype=np.float64)
+            # Fused arrays have a leading row axis (R, nts, ...); the
+            # walker axis is reduced on device before the fetch
+            # (see vmc_exec._walker_means) -> (R, nts).
+            lp_m, en_m, mv_m = vmc_exec._walker_means(
+                bp.wf_abs_log, bp.energy, bp.move_stat)
+            lp = np.asarray(lp_m, dtype=np.float64)
+            energy = np.asarray(en_m, dtype=np.float64)
+            mv = np.asarray(mv_m, dtype=np.float64)
             accept = np.asarray(block_data.accept_rate, dtype=np.float64)
             ssf = np.asarray(block_data.iter_ssf, dtype=np.float64) \
                 if block_data.iter_ssf is not None else None

@@ -33,6 +33,25 @@ __all__ = [
 ModelSysConfSpec = proc_base.ModelSysConfSpec
 
 
+def _walker_means(wf_abs_log, energy, move_stat):
+    """Walker-axis means of the per-step dynamics series, ON DEVICE.
+
+    The accumulator only ever consumes walker means (per-step series or
+    block scalars), while the sampler's raw ``iter_props`` arrays are
+    ``(nts, W)`` — fetching those to the host cost ~100 MB/block at the
+    production shape (512 x 16k) and dominated the driver wall time on
+    relay-attached TPUs.  Reducing first fetches KBs instead.  Jitted
+    lazily per shape/dtype; fused-sweep callers pass ``(R, nts, W)``.
+    """
+    import jax
+
+    if not hasattr(_walker_means, "_fn"):
+        _walker_means._fn = jax.jit(
+            lambda a, b, c: (a.mean(axis=-1), b.mean(axis=-1),
+                             c.mean(axis=-1)))
+    return _walker_means._fn(wf_abs_log, energy, move_stat)
+
+
 @dataclass(frozen=True)
 class SSFEstSpec:
     """S(k) estimator config (``mrbp_qmc/vmc_exec/proc.py``)."""
@@ -454,11 +473,13 @@ class Proc(proc_base.Proc):
             block_data = next(blocks_iter)
             it_next += 1
             bp = block_data.iter_props
+            wfl_m, en_m, mv_m = _walker_means(bp.wf_abs_log, bp.energy,
+                                              bp.move_stat)
             accumulator.add(
                 block_idx,
-                np.asarray(bp.wf_abs_log, dtype=np.float64),
-                np.asarray(bp.energy, dtype=np.float64),
-                np.asarray(bp.move_stat, dtype=np.float64),
+                np.asarray(wfl_m, dtype=np.float64),
+                np.asarray(en_m, dtype=np.float64),
+                np.asarray(mv_m, dtype=np.float64),
                 block_data.accept_rate,
                 iter_ssf=(np.asarray(block_data.iter_ssf,
                                      dtype=np.float64)
@@ -534,16 +555,17 @@ class _VmcBlockAccumulator:
     def add(self, block_idx: int, wf_abs_log, energy, move_stat,
             accept_rate: float, iter_ssf=None, iter_obd=None,
             iter_g2=None):
-        """Fold one block's per-step, per-walker arrays
-        (``(nts, W)`` / est ``(nts_measured, ...)``)."""
+        """Fold one block's per-step walker MEANS (``(nts,)``, reduced
+        on device by :func:`_walker_means`) and walker-summed estimator
+        arrays (``(nts_measured, ...)``)."""
         proc = self.proc
         num_walkers = proc.num_walkers
         self.accept_rates.append(accept_rate)
         if proc.keep_iter_data:
-            # Per-step chain means (over the walker axis).
-            self.energy[block_idx] = energy.mean(axis=1)
-            self.wf_abs_log[block_idx] = wf_abs_log.mean(axis=1)
-            self.move_stat[block_idx] = move_stat.mean(axis=1)
+            # Per-step chain means (already reduced over walkers).
+            self.energy[block_idx] = energy
+            self.wf_abs_log[block_idx] = wf_abs_log
+            self.move_stat[block_idx] = move_stat
             if iter_ssf is not None:
                 self.ssf_data[block_idx] = iter_ssf / num_walkers
             if iter_obd is not None:
@@ -551,6 +573,8 @@ class _VmcBlockAccumulator:
             if iter_g2 is not None:
                 self.g2_data[block_idx] = iter_g2 / num_walkers
         else:
+            # Equal walker counts per step: the mean of per-step means
+            # equals the full per-entry mean.
             self.energy[block_idx] = energy.mean()
             self.wf_abs_log[block_idx] = wf_abs_log.mean()
             self.move_stat[block_idx] = move_stat.mean()
