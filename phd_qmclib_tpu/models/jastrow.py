@@ -461,6 +461,40 @@ def build_core_funcs(*,
         im = jnp.sin(phase).sum(axis=-2)
         return jnp.stack([re ** 2 + im ** 2, re, im], axis=-1)
 
+    def _fourier_harmonics_scan(num_modes: int, pos, cfc: CFCParams,
+                                mode_sums):
+        """Shared Chebyshev-recurrence driver for the harmonic momenta
+        ``k_j = j * 2 pi / L``, ``j = 0..num_modes-1``: evaluates
+        ``mode_sums(cos(j theta), sin(j theta))`` per mode with ONE
+        sincos on ``(..., N)`` plus two fmas per extra mode (see
+        :func:`fourier_density_parts_harmonics` for the measurement
+        notes).  ``mode_sums`` must reduce the particle axis and stack
+        its outputs on a trailing axis."""
+        theta = (2 * jnp.pi / _supercell(cfc)) * pos
+        c1 = jnp.cos(theta)
+        s1 = jnp.sin(theta)
+        ones = jnp.ones_like(theta)
+        zeros = jnp.zeros_like(theta)
+
+        def body(carry, _):
+            c_prev, c_prev2, s_prev, s_prev2 = carry
+            c = 2 * c1 * c_prev - c_prev2
+            s = 2 * c1 * s_prev - s_prev2
+            return (c, c_prev, s, s_prev), mode_sums(c, s)
+
+        parts0 = mode_sums(ones, zeros)
+        if num_modes == 1:
+            return parts0[..., None, :]
+        parts1 = mode_sums(c1, s1)
+        if num_modes == 2:
+            return jnp.stack([parts0, parts1], axis=-2)
+        _, rest = jax.lax.scan(body, (c1, ones, s1, zeros), None,
+                               length=num_modes - 2, unroll=4)
+        # scan stacks on axis 0: move modes next to the parts axis.
+        rest = jnp.moveaxis(rest, 0, -2)
+        return jnp.concatenate(
+            [parts0[..., None, :], parts1[..., None, :], rest], axis=-2)
+
     def fourier_density_parts_harmonics(num_modes: int, pos,
                                         cfc: CFCParams):
         """S(k) parts for the harmonic momenta ``k_j = j * 2 pi / L``,
@@ -481,35 +515,32 @@ def build_core_funcs(*,
         the per-walker ``16x128 @ 128x16`` matmuls leave the MXU ~2%
         utilized.  Returns ``(..., num_modes, 3)``.
         """
-        theta = (2 * jnp.pi / _supercell(cfc)) * pos
-        c1 = jnp.cos(theta)
-        s1 = jnp.sin(theta)
-        ones = jnp.ones_like(theta)
-        zeros = jnp.zeros_like(theta)
-
         def mode_sums(c, s):
             re = c.sum(axis=-1)
             im = s.sum(axis=-1)
             return jnp.stack([re ** 2 + im ** 2, re, im], axis=-1)
 
-        def body(carry, _):
-            c_prev, c_prev2, s_prev, s_prev2 = carry
-            c = 2 * c1 * c_prev - c_prev2
-            s = 2 * c1 * s_prev - s_prev2
-            return (c, c_prev, s, s_prev), mode_sums(c, s)
+        return _fourier_harmonics_scan(num_modes, pos, cfc, mode_sums)
 
-        parts0 = mode_sums(ones, zeros)
-        if num_modes == 1:
-            return parts0[..., None, :]
-        parts1 = mode_sums(c1, s1)
-        if num_modes == 2:
-            return jnp.stack([parts0, parts1], axis=-2)
-        _, rest = jax.lax.scan(body, (c1, ones, s1, zeros), None,
-                               length=num_modes - 2, unroll=4)
-        # scan stacks on axis 0: move modes next to the parts axis.
-        rest = jnp.moveaxis(rest, 0, -2)
-        return jnp.concatenate(
-            [parts0[..., None, :], parts1[..., None, :], rest], axis=-2)
+    def fourier_density_reim_harmonics(num_modes: int, pos,
+                                       cfc: CFCParams):
+        """Per-configuration ``(Re rho_k, Im rho_k)`` for the harmonic
+        momenta, shape ``(..., num_modes, 2)`` — the raw complex
+        amplitude the imaginary-time correlation estimator tags each
+        walker with (the S(k) kernel above folds these into the three
+        accumulator slots; this variant keeps the amplitude itself so
+        two-time products ``rho_k(t + tau) rho_k(t)^*`` can be formed
+        along the branching ancestry).  Same Chebyshev recurrence and
+        particle-sum order as the S(k) kernel, so its ``re``/``im``
+        match that kernel's slots 1-2 exactly.  No reference analog
+        (the reference has no imaginary-time correlation machinery).
+        """
+        def mode_sums(c, s):
+            re = c.sum(axis=-1)
+            im = s.sum(axis=-1)
+            return jnp.stack([re, im], axis=-1)
+
+        return _fourier_harmonics_scan(num_modes, pos, cfc, mode_sums)
 
     # -- pair-distance histogram (direct g2 estimator) ---------------------
     def pair_dist_histogram(num_bins: int, pos, cfc: CFCParams):
@@ -568,6 +599,7 @@ def build_core_funcs(*,
         fourier_density=fourier_density,
         fourier_density_parts=fourier_density_parts,
         fourier_density_parts_harmonics=fourier_density_parts_harmonics,
+        fourier_density_reim_harmonics=fourier_density_reim_harmonics,
         pair_dist_histogram=pair_dist_histogram,
         is_free=is_free,
         is_ideal=is_ideal,

@@ -69,6 +69,7 @@ class ParamSweep:
                     or s.ssf_est_spec != ref.ssf_est_spec
                     or s.obd_est_spec != ref.obd_est_spec
                     or s.pair_corr_est_spec != ref.pair_corr_est_spec
+                    or s.itc_est_spec != ref.itc_est_spec
                     or s.est_every != ref.est_every
                     or s.cm_diffusion_est != ref.cm_diffusion_est
                     or s.cm_window_blocks != ref.cm_window_blocks):
@@ -157,7 +158,13 @@ class ParamSweep:
             accum_energy=P(sweep), total_energy=P(sweep),
             total_weight=P(sweep),
             cmd_accum=(row_spec(True)
-                       if self.samplings[0].cm_diffusion_est else None))
+                       if self.samplings[0].cm_diffusion_est else None),
+            itc_buf=(row_spec(True, 3)
+                     if self.samplings[0].itc_est_spec is not None
+                     else None),
+            itc_filled=(P(sweep)
+                        if self.samplings[0].itc_est_spec is not None
+                        else None))
         props_spec = PropsData(*(P(None, sweep) for _ in range(5)))
         aux_spec = {name: row_spec(True, len(shape) - 1)
                     for name, shape in ref._pure_aux_shapes().items()}
@@ -246,6 +253,15 @@ class ParamSweep:
             # a fresh window (cf. Sampling.blocks).
             state = state._replace(cmd_accum=jnp.zeros(
                 state.pos.shape[:2], dtype=state.pos.dtype))
+        use_itc = self.samplings[0].itc_est_spec is not None
+        if use_itc and state.itc_buf is None:
+            state = state._replace(
+                itc_buf=jnp.zeros(
+                    (self.num_rows,)
+                    + self.samplings[0]._itc_buf_shape,
+                    dtype=state.pos.dtype),
+                itc_filled=jnp.zeros((self.num_rows,),
+                                     dtype=jnp.int32))
         # Forward-walking windows (specs are validated identical across
         # rows): the aux carries a leading row axis.
         pfw_window = self.samplings[0].pfw_window_blocks(
@@ -263,6 +279,15 @@ class ParamSweep:
         else:
             aux = _fresh_aux()
         fold = jax.vmap(jax.random.fold_in, in_axes=(0, None))
+        # The fused block always runs the measuring step function, so
+        # burn-in blocks would fill the imaginary-time-correlation
+        # ring buffer that a standalone run (whose burn blocks skip
+        # all estimator work) leaves empty; reset it at the
+        # burn->measure transition below to keep fused rows
+        # bit-identical to their standalone runs.  Resumes
+        # (start_block_idx past the burn) never pass the transition
+        # and keep the restored fill.
+        ran_burn = int(start_block_idx) < burn_in_blocks
         while True:
             if self.samplings[0].cm_diffusion_est:
                 # Same CM-diffusion window policy as the per-row
@@ -274,6 +299,11 @@ class ParamSweep:
                         and measured_idx % cmd_window == 0):
                     state = state._replace(
                         cmd_accum=jnp.zeros_like(state.cmd_accum))
+            if use_itc and ran_burn and block_idx == burn_in_blocks \
+                    and burn_in_blocks:
+                state = state._replace(
+                    itc_buf=jnp.zeros_like(state.itc_buf),
+                    itc_filled=jnp.zeros_like(state.itc_filled))
             block_keys = fold(base_keys,
                               int(block_offset) + block_idx)
             burning = block_idx < burn_in_blocks
@@ -292,8 +322,10 @@ class ParamSweep:
             obd = est.get("obd") if not burning else None
             cmd = est.get("cmd") if not burning else None
             g2 = est.get("g2") if not burning else None
+            itc = est.get("itc") if not burning else None
+            itc_nw = est.get("itc_nw") if not burning else None
             yield SamplingBlock(props, density, ssf, state, obd, cmd,
-                                g2,
+                                g2, itc, itc_nw,
                                 aux_carry=(aux if (pfw_window > 1
                                                    and not burning)
                                            else None))

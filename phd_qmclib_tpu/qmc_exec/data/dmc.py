@@ -19,6 +19,7 @@ __all__ = [
     "CMDiffusionBlocks",
     "DensityBlocks",
     "EnergyBlocks",
+    "ITCBlocks",
     "NumWalkersBlocks",
     "OBDBlocks",
     "PairCorrBlocks",
@@ -652,6 +653,133 @@ class CMDiffusionBlocks:
 
 
 @dataclass(frozen=True)
+class ITCBlocks:
+    """Imaginary-time density-density correlation (intermediate
+    scattering function) blocks:
+    ``F(k, tau_l) = <rho_k(t + tau_l) rho_-k(t)> / N`` for the
+    harmonic momenta ``k_j = 2 pi j / L`` at lags
+    ``tau_l = l * tau_step``, ``l = 0..num_lags`` (lag 0 is the mixed
+    S(k) numerator).  No reference analog — the reference has no
+    two-time observables.
+
+    Per-block totals are the walker-summed lag products; the lag
+    counts discount the ring buffer's initial fill and weight the
+    ratio-of-means estimate.  Errors are delete-one-block jackknives
+    of the ratio (blocks are the decorrelation unit, as everywhere in
+    this data layer).
+    """
+    #: ``(num_blocks, num_lags + 1, num_modes)`` walker-summed lag
+    #: products per block.
+    lag_sums: np.ndarray
+    #: ``(num_blocks, num_lags + 1)`` contributing-walker counts.
+    lag_counts: np.ndarray
+    #: Imaginary-time spacing between consecutive lags
+    #: (``est_every * time_step``).
+    tau_step: float
+    boson_number: int
+    supercell_size: float
+
+    @property
+    def num_modes(self) -> int:
+        return self.lag_sums.shape[-1]
+
+    @property
+    def momenta(self) -> np.ndarray:
+        return (np.arange(self.num_modes) * 2 * np.pi
+                / self.supercell_size)
+
+    @property
+    def tau_grid(self) -> np.ndarray:
+        """Imaginary-time lags ``tau_l``, one leading zero entry."""
+        return np.arange(self.lag_sums.shape[1]) * self.tau_step
+
+    def _ratio(self, sums: np.ndarray, counts: np.ndarray) -> np.ndarray:
+        tot = counts.sum(axis=0)[:, None] * self.boson_number
+        return sums.sum(axis=0) / np.maximum(tot, 1.0)
+
+    @property
+    def mean(self) -> np.ndarray:
+        """``(num_lags + 1, num_modes)`` per-particle ``F(k, tau)``."""
+        return self._ratio(self.lag_sums, self.lag_counts)
+
+    @property
+    def mean_error(self) -> np.ndarray:
+        n_b = self.lag_sums.shape[0]
+        if n_b < 2:
+            return np.full_like(self.mean, np.nan)
+        loo = np.stack([
+            self._ratio(np.delete(self.lag_sums, i, axis=0),
+                        np.delete(self.lag_counts, i, axis=0))
+            for i in range(n_b)])
+        return np.sqrt((n_b - 1) / n_b
+                       * ((loo - loo.mean(axis=0)) ** 2).sum(axis=0))
+
+    @property
+    def normalized(self) -> np.ndarray:
+        """``F(k, tau) / F(k, 0)`` (1 at ``tau = 0`` by construction)."""
+        f = self.mean
+        return f / np.maximum(f[:1], 1e-300)
+
+    def effective_energy(self):
+        """``(tau_mid, omega, omega_err)`` — the effective excitation
+        energy ``omega_eff(k, tau) = -d ln F / d tau`` on midpoints of
+        consecutive lags, a ``tau``-dependent UPPER bound on the
+        lowest excitation energy at ``k`` that tightens as ``tau``
+        grows (single-mode saturation turns it flat; cf. the Feynman
+        bound ``k^2 N / S(k)``, which equals the ``tau -> 0`` limit).
+        Errors: delete-one-block jackknife of the log-slope.
+        """
+        tau = self.tau_grid
+        tau_mid = 0.5 * (tau[1:] + tau[:-1])
+
+        def _omega(sums, counts):
+            f = self._ratio(sums, counts)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                return -np.diff(np.log(np.maximum(f, 1e-300)),
+                                axis=0) / self.tau_step
+
+        omega = _omega(self.lag_sums, self.lag_counts)
+        n_b = self.lag_sums.shape[0]
+        if n_b < 2:
+            return tau_mid, omega, np.full_like(omega, np.nan)
+        loo = np.stack([
+            _omega(np.delete(self.lag_sums, i, axis=0),
+                   np.delete(self.lag_counts, i, axis=0))
+            for i in range(n_b)])
+        err = np.sqrt((n_b - 1) / n_b
+                      * ((loo - loo.mean(axis=0)) ** 2).sum(axis=0))
+        return tau_mid, omega, err
+
+    def hdf5_export(self, group: h5py.Group):
+        group.create_dataset("lag_sums", data=np.asarray(self.lag_sums))
+        group.create_dataset("lag_counts",
+                             data=np.asarray(self.lag_counts))
+        group.attrs["tau_step"] = self.tau_step
+        group.attrs["boson_number"] = self.boson_number
+        group.attrs["supercell_size"] = self.supercell_size
+
+    @classmethod
+    def from_hdf5_data(cls, group: h5py.Group):
+        return cls(group.get("lag_sums")[()],
+                   group.get("lag_counts")[()],
+                   float(group.attrs["tau_step"]),
+                   int(group.attrs["boson_number"]),
+                   float(group.attrs["supercell_size"]))
+
+    def __add__(self, other: "ITCBlocks") -> "ITCBlocks":
+        if not isinstance(other, ITCBlocks):
+            raise TypeError("'other' must be an ITCBlocks")
+        if other.lag_sums.shape[1:] != self.lag_sums.shape[1:] \
+                or other.tau_step != self.tau_step:
+            raise ValueError("cannot merge imaginary-time-correlation "
+                             "data with different lag/mode grids")
+        return ITCBlocks(
+            np.concatenate([self.lag_sums, other.lag_sums]),
+            np.concatenate([self.lag_counts, other.lag_counts]),
+            self.tau_step, self.boson_number, self.supercell_size)
+
+
+@dataclass(frozen=True)
 class PropsDataSeries:
     """Full per-step data series (``keep_iter_data`` mode).
 
@@ -737,6 +865,7 @@ class PropsDataBlocks:
     one_body_dm: t.Optional[OBDBlocks] = None
     cm_diffusion: t.Optional[CMDiffusionBlocks] = None
     pair_corr: t.Optional[PairCorrBlocks] = None
+    itc: t.Optional[ITCBlocks] = None
 
     def hdf5_export(self, group: h5py.Group):
         self.energy.hdf5_export(group.require_group("energy"))
@@ -754,6 +883,8 @@ class PropsDataBlocks:
                 group.require_group("cm_diffusion"))
         if self.pair_corr is not None:
             self.pair_corr.hdf5_export(group.require_group("pair_corr"))
+        if self.itc is not None:
+            self.itc.hdf5_export(group.require_group("itc"))
 
     @classmethod
     def from_hdf5_data(cls, group: h5py.Group):
@@ -776,8 +907,11 @@ class PropsDataBlocks:
         g2_group = group.get("pair_corr")
         pair_corr = PairCorrBlocks.from_hdf5_data(g2_group) \
             if g2_group is not None else None
+        itc_group = group.get("itc")
+        itc = ITCBlocks.from_hdf5_data(itc_group) \
+            if itc_group is not None else None
         return cls(energy, weight, num_walkers, density, ss_factor,
-                   one_body_dm, cm_diffusion, pair_corr)
+                   one_body_dm, cm_diffusion, pair_corr, itc)
 
     def merge(self, other: "PropsDataBlocks") -> "PropsDataBlocks":
         """Concatenate block data from a continuation run."""
@@ -809,10 +943,15 @@ class PropsDataBlocks:
             g2 = other.pair_corr
         elif other.pair_corr is not None:
             g2 = g2 + other.pair_corr
+        itc = self.itc
+        if itc is None:
+            itc = other.itc
+        elif other.itc is not None:
+            itc = itc + other.itc
         return PropsDataBlocks(self.energy + other.energy,
                                self.weight + other.weight,
                                self.num_walkers + other.num_walkers,
-                               density, ssf, obd, cmd, g2)
+                               density, ssf, obd, cmd, g2, itc)
 
 
 @dataclass(frozen=True)

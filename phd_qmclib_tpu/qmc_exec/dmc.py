@@ -23,6 +23,7 @@ from ..constants import ER
 __all__ = [
     "CMDiffusionEstSpec",
     "DensityEstSpec",
+    "ITCEstSpec",
     "ModelSysConfSpec",
     "OBDEstSpec",
     "PairCorrEstSpec",
@@ -37,6 +38,7 @@ SSFEstSpec = proc_base.SSFEstSpec
 OBDEstSpec = proc_base.OBDEstSpec
 PairCorrEstSpec = proc_base.PairCorrEstSpec
 CMDiffusionEstSpec = proc_base.CMDiffusionEstSpec
+ITCEstSpec = proc_base.ITCEstSpec
 ModelSysConfSpec = proc_base.ModelSysConfSpec
 
 
@@ -113,6 +115,9 @@ class Proc(proc_base.Proc):
     #: Center-of-mass imaginary-time diffusion (superfluid fraction /
     #: effective mass); see :class:`CMDiffusionEstSpec`.
     cm_diffusion_spec: t.Optional[CMDiffusionEstSpec] = None
+    #: Imaginary-time density-density correlation F(k, tau)
+    #: (intermediate scattering function); see :class:`ITCEstSpec`.
+    itc_spec: t.Optional[ITCEstSpec] = None
     #: Compute dtype on device ("float32" for TPU, "float64" on CPU).
     dtype: str = "float32"
     #: Multi-chip: shard walkers over this many local devices (None =
@@ -169,6 +174,12 @@ class Proc(proc_base.Proc):
         if self.num_time_steps_block % self.est_every:
             raise ValueError("num_time_steps_block must be divisible "
                              "by est_every")
+        if self.itc_spec is not None:
+            if int(self.itc_spec.num_modes) < 1 \
+                    or int(self.itc_spec.num_lags) < 1:
+                raise ValueError(
+                    "itc_spec: num_modes and num_lags must be "
+                    "positive integers")
         if self.cm_diffusion_spec is not None:
             wb = self.cm_diffusion_spec.window_blocks
             if wb is not None:
@@ -292,10 +303,14 @@ class Proc(proc_base.Proc):
         cmd_config = self_config.pop("cm_diffusion_spec", None)
         cm_diffusion_spec = CMDiffusionEstSpec(**cmd_config) \
             if cmd_config is not None else None
+        itc_config = self_config.pop("itc_spec", None)
+        itc_spec = ITCEstSpec(**itc_config) \
+            if itc_config is not None else None
         return cls(model_spec=model_spec, density_spec=density_spec,
                    ssf_spec=ssf_spec, obd_spec=obd_spec,
                    pair_corr_spec=pair_corr_spec,
-                   cm_diffusion_spec=cm_diffusion_spec, **self_config)
+                   cm_diffusion_spec=cm_diffusion_spec,
+                   itc_spec=itc_spec, **self_config)
 
     def as_config(self) -> dict:
         config = {
@@ -356,6 +371,11 @@ class Proc(proc_base.Proc):
                 "window_blocks":
                     self.cm_diffusion_spec.window_blocks or 0,
             }
+        if self.itc_spec is not None:
+            config["itc_spec"] = {
+                "num_modes": self.itc_spec.num_modes,
+                "num_lags": self.itc_spec.num_lags,
+            }
         return {k: v for k, v in config.items() if v is not None}
 
     def evolve(self, config: t.Mapping) -> "Proc":
@@ -382,9 +402,14 @@ class Proc(proc_base.Proc):
             pair_corr_spec = PairCorrEstSpec(**g2_config) \
                 if pair_corr_spec is None \
                 else replace(pair_corr_spec, **g2_config)
+        itc_spec = self.itc_spec
+        itc_config = self_config.pop("itc_spec", None)
+        if itc_config is not None:
+            itc_spec = ITCEstSpec(**itc_config) if itc_spec is None \
+                else replace(itc_spec, **itc_config)
         return replace(self, model_spec=model_spec, ssf_spec=ssf_spec,
                        obd_spec=obd_spec, pair_corr_spec=pair_corr_spec,
-                       **self_config)
+                       itc_spec=itc_spec, **self_config)
 
     # -- sampling ------------------------------------------------------------
 
@@ -420,6 +445,9 @@ class Proc(proc_base.Proc):
             self._pfw(self.pair_corr_spec),
             est_every_mult=self.pair_corr_spec.est_every_mult) \
             if self.should_eval_pair_corr else None
+        itc_est_spec = dmc_sampler.ITCEstSpec(
+            self.itc_spec.num_modes, self.itc_spec.num_lags) \
+            if self.should_eval_itc else None
         mesh = None
         if self.num_mesh_devices is not None:
             from ..parallel import make_walker_mesh
@@ -431,6 +459,7 @@ class Proc(proc_base.Proc):
             self.rng_seed, density_est_spec=density_est_spec,
             ssf_est_spec=ssf_est_spec, obd_est_spec=obd_est_spec,
             pair_corr_est_spec=pair_corr_est_spec,
+            itc_est_spec=itc_est_spec,
             mesh=mesh, rebalance_every=self.rebalance_every,
             est_every=self.est_every,
             cm_diffusion_est=cmd is not None,
@@ -586,6 +615,7 @@ class Proc(proc_base.Proc):
         should_eval_obd = self.should_eval_obd
         should_eval_cmd = self.should_eval_cm_diffusion
         should_eval_g2 = self.should_eval_pair_corr
+        should_eval_itc = self.should_eval_itc
 
         if not isinstance(proc_input, ProcInput):
             raise proc_base.ProcInputError(
@@ -724,7 +754,13 @@ class Proc(proc_base.Proc):
                           if should_eval_cmd else None),
                 iter_g2=(np.asarray(block_data.iter_g2,
                                     dtype=np.float64)
-                         if should_eval_g2 else None))
+                         if should_eval_g2 else None),
+                iter_itc=(np.asarray(block_data.iter_itc,
+                                     dtype=np.float64)
+                          if should_eval_itc else None),
+                iter_itc_nw=(np.asarray(block_data.iter_itc_nw,
+                                        dtype=np.float64)
+                             if should_eval_itc else None))
 
             if self.checkpoint_file is not None and \
                     (block_idx + 1) % self.checkpoint_every == 0:
@@ -856,6 +892,17 @@ class _BlockAccumulator:
             self.g2_blocks_data = _alloc(
                 g2_rows, (proc.pair_corr_spec.num_bins,),
                 proc.pair_corr_spec.as_pure_est, "g2")
+        self.itc_sums_data = None
+        self.itc_counts_data = None
+        if proc.should_eval_itc:
+            # Per-block lag-sum/count totals (blocks are the
+            # decorrelation unit; the ring buffer itself rides the
+            # sampler State).
+            self.itc_sums_data = np.zeros(
+                (num_blocks, proc.itc_spec.num_lags + 1,
+                 proc.itc_spec.num_modes))
+            self.itc_counts_data = np.zeros(
+                (num_blocks, proc.itc_spec.num_lags + 1))
         self.cmd_w2_data = None
         self.cmd_raw_data = None
         if proc.should_eval_cm_diffusion:
@@ -893,6 +940,7 @@ class _BlockAccumulator:
     _SNAPSHOT_ARRAYS = ("density_blocks_data", "ssf_blocks_data",
                         "obd_blocks_data", "g2_blocks_data",
                         "cmd_w2_data", "cmd_raw_data",
+                        "itc_sums_data", "itc_counts_data",
                         "pure_est_reduce_factor", "est_weight_totals",
                         "obd_weight_totals", "g2_weight_totals")
 
@@ -963,11 +1011,15 @@ class _BlockAccumulator:
 
     def add(self, block_idx: int, energy, weight, num_walkers,
             ref_energy, accum_energy, iter_density=None, iter_ssf=None,
-            iter_obd=None, iter_cmd=None, iter_g2=None):
+            iter_obd=None, iter_cmd=None, iter_g2=None, iter_itc=None,
+            iter_itc_nw=None):
         """Fold one block's per-step arrays (shape ``(nts, ...)``)."""
         proc = self.proc
         props = self.props
         nts_block = proc.num_time_steps_block
+        if iter_itc is not None:
+            self.itc_sums_data[block_idx] = iter_itc.sum(axis=0)
+            self.itc_counts_data[block_idx] = iter_itc_nw.sum(axis=0)
         if iter_cmd is not None:
             # Normalize per measured step: <W_cm^2> = sum W^2 / nw.
             nw_meas = np.asarray(num_walkers, dtype=np.float64)[
@@ -1148,10 +1200,18 @@ class _BlockAccumulator:
                 w2, tau_step=proc.est_every * proc.time_step,
                 boson_number=proc.model_spec.boson_number)
 
+        itc_blocks = None
+        if proc.should_eval_itc:
+            itc_blocks = dmc_data.ITCBlocks(
+                self.itc_sums_data, self.itc_counts_data,
+                tau_step=proc.est_every * proc.time_step,
+                boson_number=proc.model_spec.boson_number,
+                supercell_size=proc.model_spec.supercell_size)
+
         data_blocks = dmc_data.PropsDataBlocks(
             energy_blocks, weight_blocks, num_walkers_blocks,
             density_blocks, ssf_blocks, obd_blocks, cmd_blocks,
-            g2_blocks)
+            g2_blocks, itc_blocks)
         data_series = dmc_data.PropsDataSeries(
             props_data, self.ssf_blocks_data, self.density_blocks_data,
             self.obd_blocks_data, self.cmd_raw_data,

@@ -137,6 +137,9 @@ class HDF5FileHandler(IOHandler, metaclass=ABCMeta):
         if cmd_group is not None:
             proc_config["cm_diffusion_spec"] = dict(
                 cmd_group.attrs.items())
+        itc_group = group.get("itc_spec")
+        if itc_group is not None:
+            proc_config["itc_spec"] = dict(itc_group.attrs.items())
         proc_config.update(group.attrs.items())
         # h5py returns numpy scalars/bytes; normalize.
         proc_config = _normalize_h5_config(proc_config)
@@ -166,6 +169,9 @@ class HDF5FileHandler(IOHandler, metaclass=ABCMeta):
         if cmd_config is not None:
             group.require_group("cm_diffusion_spec").attrs.update(
                 **{k: v for k, v in cmd_config.items() if v is not None})
+        itc_config = config.pop("itc_spec", None)
+        if itc_config is not None:
+            group.require_group("itc_spec").attrs.update(**itc_config)
         group.attrs.update(config)
 
     @abstractmethod
@@ -265,6 +271,14 @@ class DmcHDF5FileHandler(HDF5FileHandler):
             # instead of restarting it.
             group.create_dataset("cmd_accum",
                                  data=np.asarray(state.cmd_accum))
+        if state.itc_buf is not None:
+            # Imaginary-time-correlation lag ring buffer (extra
+            # datasets, same contract as cmd_accum): a restore
+            # continues the lag fill exactly where the checkpoint cut
+            # it.
+            group.create_dataset("itc_buf",
+                                 data=np.asarray(state.itc_buf))
+            group.attrs["itc_filled"] = int(state.itc_filled)
 
     def load_state(self, group: h5py.Group,
                    proc_inst=None) -> dmc_sampler.State:
@@ -293,6 +307,7 @@ class DmcHDF5FileHandler(HDF5FileHandler):
         drift = confs[:, mrbp.SysConfSlot.drift, :]
         dtype = pos.dtype
         cmd_ds = group.get("cmd_accum")
+        itc_ds = group.get("itc_buf")
         return dmc_sampler.State(
             pos=jnp.asarray(pos), drift=jnp.asarray(drift),
             energies=jnp.asarray(energies, dtype=dtype),
@@ -306,7 +321,11 @@ class DmcHDF5FileHandler(HDF5FileHandler):
             total_energy=jnp.asarray(totals[0], dtype=dtype),
             total_weight=jnp.asarray(totals[1], dtype=dtype),
             cmd_accum=(jnp.asarray(cmd_ds[()], dtype=dtype)
-                       if cmd_ds is not None else None))
+                       if cmd_ds is not None else None),
+            itc_buf=(jnp.asarray(itc_ds[()], dtype=dtype)
+                     if itc_ds is not None else None),
+            itc_filled=(jnp.int32(attrs["itc_filled"])
+                        if itc_ds is not None else None))
 
     def load_sampling_data(self, group: h5py.Group):
         return dmc_data.SamplingData.from_hdf5_data(group)

@@ -105,6 +105,24 @@ class PairCorrEstSpec:
 
 
 @dataclass(frozen=True)
+class ITCEstSpec:
+    """Imaginary-time density-density correlation (intermediate
+    scattering function) ``F(k, tau)`` estimator config — DMC only
+    (VMC chain steps are Metropolis updates, not imaginary-time
+    evolution, so the two-time correlator has no meaning there).  No
+    reference analog.
+
+    ``num_lags`` sets the ring-buffer depth: lags reach
+    ``num_lags * est_every * time_step`` in imaginary time.  A mixed
+    estimator by construction (the early-time insertion always
+    touches the trial function); see
+    :class:`phd_qmclib_tpu.samplers.dmc.ITCEstSpec`.
+    """
+    num_modes: int
+    num_lags: int
+
+
+@dataclass(frozen=True)
 class CMDiffusionEstSpec:
     """Center-of-mass imaginary-time diffusion (superfluid fraction /
     effective mass) estimator config.  No reference analog.
@@ -179,6 +197,10 @@ class Proc(metaclass=ABCMeta):
     @property
     def should_eval_pair_corr(self) -> bool:
         return getattr(self, "pair_corr_spec", None) is not None
+
+    @property
+    def should_eval_itc(self) -> bool:
+        return getattr(self, "itc_spec", None) is not None
 
     @abstractmethod
     def describe_model_spec(self):

@@ -304,8 +304,55 @@ def describe_dmc(result, full: bool = False) -> str:
                      f"{_fmt(*mm)} from "
                      f"{blocks.cm_diffusion.num_windows} CM-diffusion "
                      f"windows")
+    if blocks.itc is not None:
+        lines += _itc_lines(blocks.itc, blocks.ss_factor, nop, full)
     lines += _luttinger_lines(blocks, proc, nop, sc, mm=mm)
     return "\n".join(lines)
+
+
+def _itc_lines(itc_blocks, ssf_blocks, nop: int, full: bool) \
+        -> t.List[str]:
+    """Imaginary-time correlation: effective excitation energies from
+    the large-tau log slope of F(k, tau) — a tau-dependent UPPER bound
+    on the lowest excitation at each k, tighter than (and bounded by)
+    the Feynman S(k) estimate."""
+    tau = itc_blocks.tau_grid
+    tau_mid, omega, omega_err = itc_blocks.effective_energy()
+    lines = [f"itc         F(k,tau) on {len(tau) - 1} lags "
+             f"(dtau = {itc_blocks.tau_step:g}, tau_max = "
+             f"{tau[-1]:g}); omega_eff(k, tau_max) = excitation upper "
+             f"bound, tightening with tau"]
+    # The last lag midpoint is the tightest bound this run resolves.
+    show = range(1, min(4, itc_blocks.num_modes))
+    parts = []
+    for j in show:
+        parts.append(f"k{j} = {_fmt(omega[-1, j], omega_err[-1, j])}")
+    if parts:
+        lines.append("            omega_eff at tau_max: "
+                     + ", ".join(parts))
+    if ssf_blocks is not None:
+        # Feynman upper bound from the same run's S(k) — omega_eff
+        # must undercut (or match) it within errors.
+        try:
+            momenta = itc_blocks.momenta
+            s_mean = ssf_blocks.mean / nop
+            feyn = np.full(len(momenta), np.nan)
+            nz = s_mean[:len(momenta)] > 0
+            feyn[nz] = momenta[nz] ** 2 / s_mean[:len(momenta)][nz]
+            parts = [f"k{j} = {feyn[j]:.4g}" for j in show
+                     if np.isfinite(feyn[j])]
+            if parts:
+                lines.append("            Feynman bound k^2/S(k) for "
+                             "comparison: " + ", ".join(parts))
+        except (ValueError, IndexError):  # pragma: no cover
+            pass
+    if full:
+        f_norm = itc_blocks.normalized
+        for j in show:
+            lines.append(
+                f"            F(k{j}, tau)/F(k{j}, 0) = "
+                + ", ".join(f"{v:.4f}" for v in f_norm[:, j]))
+    return lines
 
 
 def _luttinger_lines(blocks, proc, nop: int, sc: float,
@@ -470,6 +517,15 @@ def summarize(result, sampling_type: str) -> dict:
         ratio, ratio_err = cmd.effective_mass_ratio()
         out["effective_mass_ratio"] = float(ratio)
         out["effective_mass_ratio_err"] = float(ratio_err)
+    itc = getattr(blocks, "itc", None)
+    if itc is not None:
+        out["itc_tau"] = itc.tau_grid.tolist()
+        out["itc"] = np.asarray(itc.mean).tolist()
+        out["itc_err"] = np.asarray(itc.mean_error).tolist()
+        _, omega, omega_err = itc.effective_energy()
+        # The tightest (largest-tau) excitation upper bound per mode.
+        out["itc_omega_eff"] = omega[-1].tolist()
+        out["itc_omega_eff_err"] = omega_err[-1].tolist()
     if sampling_type == "vmc":
         out["move_spread"] = proc.move_spread
         out["num_walkers"] = proc.num_walkers

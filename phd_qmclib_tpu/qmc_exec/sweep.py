@@ -216,6 +216,11 @@ class SweepProc:
                 if block_data.iter_cmd is not None else None
             g2 = np.asarray(block_data.iter_g2, dtype=np.float64) \
                 if block_data.iter_g2 is not None else None
+            itc = np.asarray(block_data.iter_itc, dtype=np.float64) \
+                if block_data.iter_itc is not None else None
+            itc_nw = np.asarray(block_data.iter_itc_nw,
+                                dtype=np.float64) \
+                if block_data.iter_itc_nw is not None else None
             for r, acc in enumerate(accumulators):
                 acc.add(block_idx, energy[:, r], weight[:, r],
                         num_walkers[:, r], ref_energy[:, r],
@@ -225,7 +230,10 @@ class SweepProc:
                         iter_ssf=ssf[r] if ssf is not None else None,
                         iter_obd=obd[r] if obd is not None else None,
                         iter_cmd=cmd[r] if cmd is not None else None,
-                        iter_g2=g2[r] if g2 is not None else None)
+                        iter_g2=g2[r] if g2 is not None else None,
+                        iter_itc=itc[r] if itc is not None else None,
+                        iter_itc_nw=itc_nw[r]
+                        if itc_nw is not None else None)
             if ref.checkpoint_file is not None and \
                     (block_idx + 1) % ref.checkpoint_every == 0:
                 _write_sweep_checkpoints(procs, block_data.last_state,

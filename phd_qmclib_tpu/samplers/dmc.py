@@ -56,6 +56,7 @@ from ..ops import prng as prng_ops
 
 __all__ = [
     "DensityEstSpec",
+    "ITCEstSpec",
     "OBDEstSpec",
     "PairCorrEstSpec",
     "PropsData",
@@ -92,9 +93,26 @@ class State(t.NamedTuple):
     #: ancestry-transported center-of-mass displacement since the
     #: current measurement window opened, shape ``(Wm,)``.  Lives in
     #: the State (not the per-block scratch) so the window can span
-    #: blocks (``cm_window_blocks``).  ``None`` when disabled; not
-    #: persisted to HDF5 (a restart opens a fresh window).
+    #: blocks (``cm_window_blocks``).  ``None`` when disabled;
+    #: persisted by the schema-v2 mid-run checkpoints (``qmc_exec/io``
+    #: writes it as an extra state dataset) so a kill/restore resumes
+    #: the window instead of reopening it.
     cmd_accum: t.Optional[jnp.ndarray] = None
+    #: Imaginary-time-correlation lag ring buffer (``itc_est_spec``):
+    #: each walker's ``(Re rho_k, Im rho_k)`` amplitudes from the last
+    #: ``num_lags`` MEASURED steps, ancestry-transported every step,
+    #: shape ``(Wm, num_lags, num_modes, 2)`` with lag 1 (the most
+    #: recent measured step) first.  Rides the State for the same
+    #: reasons as ``cmd_accum``: per-step transport, rebalance
+    #: permutation, and checkpoint persistence all come with the
+    #: walker buffers.  ``None`` when disabled.
+    itc_buf: t.Optional[jnp.ndarray] = None
+    #: Number of VALID lag rows in ``itc_buf`` (scalar int32,
+    #: saturating at ``num_lags``): measured steps shift a row in, so
+    #: lags ``1..itc_filled`` hold real amplitudes while deeper rows
+    #: are still the zero fill of a fresh buffer.  ``None`` when
+    #: disabled.
+    itc_filled: t.Optional[jnp.ndarray] = None
 
     @property
     def max_num_walkers(self) -> int:
@@ -133,6 +151,18 @@ class SamplingBlock(t.NamedTuple):
     #: Direct pair-correlation histogram sums, shape
     #: ``(nts_measured, num_bins)``; ``None`` when disabled.
     iter_g2: t.Optional[jnp.ndarray] = None
+    #: Imaginary-time density-density correlation sums, shape
+    #: ``(nts_measured, num_lags + 1, num_modes)``: row 0 is the
+    #: equal-time ``sum_w |rho_k|^2`` (the S(k) numerator), row ``l``
+    #: the lag-``l`` ``sum_w Re[rho_k(t) rho_k(t - l K dt)^*]`` over
+    #: the branching ancestry (``K = est_every``).  ``None`` when
+    #: disabled.
+    iter_itc: t.Optional[jnp.ndarray] = None
+    #: Contributing-walker counts for ``iter_itc``, shape
+    #: ``(nts_measured, num_lags + 1)``: ``num_walkers`` for every lag
+    #: whose ring-buffer row was already filled, 0 for deeper lags
+    #: during the initial fill — the denominators of the lag averages.
+    iter_itc_nw: t.Optional[jnp.ndarray] = None
     #: Post-block pure-estimator forward-walking accumulators (the
     #: aux carry: ``{"aux_density": (Wm, bins), ...}``) when the pfw
     #: window spans several blocks; ``None`` otherwise.  Exposed so
@@ -226,6 +256,48 @@ class PairCorrEstSpec:
     est_every_mult: int = 1
 
 
+@dataclass(frozen=True)
+class ITCEstSpec:
+    """Imaginary-time density-density correlation estimator spec:
+    ``F(k, tau) = <rho_k(t + tau) rho_-k(t)> / N`` for the harmonic
+    momenta ``k_j = j 2 pi / L`` at lags ``tau = l * est_every * dt``,
+    ``l = 0..num_lags`` — the intermediate scattering function, whose
+    imaginary-time decay bounds the excitation spectrum
+    (``F(k, tau) -> Z_k e^{-omega_k tau}`` at large ``tau``, so an
+    effective-energy fit gives an upper bound on ``omega_k`` that
+    tightens with ``tau``; cf. the f-sum rule
+    ``-dF/dtau|_0 = k^2`` in the framework's energy units).
+
+    Beyond the reference, which has no two-time observables at all:
+    each walker carries the ``rho_k`` amplitudes of its last
+    ``num_lags`` measured steps in an ancestry-transported ring buffer
+    (``State.itc_buf``), so the products follow the weighted DMC paths
+    exactly.  Lag 0 reproduces the S(k) numerator (bit-identical to
+    the ``ssf`` estimator's mixed slot-0 sums when both are enabled).
+
+    This is a MIXED estimator by construction — the two-time insertion
+    makes the usual forward-walking purification inapplicable (the
+    early-time endpoint always touches the trial function), so there
+    is no ``as_pure_est`` knob; trial-function bias vanishes as
+    ``psi_T`` approaches the ground state and is quantified by the
+    VMC-vs-DMC ``tau = 0`` difference.
+
+    Cost: one ``(Wm, num_lags, num_modes, 2)`` gather per time step
+    (the buffer must ride the branching every step) plus one
+    Chebyshev-harmonics pass and the lag products per measured step —
+    thin with ``Sampling.est_every`` like the other estimators (the
+    lag unit then scales with it).
+    """
+    num_modes: int
+    num_lags: int
+
+    def __post_init__(self):
+        if self.num_modes < 1:
+            raise ValueError("num_modes must be a positive integer")
+        if self.num_lags < 1:
+            raise ValueError("num_lags must be a positive integer")
+
+
 def branching_comb(weights: jnp.ndarray, num_walkers: jnp.ndarray,
                    key=None, *, u: t.Optional[jnp.ndarray] = None) \
         -> t.Tuple[jnp.ndarray, jnp.ndarray]:
@@ -312,6 +384,7 @@ class Sampling:
     ssf_est_spec: t.Optional[SSFEstSpec] = None
     obd_est_spec: t.Optional[OBDEstSpec] = None
     pair_corr_est_spec: t.Optional[PairCorrEstSpec] = None
+    itc_est_spec: t.Optional[ITCEstSpec] = None
     #: Device mesh for multi-chip runs: the walker axis shards over
     #: ``mesh_axis``; branching is per-shard, population control global
     #: (psum over ICI).  ``None`` = single device.
@@ -452,6 +525,25 @@ class Sampling:
         return np.linspace(0.0, 0.5 * sc_size, self.obd_est_spec.num_pos)
 
     @property
+    def itc_momenta(self) -> np.ndarray:
+        if self.itc_est_spec is None:
+            raise TypeError("no imaginary-time-correlation spec was "
+                            "configured for this sampling")
+        num_modes = self.itc_est_spec.num_modes
+        sc_size = self.model_spec.supercell_size
+        return np.arange(num_modes) * 2 * np.pi / sc_size
+
+    @property
+    def itc_lag_times(self) -> np.ndarray:
+        """The imaginary-time lags ``tau_l = l * est_every * dt``,
+        ``l = 0..num_lags`` (one leading equal-time entry)."""
+        if self.itc_est_spec is None:
+            raise TypeError("no imaginary-time-correlation spec was "
+                            "configured for this sampling")
+        lags = np.arange(self.itc_est_spec.num_lags + 1)
+        return lags * self.est_every * self.time_step
+
+    @property
     def pair_corr_bin_edges(self) -> np.ndarray:
         if self.pair_corr_est_spec is None:
             raise TypeError(
@@ -459,6 +551,11 @@ class Sampling:
         num_bins = self.pair_corr_est_spec.num_bins
         return np.linspace(0, 0.5 * self.model_spec.supercell_size,
                            num_bins + 1)
+
+    @property
+    def _itc_buf_shape(self) -> t.Tuple[int, ...]:
+        spec = self.itc_est_spec
+        return (self.max_num_walkers, spec.num_lags, spec.num_modes, 2)
 
     def _pfw_steps(self, spec) -> int:
         # The reference treats None as "effectively infinite"
@@ -584,7 +681,11 @@ class Sampling:
             ref_energy=f(ref_energy), accum_energy=f(energy_mean),
             total_energy=f(0.0), total_weight=f(0.0),
             cmd_accum=(jnp.zeros(pos.shape[0], dtype=pos.dtype)
-                       if self.cm_diffusion_est else None))
+                       if self.cm_diffusion_est else None),
+            itc_buf=(jnp.zeros(self._itc_buf_shape, dtype=pos.dtype)
+                     if self.itc_est_spec is not None else None),
+            itc_filled=(jnp.int32(0)
+                        if self.itc_est_spec is not None else None))
 
     def _cast_params(self, dtype) -> mrbp.CFCParams:
         return jax.tree.map(lambda x: jnp.asarray(x, dtype=dtype),
@@ -668,11 +769,17 @@ class Sampling:
             if state.cmd_accum is not None:
                 cmd_accum = _sharded(jnp.where(
                     new_valid, permute(state.cmd_accum), 0.0))
+            itc_buf = None
+            if state.itc_buf is not None:
+                itc_buf = _sharded(jnp.where(
+                    new_valid[:, None, None, None],
+                    permute(state.itc_buf), 0.0))
             return state._replace(
                 pos=_sharded(permute(state.pos)),
                 drift=_sharded(drift), energies=_sharded(energies),
                 weights=_sharded(weights), masks=_sharded(~new_valid),
-                num_walkers=_sharded(counts), cmd_accum=cmd_accum)
+                num_walkers=_sharded(counts), cmd_accum=cmd_accum,
+                itc_buf=itc_buf)
 
         return jax.jit(rebalance)
 
@@ -709,11 +816,13 @@ class Sampling:
         ssf_spec = self.ssf_est_spec if measure else None
         obd_spec = self.obd_est_spec if measure else None
         g2_spec = self.pair_corr_est_spec if measure else None
+        itc_spec = self.itc_est_spec if measure else None
         cadence = self.est_every
         use_density = density_spec is not None
         use_ssf = ssf_spec is not None
         use_obd = obd_spec is not None
         use_g2 = g2_spec is not None
+        use_itc = itc_spec is not None
         density_pure = use_density and density_spec.as_pure_est
         ssf_pure = use_ssf and ssf_spec.as_pure_est
         obd_pure = use_obd and obd_spec.as_pure_est
@@ -929,6 +1038,48 @@ class Sampling:
                                                 cpos.dtype)
                             + 0.0 * cpos[0, 0], None)
 
+            # 4b) Imaginary-time correlation: the lag ring buffer rides
+            #     the State, so it transports through the cloning table
+            #     EVERY step (measured or not — it holds real data
+            #     between measurements, unlike the window-scoped aux
+            #     accumulators above); measured steps correlate the
+            #     current rho_k against every lag row, then shift the
+            #     new amplitudes in.  Burn-in blocks skip even the
+            #     transport: the buffer is still its zero fill there
+            #     (``itc_filled == 0``), so the gather would be a
+            #     semantic no-op.
+            new_itc_buf = state.itc_buf
+            new_itc_filled = state.itc_filled
+            if use_itc:
+                new_itc_buf = state.itc_buf[parent]
+                if not transport_only:
+                    num_lags = itc_spec.num_lags
+                    # (Wm, num_modes, 2) amplitudes of the
+                    # post-branching ensemble — same kernel family as
+                    # the S(k) parts, so lag 0 below reproduces the
+                    # ssf estimator's slot-0 sums exactly.
+                    reim = funcs.fourier_density_reim_harmonics(
+                        itc_spec.num_modes, cpos, cfc)
+                    maskf = valid.astype(cpos.dtype)
+                    # Same per-walker square + masked walker sum as the
+                    # ssf estimator's slot 0, so the two are
+                    # bit-identical when both are enabled.
+                    sq = reim[..., 0] ** 2 + reim[..., 1] ** 2
+                    lag0 = jnp.where(valid[:, None], sq, 0.0).sum(axis=0)
+                    lag_prod = jnp.einsum("wlkc,wkc,w->lk", new_itc_buf,
+                                          reim, maskf)
+                    est_out["itc"] = jnp.concatenate(
+                        [lag0[None], lag_prod], axis=0)
+                    nwf = nw.astype(cpos.dtype)
+                    lag_ok = (jnp.arange(1, num_lags + 1)
+                              <= state.itc_filled).astype(cpos.dtype)
+                    est_out["itc_nw"] = jnp.concatenate(
+                        [nwf[None], nwf * lag_ok])
+                    new_itc_buf = jnp.concatenate(
+                        [reim[:, None], new_itc_buf[:, :-1]], axis=1)
+                    new_itc_filled = jnp.minimum(
+                        state.itc_filled + 1, jnp.int32(num_lags))
+
             # 5) Diffuse children with the PREVIOUS E_ref
             #    (jastrow/dmc.py:742-827).
             if injected_noise:
@@ -994,7 +1145,8 @@ class Sampling:
                 .astype(jnp.int32),
                 ref_energy=new_ref, accum_energy=accum_energy,
                 total_energy=total_energy, total_weight=total_weight,
-                cmd_accum=aux_cmd)
+                cmd_accum=aux_cmd, itc_buf=new_itc_buf,
+                itc_filled=new_itc_filled)
             props = (state_energy, state_weight,
                      _psum(nw.astype(jnp.int32)), new_ref, accum_energy)
             return new_state, new_extra, props, est_out
@@ -1175,7 +1327,9 @@ class Sampling:
             masks=P(ax), energy=P(), weight=P(), num_walkers=P(ax),
             ref_energy=P(), accum_energy=P(), total_energy=P(),
             total_weight=P(),
-            cmd_accum=P(ax) if self.cm_diffusion_est else None)
+            cmd_accum=P(ax) if self.cm_diffusion_est else None,
+            itc_buf=P(ax) if self.itc_est_spec is not None else None,
+            itc_filled=P() if self.itc_est_spec is not None else None)
         aux_spec = {name: P(ax)
                     for name in (self._pure_aux_shapes() if measure
                                  else {})}
@@ -1262,6 +1416,14 @@ class Sampling:
             # measurement window.
             state = state._replace(cmd_accum=jnp.zeros(
                 state.pos.shape[0], dtype=dtype))
+        if self.itc_est_spec is not None and state.itc_buf is None:
+            # Same situation for the imaginary-time-correlation ring
+            # buffer: start an empty fill (the lag counts discount the
+            # unfilled rows, so no bias — just the usual startup
+            # transient).
+            state = state._replace(
+                itc_buf=jnp.zeros(self._itc_buf_shape, dtype=dtype),
+                itc_filled=jnp.int32(0))
         cfc = self._cast_params(dtype)
         scalars = self._scalars(dtype)
         rebalance_every = self.rebalance_every \
@@ -1340,8 +1502,10 @@ class Sampling:
             obd = est.get("obd") if not burning else None
             cmd = est.get("cmd") if not burning else None
             g2 = est.get("g2") if not burning else None
+            itc = est.get("itc") if not burning else None
+            itc_nw = est.get("itc_nw") if not burning else None
             yield SamplingBlock(props, density, ssf, state, obd, cmd,
-                                g2,
+                                g2, itc, itc_nw,
                                 aux_carry=(aux if (pfw_window > 1
                                                    and not burning)
                                            else None))

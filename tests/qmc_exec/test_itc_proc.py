@@ -1,0 +1,133 @@
+"""Imaginary-time correlation F(k, tau) through the production driver:
+config plumbing, HDF5 round trip, kill/restore, and fused sweeps."""
+import numpy as np
+import pytest
+
+from phd_qmclib_tpu.models import mrbp
+from phd_qmclib_tpu.qmc_exec import dmc as dmc_exec
+from phd_qmclib_tpu.qmc_exec.data import dmc as dmc_data
+from phd_qmclib_tpu.qmc_exec.io import DmcHDF5FileHandler
+
+from .test_checkpoint import MODEL_CONFIG, kill_after_checkpoint
+
+NOP = MODEL_CONFIG["boson_number"]
+
+
+def make_proc(ckpt=None, **kw):
+    base = dict(model_spec=mrbp.Spec(**MODEL_CONFIG),
+                time_step=1e-3, max_num_walkers=64,
+                target_num_walkers=48, num_blocks=4,
+                num_time_steps_block=8, burn_in_blocks=1, rng_seed=3,
+                dtype="float64",
+                ssf_spec=dmc_exec.SSFEstSpec(num_modes=4,
+                                             as_pure_est=False),
+                itc_spec=dmc_exec.ITCEstSpec(num_modes=4, num_lags=3))
+    if ckpt is not None:
+        base.update(checkpoint_file=ckpt, checkpoint_every=2)
+    base.update(kw)
+    return dmc_exec.Proc(**base)
+
+
+def make_input(proc):
+    return dmc_exec.ProcInput.from_model_sys_conf_spec(
+        dmc_exec.ModelSysConfSpec(dist_type="RANDOM"), proc)
+
+
+def test_exec_collects_itc_and_config_roundtrip():
+    proc = make_proc()
+    result = proc.exec(make_input(proc))
+    itc = result.data.blocks.itc
+    assert isinstance(itc, dmc_data.ITCBlocks)
+    assert itc.mean.shape == (4, 4)
+    assert itc.tau_step == proc.time_step * proc.est_every
+    # k = 0 column: rho_0 = N exactly, so F(0, tau) = N for every
+    # filled lag.
+    np.testing.assert_allclose(itc.mean[:, 0], float(NOP), rtol=1e-12)
+    # F decays in tau (monotone for a ground-state-dominated k > 0).
+    f_norm = itc.normalized
+    assert np.all(f_norm[1:, 1:] <= 1.0 + 1e-12)
+    # Config round trip preserves the spec.
+    assert dmc_exec.Proc.from_config(proc.as_config()) == proc
+    # Jackknife errors are finite and positive where F is nonzero.
+    assert np.all(np.isfinite(itc.mean_error))
+
+
+def test_lag0_equals_mixed_ssf_numerator():
+    proc = make_proc(est_every=2)
+    result = proc.exec(make_input(proc))
+    itc = result.data.blocks.itc
+    ssf = result.data.blocks.ss_factor
+    # Same totals: the ssf slot-0 part totals are per-block sums of
+    # the identical per-step walker sums.
+    np.testing.assert_array_equal(itc.lag_sums[:, 0, :],
+                                  ssf.fdk_sqr_abs_part.totals)
+
+
+def test_hdf5_roundtrip(tmp_path):
+    proc = make_proc()
+    result = proc.exec(make_input(proc))
+    handler = DmcHDF5FileHandler(location=str(tmp_path / "r.h5"),
+                                 group="g")
+    handler.dump(result)
+    loaded = handler.load()
+    assert loaded.proc == proc
+    itc, litc = result.data.blocks.itc, loaded.data.blocks.itc
+    np.testing.assert_array_equal(litc.lag_sums, itc.lag_sums)
+    np.testing.assert_array_equal(litc.lag_counts, itc.lag_counts)
+    assert litc.tau_step == itc.tau_step
+    assert litc.supercell_size == itc.supercell_size
+
+
+def test_merge_concatenates_blocks():
+    proc = make_proc()
+    result = proc.exec(make_input(proc))
+    blocks = result.data.blocks
+    merged = blocks.merge(blocks)
+    assert merged.itc.lag_sums.shape[0] \
+        == 2 * blocks.itc.lag_sums.shape[0]
+    np.testing.assert_allclose(merged.itc.mean, blocks.itc.mean)
+
+
+def test_kill_restore_resumes_itc_bit_exact(tmp_path, monkeypatch):
+    """Kill mid-run (the ring buffer is mid-fill across the cut),
+    restore, finish: the ITC block series must equal the
+    uninterrupted run bit-exactly — gates the State persistence of
+    ``itc_buf``/``itc_filled`` plus the accumulator snapshot."""
+    ckpt = str(tmp_path / "ckpt.h5")
+    proc = make_proc(ckpt)
+    proc_input = make_input(proc)
+    full = make_proc().exec(dmc_exec.ProcInput(proc_input.state))
+
+    with monkeypatch.context() as mp:
+        killed = kill_after_checkpoint(mp, dmc_exec.Proc, at_blocks=2)
+        with pytest.raises(killed):
+            proc.exec(proc_input)
+
+    proc2, proc_input2 = dmc_exec.Proc.restore_checkpoint(ckpt)
+    assert proc2.itc_spec == proc.itc_spec
+    resumed = proc2.evolve({"checkpoint_file": None}).exec(proc_input2)
+    np.testing.assert_array_equal(resumed.data.blocks.itc.lag_sums,
+                                  full.data.blocks.itc.lag_sums)
+    np.testing.assert_array_equal(resumed.data.blocks.itc.lag_counts,
+                                  full.data.blocks.itc.lag_counts)
+    np.testing.assert_array_equal(np.asarray(resumed.state.itc_buf),
+                                  np.asarray(full.state.itc_buf))
+
+
+def test_fused_sweep_rows_match_standalone_bit_exact():
+    from phd_qmclib_tpu.qmc_exec.sweep import SweepProc
+
+    procs = [make_proc(rng_seed=11, num_blocks=3),
+             make_proc(rng_seed=12, num_blocks=3,
+                       model_spec=mrbp.Spec(
+                           **{**MODEL_CONFIG,
+                              "interaction_strength": 2.0}))]
+    sweep = SweepProc(procs)
+    inputs = [make_input(p) for p in procs]
+    fused = sweep.exec(inputs)
+    for proc, pin, row in zip(procs, inputs, fused):
+        alone = proc.exec(dmc_exec.ProcInput(pin.state))
+        np.testing.assert_array_equal(row.data.blocks.itc.lag_sums,
+                                      alone.data.blocks.itc.lag_sums)
+        np.testing.assert_array_equal(row.data.blocks.itc.lag_counts,
+                                      alone.data.blocks.itc.lag_counts)
