@@ -85,6 +85,11 @@ def draw_dmc_config(rng: np.random.Generator) -> dict:
         cfg["num_mesh_devices"] = 0
         if rng.random() < 0.5:
             cfg["rebalance_every"] = int(rng.choice([2, 3]))
+    # Imaginary-time correlation (drawn LAST so the earlier knob
+    # sequence — and the fixed corpus's coverage — is unchanged).
+    if rng.random() < 0.5:
+        cfg["itc_spec"] = {"num_modes": 4,
+                           "num_lags": int(rng.choice([2, 3, 5]))}
     # Validity constraints: est_every (x mult) must divide the block
     # AND any forward-walking window length.
     if NTS % est_every:
@@ -135,6 +140,9 @@ def _series(blocks):
             blocks.ss_factor.fdk_sqr_abs_part.totals)
     if getattr(blocks, "cm_diffusion", None) is not None:
         out["cmd"] = np.asarray(blocks.cm_diffusion.w2_series)
+    if getattr(blocks, "itc", None) is not None:
+        out["itc"] = np.asarray(blocks.itc.lag_sums)
+        out["itc_nw"] = np.asarray(blocks.itc.lag_counts)
     return out
 
 
@@ -159,6 +167,14 @@ def assert_invariants(cfg, result):
         assert np.all(np.isfinite(blocks.ss_factor.mean))
     if blocks.cm_diffusion is not None:
         assert np.all(np.isfinite(blocks.cm_diffusion.w2_series))
+    if getattr(blocks, "itc", None) is not None:
+        # k = 0 sum rule wherever the lag row ever filled: rho_0 = N
+        # exactly, so F(0, tau) = N per contributing walker.
+        itc = blocks.itc
+        filled = itc.lag_counts.sum(axis=0) > 0
+        np.testing.assert_allclose(itc.mean[filled, 0], NOP,
+                                   rtol=1e-9)
+        assert np.all(np.isfinite(itc.mean))
 
 
 def fuzz_one(seed: int, tmp_path):
@@ -284,6 +300,7 @@ def test_fast_corpus_covers_the_knobs():
     assert any(c.get("cm_diffusion_spec") for c in cfgs)
     assert any(c["est_every"] > 1 for c in cfgs)
     assert any(c["keep_iter_data"] for c in cfgs)
+    assert any(c.get("itc_spec") for c in cfgs)
 
 
 @pytest.mark.slow

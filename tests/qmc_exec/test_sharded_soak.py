@@ -42,6 +42,7 @@ def full_surface_proc_config(ckpt=None, mesh=True):
         "pair_corr_spec": {"num_bins": 8, "as_pure_est": True,
                            "pfw_num_time_steps": 2 * NTS},
         "cm_diffusion_spec": {"window_blocks": 2},
+        "itc_spec": {"num_modes": 4, "num_lags": 3},
         "rebalance_every": 3,
     }
     if mesh:
@@ -70,6 +71,12 @@ def _assert_full_surface(blocks, nop, sc):
     cmd = blocks.cm_diffusion
     assert cmd is not None and cmd.num_windows == 4
     assert np.all(np.isfinite(cmd.w2_series))
+    itc = blocks.itc
+    assert itc is not None
+    # k = 0 sum rule: rho_0 = N exactly, per contributing walker.
+    filled = itc.lag_counts.sum(axis=0) > 0
+    assert filled.all()  # every lag fills within the soak's run
+    np.testing.assert_allclose(itc.mean[:, 0], nop, rtol=1e-9)
 
 
 @pytest.mark.slow
@@ -130,6 +137,10 @@ def test_full_surface_sharded_soak_cli(tmp_path, monkeypatch):
                                   .w2_series,
                                   full.data.blocks.cm_diffusion
                                   .w2_series)
+    np.testing.assert_array_equal(resumed.data.blocks.itc.lag_sums,
+                                  full.data.blocks.itc.lag_sums)
+    np.testing.assert_array_equal(resumed.data.blocks.itc.lag_counts,
+                                  full.data.blocks.itc.lag_counts)
 
     # Phase 3 — single-device run of the same config: statistical
     # equivalence (the per-shard key streams differ by construction).

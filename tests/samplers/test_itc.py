@@ -282,6 +282,63 @@ def test_free_gas_decay_matches_exact_propagator():
     np.testing.assert_allclose(f_norm[:, 1:], exact[:, 1:], atol=0.04)
 
 
+@pytest.mark.slow
+def test_tonks_girardeau_decay_matches_free_fermions():
+    """Interacting-physics gate: at the TG point density correlations
+    map to free fermions exactly, so
+    ``F(k, tau) = (1/N) sum_{q in FS, q+k not in FS}
+    exp(-(eps_{q+k} - eps_q) tau)`` with ``eps_q = q^2``.  For N = 3
+    on L = 3 the k1 channel is a SINGLE exponential
+    (``omega = 4 pi^2 / 3``) and k2 a two-channel sum — a spectrum
+    test the equal-time S(k) cannot see."""
+    N, L = 3, 3.0
+    gn = 1e4
+    spec = mrbp.Spec(lattice_depth=0.0, lattice_ratio=1.0,
+                     interaction_strength=gn, boson_number=N,
+                     supercell_size=L, tbf_contact_cutoff=1.2)
+    num_lags = 6
+    sampling = dmc.Sampling(
+        spec, time_step=5e-5, max_num_walkers=320,
+        target_num_walkers=256, rng_seed=6, est_every=64,
+        itc_est_spec=dmc.ITCEstSpec(num_modes=3, num_lags=num_lags))
+    rng = np.random.default_rng(1)
+    confs = np.stack([
+        spec.init_get_sys_conf(dist_type=mrbp.DIST_REGULAR,
+                               offset=rng.uniform(0, L))
+        for _ in range(256)])
+    state = sampling.build_state(confs)
+    blocks = sampling.blocks(state, num_time_steps_block=256,
+                             burn_in_blocks=3)
+    for _ in range(3):
+        next(blocks)
+    sums = np.zeros((num_lags + 1, 3))
+    counts = np.zeros(num_lags + 1)
+    for _ in range(14):
+        b = next(blocks)
+        sums += np.asarray(b.iter_itc, dtype=np.float64).sum(axis=0)
+        counts += np.asarray(b.iter_itc_nw,
+                             dtype=np.float64).sum(axis=0)
+    f = sums / counts[:, None] / N
+    tau = np.asarray(sampling.itc_lag_times)
+
+    # Exact free-fermion particle-hole sums (FS = {-2pi/3, 0, 2pi/3}).
+    q = 2 * np.pi / L * np.arange(-(N // 2), N // 2 + 1)
+    kz = np.asarray(sampling.itc_momenta)
+    fs = set(np.round(q, 12))
+    exact = np.zeros((num_lags + 1, 3))
+    for j, k in enumerate(kz):
+        for qi in q:
+            if j and round(qi + k, 12) not in fs:
+                exact[:, j] += np.exp(-((qi + k) ** 2 - qi ** 2)
+                                      * tau) / N
+    exact[:, 0] = N  # rho_0 = N: F(0, tau) = N per particle... x N
+    np.testing.assert_allclose(f[:, 0], float(N), rtol=1e-9)
+    # S(k) values at tau = 0: 1/3 and 2/3 exactly.
+    np.testing.assert_allclose(f[0, 1:], exact[0, 1:], atol=0.02)
+    # The imaginary-time decay of both channels.
+    np.testing.assert_allclose(f[:, 1:], exact[:, 1:], atol=0.035)
+
+
 class TestItcStateIO:
 
     def test_state_roundtrip_and_bitexact_resume(self, tmp_path):
