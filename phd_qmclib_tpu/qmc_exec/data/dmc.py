@@ -674,7 +674,7 @@ class ITCBlocks:
     #: ``(num_blocks, num_lags + 1)`` contributing-walker counts.
     lag_counts: np.ndarray
     #: Imaginary-time spacing between consecutive lags
-    #: (``est_every * time_step``).
+    #: (``est_every * est_every_mult * time_step``).
     tau_step: float
     boson_number: int
     supercell_size: float

@@ -176,10 +176,16 @@ class Proc(proc_base.Proc):
                              "by est_every")
         if self.itc_spec is not None:
             if int(self.itc_spec.num_modes) < 1 \
-                    or int(self.itc_spec.num_lags) < 1:
+                    or int(self.itc_spec.num_lags) < 1 \
+                    or int(self.itc_spec.est_every_mult) < 1:
                 raise ValueError(
-                    "itc_spec: num_modes and num_lags must be "
-                    "positive integers")
+                    "itc_spec: num_modes, num_lags and est_every_mult "
+                    "must be positive integers")
+            if self.num_time_steps_block % (
+                    self.est_every * self.itc_spec.est_every_mult):
+                raise ValueError(
+                    "itc_spec: num_time_steps_block must be divisible "
+                    "by est_every * est_every_mult")
         if self.cm_diffusion_spec is not None:
             wb = self.cm_diffusion_spec.window_blocks
             if wb is not None:
@@ -376,6 +382,9 @@ class Proc(proc_base.Proc):
                 "num_modes": self.itc_spec.num_modes,
                 "num_lags": self.itc_spec.num_lags,
             }
+            if self.itc_spec.est_every_mult != 1:
+                config["itc_spec"]["est_every_mult"] = \
+                    self.itc_spec.est_every_mult
         return {k: v for k, v in config.items() if v is not None}
 
     def evolve(self, config: t.Mapping) -> "Proc":
@@ -446,7 +455,8 @@ class Proc(proc_base.Proc):
             est_every_mult=self.pair_corr_spec.est_every_mult) \
             if self.should_eval_pair_corr else None
         itc_est_spec = dmc_sampler.ITCEstSpec(
-            self.itc_spec.num_modes, self.itc_spec.num_lags) \
+            self.itc_spec.num_modes, self.itc_spec.num_lags,
+            est_every_mult=self.itc_spec.est_every_mult) \
             if self.should_eval_itc else None
         mesh = None
         if self.num_mesh_devices is not None:
@@ -1204,7 +1214,9 @@ class _BlockAccumulator:
         if proc.should_eval_itc:
             itc_blocks = dmc_data.ITCBlocks(
                 self.itc_sums_data, self.itc_counts_data,
-                tau_step=proc.est_every * proc.time_step,
+                tau_step=(proc.est_every
+                          * proc.itc_spec.est_every_mult
+                          * proc.time_step),
                 boson_number=proc.model_spec.boson_number,
                 supercell_size=proc.model_spec.supercell_size)
 

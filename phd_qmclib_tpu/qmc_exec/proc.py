@@ -112,14 +112,17 @@ class ITCEstSpec:
     evolution, so the two-time correlator has no meaning there).  No
     reference analog.
 
-    ``num_lags`` sets the ring-buffer depth: lags reach
-    ``num_lags * est_every * time_step`` in imaginary time.  A mixed
-    estimator by construction (the early-time insertion always
-    touches the trial function); see
-    :class:`phd_qmclib_tpu.samplers.dmc.ITCEstSpec`.
+    ``num_lags`` sets the ring-buffer depth and ``est_every_mult``
+    (OBDM-style cadence multiplier) the lag spacing: lags reach
+    ``num_lags * est_every * est_every_mult * time_step`` in
+    imaginary time, so the multiplier buys deep tau at FIXED buffer
+    memory and per-step transport cost.  A mixed estimator by
+    construction (the early-time insertion always touches the trial
+    function); see :class:`phd_qmclib_tpu.samplers.dmc.ITCEstSpec`.
     """
     num_modes: int
     num_lags: int
+    est_every_mult: int = 1
 
 
 @dataclass(frozen=True)

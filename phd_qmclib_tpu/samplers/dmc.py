@@ -287,15 +287,28 @@ class ITCEstSpec:
     Chebyshev-harmonics pass and the lag products per measured step —
     thin with ``Sampling.est_every`` like the other estimators (the
     lag unit then scales with it).
+
+    ``est_every_mult`` (OBDM-style cadence multiplier) measures and
+    shifts the ring buffer only every ``est_every * est_every_mult``-th
+    step, so the lag unit becomes ``est_every * est_every_mult * dt``:
+    the deep-decay regime ``omega_1 * tau_max >~ 1`` is reachable
+    WITHOUT growing the buffer (whose per-step transport gather is the
+    estimator's dominant cost) — tau_max scales with the multiplier at
+    fixed memory and fixed per-step work.  The walker dynamics and the
+    other estimators are bit-identical for any value.
     """
     num_modes: int
     num_lags: int
+    est_every_mult: int = 1
 
     def __post_init__(self):
         if self.num_modes < 1:
             raise ValueError("num_modes must be a positive integer")
         if self.num_lags < 1:
             raise ValueError("num_lags must be a positive integer")
+        if self.est_every_mult < 1:
+            raise ValueError(
+                "est_every_mult must be a positive integer")
 
 
 def branching_comb(weights: jnp.ndarray, num_walkers: jnp.ndarray,
@@ -535,13 +548,15 @@ class Sampling:
 
     @property
     def itc_lag_times(self) -> np.ndarray:
-        """The imaginary-time lags ``tau_l = l * est_every * dt``,
+        """The imaginary-time lags
+        ``tau_l = l * est_every * est_every_mult * dt``,
         ``l = 0..num_lags`` (one leading equal-time entry)."""
         if self.itc_est_spec is None:
             raise TypeError("no imaginary-time-correlation spec was "
                             "configured for this sampling")
         lags = np.arange(self.itc_est_spec.num_lags + 1)
-        return lags * self.est_every * self.time_step
+        return (lags * self.est_every
+                * self.itc_est_spec.est_every_mult * self.time_step)
 
     @property
     def pair_corr_bin_edges(self) -> np.ndarray:
@@ -1054,31 +1069,65 @@ class Sampling:
                 new_itc_buf = state.itc_buf[parent]
                 if not transport_only:
                     num_lags = itc_spec.num_lags
-                    # (Wm, num_modes, 2) amplitudes of the
-                    # post-branching ensemble — same kernel family as
-                    # the S(k) parts, so lag 0 below reproduces the
-                    # ssf estimator's slot-0 sums exactly.
-                    reim = funcs.fourier_density_reim_harmonics(
-                        itc_spec.num_modes, cpos, cfc)
-                    maskf = valid.astype(cpos.dtype)
-                    # Same per-walker square + masked walker sum as the
-                    # ssf estimator's slot 0, so the two are
-                    # bit-identical when both are enabled.
-                    sq = reim[..., 0] ** 2 + reim[..., 1] ** 2
-                    lag0 = jnp.where(valid[:, None], sq, 0.0).sum(axis=0)
-                    lag_prod = jnp.einsum("wlkc,wkc,w->lk", new_itc_buf,
-                                          reim, maskf)
-                    est_out["itc"] = jnp.concatenate(
-                        [lag0[None], lag_prod], axis=0)
-                    nwf = nw.astype(cpos.dtype)
-                    lag_ok = (jnp.arange(1, num_lags + 1)
-                              <= state.itc_filled).astype(cpos.dtype)
-                    est_out["itc_nw"] = jnp.concatenate(
-                        [nwf[None], nwf * lag_ok])
-                    new_itc_buf = jnp.concatenate(
-                        [reim[:, None], new_itc_buf[:, :-1]], axis=1)
-                    new_itc_filled = jnp.minimum(
-                        state.itc_filled + 1, jnp.int32(num_lags))
+                    itc_mult = itc_spec.est_every_mult
+                    # Own (sparser) cadence, OBDM-style: measuring and
+                    # shifting only every mult-th measured step makes
+                    # the lag unit ``est_every * mult * dt`` — deep
+                    # tau at fixed buffer size and per-step transport.
+                    itc_now = (step_idx + 1) % (cadence * itc_mult) == 0
+
+                    def _itc_measure(ops):
+                        buf, filled = ops
+                        # (Wm, num_modes, 2) amplitudes of the
+                        # post-branching ensemble — same kernel family
+                        # as the S(k) parts, so lag 0 below reproduces
+                        # the ssf estimator's slot-0 sums exactly.
+                        reim = funcs.fourier_density_reim_harmonics(
+                            itc_spec.num_modes, cpos, cfc)
+                        maskf = valid.astype(cpos.dtype)
+                        # Same per-walker square + masked walker sum
+                        # as the ssf estimator's slot 0, so the two
+                        # are bit-identical when both are enabled.
+                        sq = reim[..., 0] ** 2 + reim[..., 1] ** 2
+                        lag0 = jnp.where(valid[:, None], sq,
+                                         0.0).sum(axis=0)
+                        lag_prod = jnp.einsum("wlkc,wkc,w->lk", buf,
+                                              reim, maskf)
+                        sums = jnp.concatenate([lag0[None], lag_prod],
+                                               axis=0)
+                        nwf = nw.astype(cpos.dtype)
+                        lag_ok = (jnp.arange(1, num_lags + 1)
+                                  <= filled).astype(cpos.dtype)
+                        counts = jnp.concatenate([nwf[None],
+                                                  nwf * lag_ok])
+                        buf = jnp.concatenate(
+                            [reim[:, None], buf[:, :-1]], axis=1)
+                        filled = jnp.minimum(filled + 1,
+                                             jnp.int32(num_lags))
+                        return buf, filled, sums, counts
+
+                    if itc_mult == 1:
+                        (new_itc_buf, new_itc_filled, est_out["itc"],
+                         est_out["itc_nw"]) = _itc_measure(
+                            (new_itc_buf, state.itc_filled))
+                    else:
+                        # Skip-branch zeros derive from a varying
+                        # operand so both cond branches carry the same
+                        # shard_map vartype (cf. the OBDM cond).
+                        def _itc_skip(ops):
+                            buf, filled = ops
+                            zero = 0.0 * buf[0, 0, 0, 0]
+                            return (buf, filled,
+                                    jnp.zeros((num_lags + 1,
+                                               itc_spec.num_modes),
+                                              cpos.dtype) + zero,
+                                    jnp.zeros((num_lags + 1,),
+                                              cpos.dtype) + zero)
+
+                        (new_itc_buf, new_itc_filled, est_out["itc"],
+                         est_out["itc_nw"]) = jax.lax.cond(
+                            itc_now, _itc_measure, _itc_skip,
+                            (new_itc_buf, state.itc_filled))
 
             # 5) Diffuse children with the PREVIOUS E_ref
             #    (jastrow/dmc.py:742-827).
@@ -1167,6 +1216,7 @@ class Sampling:
         ssf_spec = self.ssf_est_spec if measure else None
         obd_spec = self.obd_est_spec if measure else None
         g2_spec = self.pair_corr_est_spec if measure else None
+        itc_spec = self.itc_est_spec if measure else None
         cadence = self.est_every if measure else 1
         step_transport = self.make_step_fn(
             axis_name=axis_name, measure=measure,
@@ -1181,7 +1231,8 @@ class Sampling:
             and the step indices continue from ``step_offset`` so the
             freeze/divisor logic sees the GLOBAL position within the
             window.  ``None`` = the reference's per-block windows."""
-            for mspec, mname in ((obd_spec, "obd"), (g2_spec, "g2")):
+            for mspec, mname in ((obd_spec, "obd"), (g2_spec, "g2"),
+                                 (itc_spec, "itc")):
                 if mspec is not None and mspec.est_every_mult > 1 \
                         and num_time_steps_block % (
                             cadence * mspec.est_every_mult):
@@ -1299,6 +1350,10 @@ class Sampling:
             if "g2" in est and g2_spec.est_every_mult > 1:
                 m = g2_spec.est_every_mult
                 est["g2"] = est["g2"][m - 1::m]
+            if "itc" in est and itc_spec.est_every_mult > 1:
+                m = itc_spec.est_every_mult
+                est["itc"] = est["itc"][m - 1::m]
+                est["itc_nw"] = est["itc_nw"][m - 1::m]
             if axis_name is not None and est:
                 # Shard-local estimator sums reduce over the mesh ONCE
                 # per block (nts-fold less ICI latency than per-step).

@@ -89,13 +89,14 @@ def draw_dmc_config(rng: np.random.Generator) -> dict:
     # sequence — and the fixed corpus's coverage — is unchanged).
     if rng.random() < 0.5:
         cfg["itc_spec"] = {"num_modes": 4,
-                           "num_lags": int(rng.choice([2, 3, 5]))}
+                           "num_lags": int(rng.choice([2, 3, 5])),
+                           "est_every_mult": int(rng.choice([1, 2]))}
     # Validity constraints: est_every (x mult) must divide the block
     # AND any forward-walking window length.
     if NTS % est_every:
         cfg["est_every"] = est_every = 1
     for key in ("density_spec", "ssf_spec", "obd_spec",
-                "pair_corr_spec"):
+                "pair_corr_spec", "itc_spec"):
         spec = cfg.get(key)
         if not spec:
             continue

@@ -124,6 +124,35 @@ class TestItcInvariants:
         np.testing.assert_allclose(itc[:, :, 0], NOP ** 2 * nw,
                                    rtol=1e-12)
 
+    def test_mult_equals_equivalent_global_cadence(self):
+        """``(est_every=1, itc mult=2)`` measures the SAME trajectory
+        at the same steps as ``(est_every=2, mult=1)`` — the emitted
+        ITC series must be bit-identical (dynamics are cadence-
+        independent by construction), while the buffer stays the same
+        size and the lag unit doubles."""
+        spec = make_spec()
+        rows = []
+        for ee, mult in ((1, 2), (2, 1)):
+            sampling = make_sampling(
+                spec, est_every=ee,
+                itc_est_spec=dmc.ITCEstSpec(num_modes=MODES,
+                                            num_lags=LAGS,
+                                            est_every_mult=mult))
+            state = sampling.build_state(make_confs(spec, 80))
+            blocks = sampling.blocks(state, num_time_steps_block=12,
+                                     burn_in_blocks=1)
+            next(blocks)
+            rows.append((next(blocks), sampling))
+        (b1, s1), (b2, s2) = rows
+        np.testing.assert_array_equal(np.asarray(b1.iter_itc),
+                                      np.asarray(b2.iter_itc))
+        np.testing.assert_array_equal(np.asarray(b1.iter_itc_nw),
+                                      np.asarray(b2.iter_itc_nw))
+        np.testing.assert_allclose(s1.itc_lag_times, s2.itc_lag_times)
+        np.testing.assert_array_equal(
+            np.asarray(b1.last_state.pos),
+            np.asarray(b2.last_state.pos))
+
     def test_cadence_lag_unit_and_shapes(self):
         spec = make_spec()
         sampling = make_sampling(spec, est_every=2)
