@@ -694,8 +694,13 @@ class ITCBlocks:
         return np.arange(self.lag_sums.shape[1]) * self.tau_step
 
     def _ratio(self, sums: np.ndarray, counts: np.ndarray) -> np.ndarray:
+        """Per-particle ratio of means; lags whose ring-buffer row
+        NEVER filled (zero total counts — e.g. ``num_lags`` exceeding
+        the run's measured steps) are NaN, not a silent 0 that the
+        log-slope downstream would turn into garbage energies."""
         tot = counts.sum(axis=0)[:, None] * self.boson_number
-        return sums.sum(axis=0) / np.maximum(tot, 1.0)
+        out = sums.sum(axis=0) / np.maximum(tot, 1.0)
+        return np.where(tot > 0, out, np.nan)
 
     @property
     def mean(self) -> np.ndarray:

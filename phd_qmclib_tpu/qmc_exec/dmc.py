@@ -186,6 +186,16 @@ class Proc(proc_base.Proc):
                 raise ValueError(
                     "itc_spec: num_time_steps_block must be divisible "
                     "by est_every * est_every_mult")
+            measured = (self.num_blocks * self.num_time_steps_block
+                        // (self.est_every
+                            * self.itc_spec.est_every_mult))
+            if int(self.itc_spec.num_lags) >= measured:
+                warnings.warn(
+                    f"itc_spec: num_lags={self.itc_spec.num_lags} "
+                    f"meets or exceeds the run's "
+                    f"{measured} ITC-measured steps; the deepest lag "
+                    f"rows will never fill (their F(k, tau) comes out "
+                    f"NaN)", UserWarning)
         if self.cm_diffusion_spec is not None:
             wb = self.cm_diffusion_spec.window_blocks
             if wb is not None:

@@ -322,11 +322,16 @@ def _itc_lines(itc_blocks, ssf_blocks, nop: int, full: bool) \
              f"(dtau = {itc_blocks.tau_step:g}, tau_max = "
              f"{tau[-1]:g}); omega_eff(k, tau_max) = excitation upper "
              f"bound, tightening with tau"]
-    # The last lag midpoint is the tightest bound this run resolves.
+    # The deepest RESOLVED lag per mode is the tightest bound this run
+    # reaches (deeper rows may never have filled on short runs — those
+    # are NaN by construction, not zeros).
     show = range(1, min(4, itc_blocks.num_modes))
     parts = []
     for j in show:
-        parts.append(f"k{j} = {_fmt(omega[-1, j], omega_err[-1, j])}")
+        finite = np.where(np.isfinite(omega[:, j]))[0]
+        if finite.size:
+            li = finite[-1]
+            parts.append(f"k{j} = {_fmt(omega[li, j], omega_err[li, j])}")
     if parts:
         lines.append("            omega_eff at tau_max: "
                      + ", ".join(parts))
@@ -523,9 +528,17 @@ def summarize(result, sampling_type: str) -> dict:
         out["itc"] = np.asarray(itc.mean).tolist()
         out["itc_err"] = np.asarray(itc.mean_error).tolist()
         _, omega, omega_err = itc.effective_energy()
-        # The tightest (largest-tau) excitation upper bound per mode.
-        out["itc_omega_eff"] = omega[-1].tolist()
-        out["itc_omega_eff_err"] = omega_err[-1].tolist()
+        # The tightest (deepest RESOLVED lag) excitation upper bound
+        # per mode; NaN where a mode never resolved a slope.
+        last = np.full(omega.shape[1], np.nan)
+        last_err = np.full(omega.shape[1], np.nan)
+        for j in range(omega.shape[1]):
+            finite = np.where(np.isfinite(omega[:, j]))[0]
+            if finite.size:
+                last[j] = omega[finite[-1], j]
+                last_err[j] = omega_err[finite[-1], j]
+        out["itc_omega_eff"] = last.tolist()
+        out["itc_omega_eff_err"] = last_err.tolist()
     if sampling_type == "vmc":
         out["move_spread"] = proc.move_spread
         out["num_walkers"] = proc.num_walkers

@@ -288,6 +288,10 @@ class ITCEstSpec:
     thin with ``Sampling.est_every`` like the other estimators (the
     lag unit then scales with it).
 
+    The buffer also rides shard rebalances (replicated transiently —
+    size ``num_lags * num_modes`` per walker ample headroom at the
+    documented configs, but count it on memory-tight meshes).
+
     ``est_every_mult`` (OBDM-style cadence multiplier) measures and
     shifts the ring buffer only every ``est_every * est_every_mult``-th
     step, so the lag unit becomes ``est_every * est_every_mult * dt``:
@@ -758,6 +762,12 @@ class Sampling:
             # Gather the ensemble to a replicated view (a few MB per
             # chip at production scale, every K blocks); the permuted
             # result is constrained back onto the walker sharding.
+            # NOTE: with the imaginary-time-correlation estimator the
+            # per-walker ring buffer dominates this transient
+            # (Wm x lags x modes x 2 — ~71 MB replicated per chip at
+            # the production-example config), still comfortably inside
+            # HBM at rebalance cadence but worth sizing when choosing
+            # num_lags x num_modes on memory-tight multi-chip runs.
             state = jax.tree.map(_replicated, state)
             slots = jnp.arange(max_w)
             shard_of = slots // shard_size
@@ -929,9 +939,11 @@ class Sampling:
                 else:
                     est_out["density"] = jnp.where(
                         valid[:, None], hist, 0.0).sum(axis=0)
+            ssf_parts = None
             if use_ssf and not transport_only:
                 parts = funcs.fourier_density_parts_harmonics(
                     ssf_spec.num_modes, cpos, cfc)
+                ssf_parts = parts
                 if ssf_pure:
                     pfw = self._pfw_steps(ssf_spec)
                     aux_prev = extra["aux_ssf"][parent]
@@ -1079,11 +1091,20 @@ class Sampling:
                     def _itc_measure(ops):
                         buf, filled = ops
                         # (Wm, num_modes, 2) amplitudes of the
-                        # post-branching ensemble — same kernel family
-                        # as the S(k) parts, so lag 0 below reproduces
-                        # the ssf estimator's slot-0 sums exactly.
-                        reim = funcs.fourier_density_reim_harmonics(
-                            itc_spec.num_modes, cpos, cfc)
+                        # post-branching ensemble.  When the ssf
+                        # estimator already ran the Chebyshev-
+                        # harmonics pass this step, slice ITS per-
+                        # walker (re, im) slots instead of recomputing
+                        # the whole (Wm, N) recurrence — the values
+                        # are the same array, so lag 0 matching the
+                        # ssf slot-0 sums holds by construction.
+                        if ssf_parts is not None and \
+                                ssf_spec.num_modes >= itc_spec.num_modes:
+                            reim = ssf_parts[:, :itc_spec.num_modes,
+                                             1:3]
+                        else:
+                            reim = funcs.fourier_density_reim_harmonics(
+                                itc_spec.num_modes, cpos, cfc)
                         maskf = valid.astype(cpos.dtype)
                         # Same per-walker square + masked walker sum
                         # as the ssf estimator's slot 0, so the two
@@ -1479,6 +1500,20 @@ class Sampling:
             state = state._replace(
                 itc_buf=jnp.zeros(self._itc_buf_shape, dtype=dtype),
                 itc_filled=jnp.int32(0))
+        if self.itc_est_spec is not None \
+                and int(start_block_idx) < burn_in_blocks:
+            # Burn blocks run the non-measuring step, which neither
+            # transports the ring buffer through the branching comb
+            # nor shifts it — a loaded continuation state carrying a
+            # FILLED buffer would come out of the burn slot-misaligned
+            # (walkers cloned/died under it) yet counted as valid by
+            # the saturated fill counter.  Restart the fill whenever
+            # this generator will actually run burn blocks; fresh
+            # states hold zeros anyway, and mid-run resumes enter past
+            # the burn (start_block_idx >= burn) and keep their fill.
+            state = state._replace(
+                itc_buf=jnp.zeros_like(state.itc_buf),
+                itc_filled=jnp.zeros_like(state.itc_filled))
         cfc = self._cast_params(dtype)
         scalars = self._scalars(dtype)
         rebalance_every = self.rebalance_every \

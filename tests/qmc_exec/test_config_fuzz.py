@@ -170,12 +170,14 @@ def assert_invariants(cfg, result):
         assert np.all(np.isfinite(blocks.cm_diffusion.w2_series))
     if getattr(blocks, "itc", None) is not None:
         # k = 0 sum rule wherever the lag row ever filled: rho_0 = N
-        # exactly, so F(0, tau) = N per contributing walker.
+        # exactly, so F(0, tau) = N per contributing walker.  Lags
+        # that never filled are NaN by construction, never zeros.
         itc = blocks.itc
         filled = itc.lag_counts.sum(axis=0) > 0
         np.testing.assert_allclose(itc.mean[filled, 0], NOP,
                                    rtol=1e-9)
-        assert np.all(np.isfinite(itc.mean))
+        assert np.all(np.isfinite(itc.mean[filled]))
+        assert np.all(np.isnan(itc.mean[~filled]))
 
 
 def fuzz_one(seed: int, tmp_path):

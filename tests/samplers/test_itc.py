@@ -368,6 +368,46 @@ def test_tonks_girardeau_decay_matches_free_fermions():
     np.testing.assert_allclose(f[:, 1:], exact[:, 1:], atol=0.035)
 
 
+def test_continuation_with_burn_restarts_the_fill():
+    """A continuation run (loaded state with a FILLED ring buffer)
+    that includes burn-in blocks must restart the lag fill: burn
+    blocks neither transport nor shift the buffer, so the stale
+    amplitudes are slot-misaligned after the burn and correlating
+    against them — with the saturated fill counter vouching for them —
+    would silently bias F(k, tau > 0)."""
+    spec = make_spec()
+    sampling = make_sampling(spec)
+    state = sampling.build_state(make_confs(spec, 80))
+    blocks = sampling.blocks(state, num_time_steps_block=12)
+    for _ in range(2):
+        carried = next(blocks).last_state
+    assert int(carried.itc_filled) == LAGS  # saturated fill
+
+    # Continuation with one burn block from the carried state.
+    cont = sampling.blocks(carried, num_time_steps_block=12,
+                           burn_in_blocks=1, block_offset=2)
+    burn_block = next(cont)
+    assert burn_block.iter_itc is None
+    first = next(cont)
+    nw = np.asarray(first.iter_itc_nw)
+    # The fill restarted: step t of the first measured block has
+    # exactly min(t, LAGS) contributing lag rows, not LAGS.
+    np.testing.assert_array_equal(
+        (nw[:, 1:] > 0).sum(axis=1),
+        np.minimum(np.arange(12), LAGS))
+    # And the emitted sums equal a run whose buffer was explicitly
+    # zeroed before the same continuation (the trusted semantics).
+    zeroed = carried._replace(
+        itc_buf=np.zeros_like(np.asarray(carried.itc_buf)),
+        itc_filled=np.int32(0))
+    ref = sampling.blocks(zeroed, num_time_steps_block=12,
+                          burn_in_blocks=1, block_offset=2)
+    next(ref)
+    ref_first = next(ref)
+    np.testing.assert_array_equal(np.asarray(first.iter_itc),
+                                  np.asarray(ref_first.iter_itc))
+
+
 class TestItcStateIO:
 
     def test_state_roundtrip_and_bitexact_resume(self, tmp_path):
