@@ -114,6 +114,36 @@ def test_kill_restore_resumes_itc_bit_exact(tmp_path, monkeypatch):
                                   np.asarray(full.state.itc_buf))
 
 
+def test_report_lines_and_unfilled_lag_handling():
+    """The analyze report prints omega_eff from the deepest RESOLVED
+    lag; lags that never filled (num_lags exceeding the run's measured
+    steps) surface as NaN means — never as silent zeros or garbage
+    slopes — and the Proc warns about them up front."""
+    from phd_qmclib_tpu.qmc_exec.report import describe_dmc, summarize
+
+    with pytest.warns(UserWarning, match="deepest lag rows will "
+                                         "never fill"):
+        proc = make_proc(num_blocks=2, burn_in_blocks=1,
+                         itc_spec=dmc_exec.ITCEstSpec(num_modes=4,
+                                                      num_lags=64))
+    result = proc.exec(make_input(proc))
+    itc = result.data.blocks.itc
+    filled = itc.lag_counts.sum(axis=0) > 0
+    assert filled.sum() < 65  # the deep rows really never filled
+    assert np.all(np.isnan(itc.mean[~filled]))
+    from tests.warn_utils import expect_opt_block_warning
+
+    with expect_opt_block_warning():
+        report = describe_dmc(result, full=False)
+    (line,) = [ln for ln in report.splitlines()
+               if "omega_eff at tau_max" in ln]
+    assert "nan" not in line  # quotes the deepest RESOLVED lag
+    with expect_opt_block_warning():
+        s = summarize(result, "dmc")
+    # k > 0 entries resolved finite; unresolved ones would be NaN.
+    assert np.all(np.isfinite(np.asarray(s["itc_omega_eff"])[1:]))
+
+
 def test_fused_sweep_rows_match_standalone_bit_exact():
     from phd_qmclib_tpu.qmc_exec.sweep import SweepProc
 
