@@ -282,11 +282,13 @@ class ITCEstSpec:
     ``psi_T`` approaches the ground state and is quantified by the
     VMC-vs-DMC ``tau = 0`` difference.
 
-    Cost: one ``(Wm, num_lags, num_modes, 2)`` gather per time step
-    (the buffer must ride the branching every step) plus one
-    Chebyshev-harmonics pass and the lag products per measured step —
-    thin with ``Sampling.est_every`` like the other estimators (the
-    lag unit then scales with it).
+    Cost: the buffer must ride the branching every step, but gathers
+    compose — so the per-step work is one ``(Wm,)`` int32 parent
+    composition, and the full ``(Wm, num_lags, num_modes, 2)`` buffer
+    gather happens only on ITC-MEASURED steps (bit-identical to
+    per-step transport; A/B verified), plus one Chebyshev-harmonics
+    pass (sliced from the S(k) estimator's when it ran this step) and
+    the lag products per measured step.
 
     The buffer also rides shard rebalances (replicated transiently —
     size ``num_lags * num_modes`` per walker ample headroom at the
@@ -296,10 +298,10 @@ class ITCEstSpec:
     shifts the ring buffer only every ``est_every * est_every_mult``-th
     step, so the lag unit becomes ``est_every * est_every_mult * dt``:
     the deep-decay regime ``omega_1 * tau_max >~ 1`` is reachable
-    WITHOUT growing the buffer (whose per-step transport gather is the
-    estimator's dominant cost) — tau_max scales with the multiplier at
-    fixed memory and fixed per-step work.  The walker dynamics and the
-    other estimators are bit-identical for any value.
+    WITHOUT growing the buffer — tau_max scales with the multiplier at
+    fixed memory, and the composed transport even spreads the buffer
+    gathers ``mult`` times thinner.  The walker dynamics and the other
+    estimators are bit-identical for any value.
     """
     num_modes: int
     num_lags: int
@@ -911,6 +913,20 @@ class Sampling:
                              "aux_g2"):
                     if name in extra:
                         new_extra[name] = extra[name][parent]
+            if use_itc:
+                # The ITC ring buffer's transport composes the integer
+                # parent permutation instead of gathering the whole
+                # (Wm, lags, modes, 2) buffer every step — gathers
+                # compose exactly (buf[p1][p2] == buf[p1[p2]]), so one
+                # buffer gather per ITC-MEASURED step reproduces the
+                # per-step transport bit-for-bit at ~1/(cadence*mult)
+                # of the HBM traffic.  The permutation resets to the
+                # identity at every measurement, and the block-length
+                # divisibility checks guarantee each block ENDS on a
+                # measured step, so nothing carries across blocks.
+                itc_perm = extra["itc_perm"][parent]
+                if transport_only:
+                    new_extra["itc_perm"] = itc_perm
             if use_density and not transport_only:
                 num_bins = density_spec.num_bins
                 bin_size = (cfc.model_params.supercell_size / num_bins)
@@ -1077,9 +1093,7 @@ class Sampling:
             #     semantic no-op.
             new_itc_buf = state.itc_buf
             new_itc_filled = state.itc_filled
-            if use_itc:
-                new_itc_buf = state.itc_buf[parent]
-                if not transport_only:
+            if use_itc and not transport_only:
                     num_lags = itc_spec.num_lags
                     itc_mult = itc_spec.est_every_mult
                     # Own (sparser) cadence, OBDM-style: measuring and
@@ -1089,7 +1103,11 @@ class Sampling:
                     itc_now = (step_idx + 1) % (cadence * itc_mult) == 0
 
                     def _itc_measure(ops):
-                        buf, filled = ops
+                        buf, filled, perm = ops
+                        # ONE buffer gather through the composed
+                        # parent permutation — bit-identical to the
+                        # per-step gathers it replaces.
+                        buf = buf[perm]
                         # (Wm, num_modes, 2) amplitudes of the
                         # post-branching ensemble.  When the ssf
                         # estimator already ran the Chebyshev-
@@ -1125,30 +1143,40 @@ class Sampling:
                             [reim[:, None], buf[:, :-1]], axis=1)
                         filled = jnp.minimum(filled + 1,
                                              jnp.int32(num_lags))
-                        return buf, filled, sums, counts
+                        # Reset to the identity (derived from the
+                        # varying perm so both cond branches carry the
+                        # same shard_map vartype).
+                        iota = jnp.arange(perm.shape[0],
+                                          dtype=perm.dtype) + 0 * perm
+                        return buf, filled, sums, counts, iota
 
+                    ops = (new_itc_buf, state.itc_filled, itc_perm)
                     if itc_mult == 1:
+                        # This (measuring) step function only runs on
+                        # cadence-measured steps, so with mult == 1
+                        # every invocation measures — no cond needed.
                         (new_itc_buf, new_itc_filled, est_out["itc"],
-                         est_out["itc_nw"]) = _itc_measure(
-                            (new_itc_buf, state.itc_filled))
+                         est_out["itc_nw"],
+                         new_extra["itc_perm"]) = _itc_measure(ops)
                     else:
                         # Skip-branch zeros derive from a varying
                         # operand so both cond branches carry the same
                         # shard_map vartype (cf. the OBDM cond).
                         def _itc_skip(ops):
-                            buf, filled = ops
+                            buf, filled, perm = ops
                             zero = 0.0 * buf[0, 0, 0, 0]
                             return (buf, filled,
                                     jnp.zeros((num_lags + 1,
                                                itc_spec.num_modes),
                                               cpos.dtype) + zero,
                                     jnp.zeros((num_lags + 1,),
-                                              cpos.dtype) + zero)
+                                              cpos.dtype) + zero,
+                                    perm)
 
                         (new_itc_buf, new_itc_filled, est_out["itc"],
-                         est_out["itc_nw"]) = jax.lax.cond(
-                            itc_now, _itc_measure, _itc_skip,
-                            (new_itc_buf, state.itc_filled))
+                         est_out["itc_nw"],
+                         new_extra["itc_perm"]) = jax.lax.cond(
+                            itc_now, _itc_measure, _itc_skip, ops)
 
             # 5) Diffuse children with the PREVIOUS E_ref
             #    (jastrow/dmc.py:742-827).
@@ -1304,6 +1332,16 @@ class Sampling:
                 # :meth:`replay_states` runs one uninterrupted scan and
                 # is exact everywhere).
                 extra0["ref_eprev"] = state.energies
+            if itc_spec is not None:
+                # Composed-parent permutation for the ITC ring-buffer
+                # transport (see the step fn): identity at every block
+                # start — each block is guaranteed to END on an
+                # ITC-measured step by the divisibility checks above,
+                # so the permutation never carries across blocks.
+                perm0 = jnp.arange(max_w, dtype=jnp.int32)
+                if varying:
+                    perm0 = jax.lax.pcast(perm0, varying, to="varying")
+                extra0["itc_perm"] = perm0
 
             keys = jax.random.split(block_key, num_time_steps_block)
             steps = jnp.arange(num_time_steps_block)
