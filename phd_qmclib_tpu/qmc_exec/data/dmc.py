@@ -755,6 +755,44 @@ class ITCBlocks:
                       * ((loo - loo.mean(axis=0)) ** 2).sum(axis=0))
         return tau_mid, omega, err
 
+    def excitation_fit(self, fit_fraction: float = 0.5):
+        """``(omega, omega_err)`` per mode: a linear fit of
+        ``-ln F(k, tau)`` over the last ``fit_fraction`` of the FILLED
+        lags — the steadier estimate of the large-tau decay rate than
+        the adjacent-lag :meth:`effective_energy` differences (which
+        it averages), still an upper bound on the lowest excitation at
+        ``k``.  Errors are delete-one-block jackknives of the slope;
+        modes whose F touches zero/NaN in the fit window return NaN.
+        """
+        tau = self.tau_grid
+        filled = self.lag_counts.sum(axis=0) > 0
+
+        def _slopes(sums, counts):
+            f = self._ratio(sums, counts)
+            out = np.full(f.shape[1], np.nan)
+            for j in range(f.shape[1]):
+                good = filled & np.isfinite(f[:, j]) & (f[:, j] > 0)
+                idx = np.where(good)[0]
+                if idx.size < 2:
+                    continue
+                start = int(round((1.0 - fit_fraction) * idx.size))
+                idx = idx[min(start, idx.size - 2):]
+                out[j] = -np.polyfit(tau[idx],
+                                     np.log(f[idx, j]), 1)[0]
+            return out
+
+        omega = _slopes(self.lag_sums, self.lag_counts)
+        n_b = self.lag_sums.shape[0]
+        if n_b < 2:
+            return omega, np.full_like(omega, np.nan)
+        loo = np.stack([
+            _slopes(np.delete(self.lag_sums, i, axis=0),
+                    np.delete(self.lag_counts, i, axis=0))
+            for i in range(n_b)])
+        err = np.sqrt((n_b - 1) / n_b
+                      * ((loo - loo.mean(axis=0)) ** 2).sum(axis=0))
+        return omega, err
+
     def hdf5_export(self, group: h5py.Group):
         group.create_dataset("lag_sums", data=np.asarray(self.lag_sums))
         group.create_dataset("lag_counts",

@@ -539,6 +539,11 @@ def summarize(result, sampling_type: str) -> dict:
                 last_err[j] = omega_err[finite[-1], j]
         out["itc_omega_eff"] = last.tolist()
         out["itc_omega_eff_err"] = last_err.tolist()
+        # Tail-fit decay rates (averaged over the filled tail — the
+        # steadier upper bound; see ITCBlocks.excitation_fit).
+        fit, fit_err = itc.excitation_fit()
+        out["itc_omega_fit"] = np.asarray(fit).tolist()
+        out["itc_omega_fit_err"] = np.asarray(fit_err).tolist()
     if sampling_type == "vmc":
         out["move_spread"] = proc.move_spread
         out["num_walkers"] = proc.num_walkers

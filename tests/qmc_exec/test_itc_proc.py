@@ -114,6 +114,32 @@ def test_kill_restore_resumes_itc_bit_exact(tmp_path, monkeypatch):
                                   np.asarray(full.state.itc_buf))
 
 
+def test_excitation_fit_recovers_exact_decay():
+    """Synthetic exactness: blocks built from F(k, tau) =
+    A_k exp(-omega_k tau) must return every omega_k to round-off,
+    with ~zero jackknife spread (the blocks are identical)."""
+    num_lags, modes, n_blocks, tau_step = 6, 4, 5, 0.01
+    nop, sc = 8, 8.0
+    omega = np.array([0.0, 1.5, 4.0, 9.0])
+    tau = np.arange(num_lags + 1) * tau_step
+    f = np.exp(-omega[None, :] * tau[:, None])  # per particle
+    counts = np.full((n_blocks, num_lags + 1), 32.0)
+    sums = np.broadcast_to(f * 32.0 * nop,
+                           (n_blocks, num_lags + 1, modes)).copy()
+    blocks = dmc_data.ITCBlocks(sums, counts, tau_step, nop, sc)
+    fit, fit_err = blocks.excitation_fit(fit_fraction=1.0)
+    np.testing.assert_allclose(fit, omega, atol=1e-9)
+    np.testing.assert_allclose(fit_err, 0.0, atol=1e-9)
+    # Unfilled deep lags are excluded, not poisoning the fit.
+    counts2 = counts.copy()
+    counts2[:, -2:] = 0.0
+    sums2 = sums.copy()
+    sums2[:, -2:, :] = 0.0
+    blocks2 = dmc_data.ITCBlocks(sums2, counts2, tau_step, nop, sc)
+    fit2, _ = blocks2.excitation_fit(fit_fraction=1.0)
+    np.testing.assert_allclose(fit2, omega, atol=1e-9)
+
+
 def test_report_lines_and_unfilled_lag_handling():
     """The analyze report prints omega_eff from the deepest RESOLVED
     lag; lags that never filled (num_lags exceeding the run's measured
