@@ -905,14 +905,23 @@ class Sampling:
             #    nts times more latency on the ICI; cf. SURVEY §5.8).
             est_out = {}
             new_extra = {}
+            # Pure-estimator ancestry transport under a measurement
+            # cadence ALSO rides a composed parent permutation (see
+            # the ITC note below): transport-only steps compose the
+            # (Wm,) int32 index instead of moving every aux array, and
+            # the measured step applies ONE gather per aux through the
+            # composition — bit-identical, ~cadence-fold less aux HBM
+            # traffic.  The permutation resets at every measured step
+            # (each block ends on one), so nothing crosses blocks.
+            anc_perm = extra["anc_perm"][parent] \
+                if "anc_perm" in extra else parent
             if transport_only:
-                # Ancestry transport without measurement: the pure
-                # accumulators follow the cloning table every step even
-                # when this step's values are not sampled.
                 for name in ("aux_density", "aux_ssf", "aux_obd",
                              "aux_g2"):
                     if name in extra:
-                        new_extra[name] = extra[name][parent]
+                        new_extra[name] = extra[name]
+                if "anc_perm" in extra:
+                    new_extra["anc_perm"] = anc_perm
             if use_itc:
                 # The ITC ring buffer's transport composes the integer
                 # parent permutation instead of gathering the whole
@@ -943,7 +952,7 @@ class Sampling:
                 hist = jnp.where(valid[:, None], hist, 0.0)
                 if density_pure:
                     pfw = self._pfw_steps(density_spec)
-                    aux_prev = extra["aux_density"][parent]
+                    aux_prev = extra["aux_density"][anc_perm]
                     aux = jnp.where(step_idx < pfw, aux_prev + hist,
                                     aux_prev)
                     divisor = jnp.minimum(
@@ -962,7 +971,7 @@ class Sampling:
                 ssf_parts = parts
                 if ssf_pure:
                     pfw = self._pfw_steps(ssf_spec)
-                    aux_prev = extra["aux_ssf"][parent]
+                    aux_prev = extra["aux_ssf"][anc_perm]
                     aux = jnp.where(step_idx < pfw, aux_prev + parts,
                                     aux_prev)
                     divisor = jnp.minimum(
@@ -988,7 +997,7 @@ class Sampling:
                 obd_now = (step_idx + 1) % cad_obd == 0
                 if obd_pure:
                     pfw = self._pfw_steps(obd_spec)
-                    aux_prev = extra["aux_obd"][parent]
+                    aux_prev = extra["aux_obd"][anc_perm]
                     divisor = jnp.minimum(
                         (step_idx + 1) // cad_obd,
                         pfw // cad_obd).astype(cpos.dtype)
@@ -1042,7 +1051,7 @@ class Sampling:
                 num_bins_g2 = g2_spec.num_bins
                 if g2_pure:
                     pfw = self._pfw_steps(g2_spec)
-                    aux_prev = extra["aux_g2"][parent]
+                    aux_prev = extra["aux_g2"][anc_perm]
                     divisor = jnp.minimum(
                         (step_idx + 1) // cad_g2,
                         pfw // cad_g2).astype(cpos.dtype)
@@ -1080,6 +1089,14 @@ class Sampling:
                             lambda _: jnp.zeros((num_bins_g2,),
                                                 cpos.dtype)
                             + 0.0 * cpos[0, 0], None)
+
+            if "anc_perm" in extra and not transport_only:
+                # Measured step: the aux gathers above consumed the
+                # composition; reset to the identity (derived from the
+                # varying perm so the scan carry vartype is stable).
+                new_extra["anc_perm"] = jnp.arange(
+                    anc_perm.shape[0], dtype=anc_perm.dtype) \
+                    + 0 * anc_perm
 
             # 4b) Imaginary-time correlation: the lag ring buffer rides
             #     the State, so it transports through the cloning table
@@ -1332,16 +1349,23 @@ class Sampling:
                 # :meth:`replay_states` runs one uninterrupted scan and
                 # is exact everywhere).
                 extra0["ref_eprev"] = state.energies
+            def _identity_perm():
+                perm0 = jnp.arange(max_w, dtype=jnp.int32)
+                if varying:
+                    perm0 = jax.lax.pcast(perm0, varying, to="varying")
+                return perm0
+
             if itc_spec is not None:
                 # Composed-parent permutation for the ITC ring-buffer
                 # transport (see the step fn): identity at every block
                 # start — each block is guaranteed to END on an
                 # ITC-measured step by the divisibility checks above,
                 # so the permutation never carries across blocks.
-                perm0 = jnp.arange(max_w, dtype=jnp.int32)
-                if varying:
-                    perm0 = jax.lax.pcast(perm0, varying, to="varying")
-                extra0["itc_perm"] = perm0
+                extra0["itc_perm"] = _identity_perm()
+            if cadence > 1 and aux_keys:
+                # Same composition for the pure-estimator aux arrays,
+                # reset at every measured step (blocks end on one).
+                extra0["anc_perm"] = _identity_perm()
 
             keys = jax.random.split(block_key, num_time_steps_block)
             steps = jnp.arange(num_time_steps_block)
