@@ -13,7 +13,7 @@ __all__ = ["contact_from_pair_correlation",
            "luttinger_parameter_from_obdm",
            "momentum_distribution",
            "extrapolated_estimate", "pair_correlation_from_counts",
-           "pair_correlation_from_ssf"]
+           "pair_correlation_from_ssf", "spectral_function_from_itc"]
 
 
 def pair_correlation_from_counts(counts: np.ndarray,
@@ -575,3 +575,126 @@ def leggett_bound(density: np.ndarray,
     # d bound / d rho_b = bound * (1 / (nb * rho_b^2 * h) - 1 / (nb * a))
     grad = bound * (1.0 / (nb * rho ** 2 * h) - 1.0 / (nb * a))
     return float(bound), float(np.sqrt(((grad * err) ** 2).sum()))
+
+
+def spectral_function_from_itc(tau: np.ndarray, f: np.ndarray,
+                               f_err: t.Optional[np.ndarray] = None,
+                               omega_max: t.Optional[float] = None,
+                               num_omega: int = 64,
+                               reg: t.Optional[float] = None):
+    """Density-channel spectral function ``S(k, omega)`` for ONE mode
+    from its imaginary-time correlation ``F(k, tau)``.
+
+    At ``T = 0`` the intermediate scattering function is the Laplace
+    transform of the (non-negative) dynamic structure factor::
+
+        F(k, tau) = int_0^inf domega S(k, omega) e^{-omega tau}
+
+    Inverting this is the classic ill-posed analytic-continuation
+    problem; this helper solves the regularized non-negative
+    least-squares version — Tikhonov curvature smoothing with the
+    regularization weight chosen by the discrepancy principle
+    (``chi^2(lambda) = n_data``, bisected in ``log lambda``) so the
+    returned spectrum is the SMOOTHEST non-negative one consistent
+    with the data at one sigma.  Exact sharp features are therefore
+    broadened by construction (resolution ~ 1/tau_max); the integrated
+    moments are the trustworthy outputs:
+
+    * ``m0 = int S domega = F(k, 0) = S(k)`` (static structure factor),
+    * ``m1 = int omega S domega = k^2`` (f-sum rule, units
+      ``hbar^2/2m = 1`` as in :func:`feynman_spectrum`) — an
+      *independent check* the inversion does not enforce,
+    * ``m1/m0`` (mean excitation = Feynman ratio) and the peak
+      position (dominant excitation branch).
+
+    No reference analog (the reference has no two-time observables).
+
+    :param tau: ``(L+1,)`` imaginary-time lags (``ITCBlocks.tau_grid``).
+    :param f: ``(L+1,)`` per-particle ``F(k, tau)`` for one mode.
+    :param f_err: optional matching standard errors; used as the
+        chi^2 weights.  Without them a uniform ``1e-3 * F(k, 0)``
+        noise scale is assumed.
+    :param omega_max: spectral support cutoff; default ``8x`` the
+        first-lag log-derivative (the mean excitation energy), a safe
+        multiple of where the weight can sit.
+    :param num_omega: grid resolution.
+    :param reg: fix the regularization weight instead of the
+        discrepancy search (used by jackknife resamples so all
+        resamples share the full-data smoothing).
+    :return: ``(omega, s_omega, info)`` — the grid, the spectral
+        density on it (``trapezoid(s_omega, omega) ~ m0``), and a dict
+        with ``lambda``, ``chi2``, ``m0``, ``m1``, ``omega_mean``,
+        ``omega_peak``.
+    """
+    from scipy.optimize import nnls
+
+    tau = np.asarray(tau, dtype=np.float64)
+    f = np.asarray(f, dtype=np.float64)
+    good = np.isfinite(f)
+    if good.sum() < 3:
+        raise ValueError("need at least three finite F(tau) points to "
+                         "attempt an inversion")
+    tau, f = tau[good], f[good]
+    if f[0] <= 0:
+        raise ValueError("F(k, 0) = S(k) must be positive")
+    sigma = None if f_err is None else \
+        np.asarray(f_err, dtype=np.float64)[good]
+    if sigma is None or not np.isfinite(sigma).all() or \
+            (sigma <= 0).any():
+        sigma = np.full_like(f, 1e-3 * f[0])
+    if omega_max is None:
+        dtau = tau[1] - tau[0]
+        ratio = f[1] / f[0]
+        if not 0 < ratio < 1:
+            raise ValueError("F must decay over the first lag to set "
+                             "an automatic omega_max; pass one")
+        omega_max = -8.0 * np.log(ratio) / dtau
+    omega = np.linspace(0.0, float(omega_max), num_omega)
+    d_omega = omega[1] - omega[0]
+    w = np.full(num_omega, d_omega)
+    w[0] = w[-1] = 0.5 * d_omega                    # trapezoid
+    kernel = np.exp(-np.outer(tau, omega)) * w      # (L+1, num_omega)
+
+    # Curvature penalty rows, scaled so lambda is dimensionless.
+    d2 = (np.eye(num_omega, k=0)[:-2] - 2 * np.eye(num_omega, k=1)[:-2]
+          + np.eye(num_omega, k=2)[:-2])
+    kw = kernel / sigma[:, None]
+    scale = np.linalg.norm(kw) / max(np.linalg.norm(d2), 1e-30)
+
+    def _solve(lam):
+        a_aug = np.vstack([kw, np.sqrt(lam) * scale * d2])
+        b_aug = np.concatenate([f / sigma, np.zeros(d2.shape[0])])
+        sol = nnls(a_aug, b_aug)[0]
+        chi2 = float((((kernel @ sol) - f) / sigma) ** 2 @
+                     np.ones_like(f))
+        return sol, chi2
+
+    if reg is not None:
+        lam = float(reg)
+        sol, chi2 = _solve(lam)
+    else:
+        n_data = f.size
+        lo, hi = -8.0, 6.0
+        sol_lo, chi_lo = _solve(10.0 ** lo)
+        sol_hi, chi_hi = _solve(10.0 ** hi)
+        if chi_lo >= n_data:        # even unregularized cannot reach
+            lam, sol, chi2 = 10.0 ** lo, sol_lo, chi_lo
+        elif chi_hi <= n_data:      # smoothest still fits
+            lam, sol, chi2 = 10.0 ** hi, sol_hi, chi_hi
+        else:
+            for _ in range(40):
+                mid = 0.5 * (lo + hi)
+                sol, chi2 = _solve(10.0 ** mid)
+                if chi2 > n_data:
+                    hi = mid
+                else:
+                    lo = mid
+            lam = 10.0 ** (0.5 * (lo + hi))
+            sol, chi2 = _solve(lam)
+
+    m0 = float(np.trapezoid(sol, omega))
+    m1 = float(np.trapezoid(omega * sol, omega))
+    info = {"lambda": lam, "chi2": chi2, "m0": m0, "m1": m1,
+            "omega_mean": m1 / m0 if m0 > 0 else np.nan,
+            "omega_peak": float(omega[np.argmax(sol)])}
+    return omega, sol, info

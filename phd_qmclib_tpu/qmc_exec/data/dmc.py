@@ -793,6 +793,79 @@ class ITCBlocks:
                       * ((loo - loo.mean(axis=0)) ** 2).sum(axis=0))
         return omega, err
 
+    def spectral_function(self, num_omega: int = 64,
+                          omega_max: t.Optional[np.ndarray] = None):
+        """Per-mode dynamic structure factor ``S(k, omega)`` by
+        regularized inverse Laplace of the measured ``F(k, tau)``
+        (:func:`phd_qmclib_tpu.analysis.spectral_function_from_itc`;
+        discrepancy-principle smoothing, so sharp peaks broaden at the
+        ``1/tau_max`` resolution — the moments are the trustworthy
+        numbers).  The f-sum rule ``m1 = k^2`` is NOT enforced by the
+        inversion, which makes it an independent closure check of the
+        whole two-time pipeline.
+
+        Errors on the moment functionals come from delete-one-block
+        jackknives re-inverted at the full-data regularization weight
+        (so resamples share the smoothing, not re-chosen per sample).
+
+        :param num_omega: frequency-grid resolution per mode.
+        :param omega_max: optional ``(num_modes,)`` support cutoffs;
+            default ``8x`` each mode's first-lag decay rate.
+        :return: dict with ``omega``/``s_omega`` ``(num_modes,
+            num_omega)`` grids and spectra (NaN rows for the ``k = 0``
+            mode and any mode whose F is unusable), and per-mode
+            ``m0``, ``m1``, ``omega_mean``, ``omega_mean_err``,
+            ``omega_peak``, ``omega_peak_err`` arrays.
+        """
+        from ...analysis import spectral_function_from_itc
+
+        tau = self.tau_grid
+        f_all = self.mean
+        f_err_all = self.mean_error
+        n_m = self.num_modes
+        n_b = self.lag_sums.shape[0]
+        out = {key: np.full(n_m, np.nan) for key in
+               ("m0", "m1", "omega_mean", "omega_mean_err",
+                "omega_peak", "omega_peak_err")}
+        out["omega"] = np.full((n_m, num_omega), np.nan)
+        out["s_omega"] = np.full((n_m, num_omega), np.nan)
+        for j in range(1, n_m):
+            cap = None if omega_max is None else float(omega_max[j])
+            try:
+                om, s_om, info = spectral_function_from_itc(
+                    tau, f_all[:, j], f_err_all[:, j],
+                    omega_max=cap, num_omega=num_omega)
+            except ValueError:
+                continue
+            out["omega"][j] = om
+            out["s_omega"][j] = s_om
+            for key in ("m0", "m1", "omega_mean", "omega_peak"):
+                out[key][j] = info[key]
+            if n_b < 2:
+                continue
+            means, peaks = [], []
+            for i in range(n_b):
+                f_i = self._ratio(np.delete(self.lag_sums, i, axis=0),
+                                  np.delete(self.lag_counts, i, axis=0))
+                try:
+                    _, _, info_i = spectral_function_from_itc(
+                        tau, f_i[:, j], f_err_all[:, j],
+                        omega_max=float(om[-1]), num_omega=num_omega,
+                        reg=info["lambda"])
+                except ValueError:
+                    continue
+                means.append(info_i["omega_mean"])
+                peaks.append(info_i["omega_peak"])
+            if len(means) == n_b:
+                fac = (n_b - 1) / n_b
+                mu = np.mean(means)
+                out["omega_mean_err"][j] = np.sqrt(
+                    fac * ((np.asarray(means) - mu) ** 2).sum())
+                mu = np.mean(peaks)
+                out["omega_peak_err"][j] = np.sqrt(
+                    fac * ((np.asarray(peaks) - mu) ** 2).sum())
+        return out
+
     def hdf5_export(self, group: h5py.Group):
         group.create_dataset("lag_sums", data=np.asarray(self.lag_sums))
         group.create_dataset("lag_counts",

@@ -351,6 +351,31 @@ def _itc_lines(itc_blocks, ssf_blocks, nop: int, full: bool) \
                              "comparison: " + ", ".join(parts))
         except (ValueError, IndexError):  # pragma: no cover
             pass
+    # Spectral inversion (regularized inverse Laplace): the mean
+    # excitation omega_mean = m1/m0 per mode, plus the f-sum closure
+    # m1/k^2 (the inversion does not enforce it — a ratio near 1 says
+    # the whole two-time pipeline is internally consistent).  Needs a
+    # few filled lags to mean anything.
+    filled = int((itc_blocks.lag_counts.sum(axis=0) > 0).sum()) - 1
+    if filled >= 4:
+        try:
+            spec = itc_blocks.spectral_function(num_omega=48)
+            momenta = itc_blocks.momenta
+            parts, closure = [], []
+            for j in show:
+                if np.isfinite(spec["omega_mean"][j]):
+                    parts.append(f"k{j} = " + _fmt(
+                        spec["omega_mean"][j],
+                        spec["omega_mean_err"][j]))
+                    closure.append(
+                        f"k{j} = {spec['m1'][j] / momenta[j] ** 2:.3f}")
+            if parts:
+                lines.append("            S(k,omega) inversion, mean "
+                             "excitation m1/m0: " + ", ".join(parts))
+                lines.append("            f-sum closure m1/k^2 (-> 1): "
+                             + ", ".join(closure))
+        except (ValueError, np.linalg.LinAlgError):  # pragma: no cover
+            pass
     if full:
         f_norm = itc_blocks.normalized
         for j in show:
@@ -544,6 +569,19 @@ def summarize(result, sampling_type: str) -> dict:
         fit, fit_err = itc.excitation_fit()
         out["itc_omega_fit"] = np.asarray(fit).tolist()
         out["itc_omega_fit_err"] = np.asarray(fit_err).tolist()
+        # Spectral-inversion moments (see ITCBlocks.spectral_function);
+        # omega_mean = m1/m0 and the un-enforced f-sum first moment m1.
+        if int((itc.lag_counts.sum(axis=0) > 0).sum()) - 1 >= 4:
+            try:
+                spec = itc.spectral_function(num_omega=48)
+                out["itc_spectral_omega_mean"] = \
+                    spec["omega_mean"].tolist()
+                out["itc_spectral_omega_mean_err"] = \
+                    spec["omega_mean_err"].tolist()
+                out["itc_spectral_m0"] = spec["m0"].tolist()
+                out["itc_spectral_m1"] = spec["m1"].tolist()
+            except (ValueError, np.linalg.LinAlgError):  # pragma: no cover
+                pass
     if sampling_type == "vmc":
         out["move_spread"] = proc.move_spread
         out["num_walkers"] = proc.num_walkers

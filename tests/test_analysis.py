@@ -604,3 +604,127 @@ class TestLuttingerParameter:
                                                      n1_err=err)
         assert k_fit == pytest.approx(K, rel=1e-9)
         assert np.isfinite(k_err)
+
+
+class TestSpectralFunctionFromITC:
+    """Regularized inverse Laplace of F(k, tau): moments are exact
+    functionals, peaks resolve at the 1/tau_max scale."""
+
+    def test_two_pole_moments_and_mass_recovery(self):
+        from phd_qmclib_tpu.analysis import spectral_function_from_itc
+
+        tau = np.arange(33) * 0.125          # tau_max = 4
+        f = 0.7 * np.exp(-1.0 * tau) + 0.3 * np.exp(-3.5 * tau)
+        sig = 1e-4
+        omega, s, info = spectral_function_from_itc(
+            tau, f, np.full_like(f, sig), num_omega=96)
+        assert (s >= 0).all()
+        assert info["m0"] == pytest.approx(1.0, abs=5e-3)
+        assert info["m1"] == pytest.approx(1.75, rel=0.02)
+        assert info["omega_mean"] == pytest.approx(1.75, rel=0.02)
+        # Deep-tau, low-noise: both poles separate, with the right
+        # weight in each basin.
+        mass_1 = np.trapezoid(np.where(abs(omega - 1.0) < 0.8, s, 0),
+                              omega)
+        mass_2 = np.trapezoid(np.where(abs(omega - 3.5) < 1.2, s, 0),
+                              omega)
+        assert mass_1 == pytest.approx(0.7, abs=0.07)
+        assert mass_2 == pytest.approx(0.3, abs=0.07)
+        assert info["omega_peak"] == pytest.approx(1.0, abs=0.15)
+
+    def test_discrepancy_principle_and_fixed_reg_contract(self):
+        from phd_qmclib_tpu.analysis import spectral_function_from_itc
+
+        # This realization CAN be fit below the chi^2 = n target (the
+        # non-negative exponential-mixture cone is a hard constraint:
+        # mixtures are completely monotone in tau, so a generic noise
+        # draw leaves a residual floor and the solver then returns the
+        # minimum-smoothing solution instead — also exercised below).
+        rng = np.random.default_rng(0)
+        tau = np.arange(17) * 0.125
+        sig = 1e-3
+        f = (0.7 * np.exp(-1.0 * tau) + 0.3 * np.exp(-3.5 * tau)
+             + rng.normal(0, sig, tau.shape))
+        omega, s, info = spectral_function_from_itc(
+            tau, f, np.full_like(f, sig))
+        assert info["chi2"] == pytest.approx(tau.size, rel=0.05)
+        assert info["lambda"] > 1e-7      # the bisect path engaged
+        # Fixed-reg mode reproduces the same solution (the jackknife
+        # contract: resamples share the full-data smoothing).
+        _, s2, info2 = spectral_function_from_itc(
+            tau, f, np.full_like(f, sig), reg=info["lambda"],
+            omega_max=float(omega[-1]))
+        np.testing.assert_allclose(s2, s, rtol=1e-8, atol=1e-12)
+        # A noise draw the cone cannot absorb: chi^2 floors above n
+        # and the returned weight is the minimum (no silent failure,
+        # moments still sane).
+        rng = np.random.default_rng(3)
+        f3 = np.exp(-2.0 * np.arange(17) * 0.25)
+        f3 = f3 + rng.normal(0, 2e-2, f3.shape)
+        f3[0] = 1.0
+        _, s3, info3 = spectral_function_from_itc(
+            np.arange(17) * 0.25, f3, np.full(17, 2e-2))
+        assert info3["chi2"] > 17
+        assert info3["m0"] == pytest.approx(1.0, abs=0.1)
+
+    def test_rejects_unusable_input(self):
+        from phd_qmclib_tpu.analysis import spectral_function_from_itc
+
+        tau = np.arange(5) * 0.1
+        with pytest.raises(ValueError):   # too few finite points
+            spectral_function_from_itc(tau, np.array(
+                [1.0, np.nan, np.nan, np.nan, 0.5]))
+        with pytest.raises(ValueError):   # S(k) <= 0
+            spectral_function_from_itc(tau, -np.ones(5))
+        with pytest.raises(ValueError):   # growing F, no omega_max
+            spectral_function_from_itc(tau, np.exp(+tau))
+        # ... but an explicit omega_max lets noisy-growing data through.
+        omega, s, info = spectral_function_from_itc(
+            tau, np.array([1.0, 0.9, 0.95, 0.8, 0.7]), omega_max=20.0)
+        assert np.isfinite(s).all()
+
+    def test_nan_lags_are_masked_not_fatal(self):
+        from phd_qmclib_tpu.analysis import spectral_function_from_itc
+
+        tau = np.arange(17) * 0.25
+        f = np.exp(-1.2 * tau)
+        f[-3:] = np.nan                   # unfilled ring-buffer rows
+        omega, s, info = spectral_function_from_itc(
+            tau, f, np.full_like(f, 1e-4))
+        assert info["omega_mean"] == pytest.approx(1.2, rel=0.03)
+
+    def test_tg_free_fermion_spectrum_support_and_moments(self):
+        """Tonks-Girardeau point, exact F(k, tau): the inversion must
+        put the spectral weight inside the particle-hole band
+        [omega_min(k), omega_max(k)] (up to the 1/tau_max resolution
+        broadening) and reproduce the exact channel moments — the same
+        multi-channel decay the sampler gate
+        ``tests/samplers/test_itc.py`` validates dynamically."""
+        from phd_qmclib_tpu.analysis import spectral_function_from_itc
+
+        nop, sc = 5, 5.0
+        k1 = 2 * np.pi / sc
+        q = 2 * np.pi / sc * np.arange(-(nop // 2), nop // 2 + 1)
+        fermi = set(np.round(q, 12))
+        for j in (1, 2):
+            k = j * k1
+            omegas = np.array([(qi + k) ** 2 - qi ** 2 for qi in q
+                               if round(qi + k, 12) not in fermi])
+            tau = np.linspace(0, 3.0 / omegas.min(), 48)
+            f = np.exp(-np.outer(tau, omegas)).sum(axis=1) / nop
+            om, s, info = spectral_function_from_itc(
+                tau, f, np.full_like(f, 1e-5 * f[0]), num_omega=128,
+                omega_max=1.5 * omegas.max())
+            # Exact channel moments (weights 1/N each).
+            assert info["m0"] == pytest.approx(omegas.size / nop,
+                                               rel=0.01)
+            assert info["m1"] == pytest.approx(omegas.sum() / nop,
+                                               rel=0.02)
+            # >= 95% of the weight inside the (resolution-padded)
+            # particle-hole band.
+            pad = 2.0 / tau[-1]
+            inside = (om >= omegas.min() - pad) & \
+                     (om <= omegas.max() + pad)
+            frac = np.trapezoid(np.where(inside, s, 0.0), om) \
+                / info["m0"]
+            assert frac > 0.95
