@@ -69,20 +69,30 @@ def measure(v0, gn, nop, walkers, nts, blocks, dt, est_every,
     it = sampling.blocks(state, nts, burn_in_blocks=burn)
     for _ in range(burn):
         next(it)
-    sums = np.zeros((num_lags + 1, num_modes))
-    counts = np.zeros(num_lags + 1)
+    sums_b, counts_b = [], []
     ssf = np.zeros(num_modes)
     ssf_w = 0.0
     for _ in range(blocks):
         b = next(it)
-        sums += np.asarray(b.iter_itc, dtype=np.float64).sum(axis=0)
-        counts += np.asarray(b.iter_itc_nw,
-                             dtype=np.float64).sum(axis=0)
+        sums_b.append(np.asarray(b.iter_itc, dtype=np.float64)
+                      .sum(axis=0))
+        counts_b.append(np.asarray(b.iter_itc_nw,
+                                   dtype=np.float64).sum(axis=0))
         parts = np.asarray(b.iter_ssf, dtype=np.float64)
         ssf += parts[..., 0].sum(axis=0)
         ssf_w += np.asarray(b.iter_props.num_walkers,
                             dtype=np.float64)[est_every - 1::est_every].sum()
+    sums = np.sum(sums_b, axis=0)
+    counts = np.sum(counts_b, axis=0)
     f = sums / counts[:, None] / nop            # F(k, tau) per particle
+    # Delete-one-block jackknife errors per (lag, mode) — the honest
+    # noise scale the spectral inversion needs (its smoothing weight
+    # comes from the discrepancy principle, so an inflated sigma
+    # over-smooths and biases omega_mean up).
+    loo = np.stack([(sums - sb) / (counts - cb)[:, None] / nop
+                    for sb, cb in zip(sums_b, counts_b)])
+    f_err = np.sqrt((blocks - 1) / blocks
+                    * ((loo - loo.mean(axis=0)) ** 2).sum(axis=0))
     s_k = ssf / ssf_w / nop                     # mixed S(k) per particle
     lag_dt = est_every * itc_mult * dt
     tau = np.arange(num_lags + 1) * lag_dt
@@ -110,7 +120,7 @@ def measure(v0, gn, nop, walkers, nts, blocks, dt, est_every,
                 omega_fit[j] = -np.polyfit(tau[ok], np.log(f[ok, j]),
                                            1, w=f[ok, j])[0]
                 fit_windows[j] = (tau[ok][0], tau[ok][-1])
-    return {"k": kz, "tau": tau, "f": f, "s_k": s_k,
+    return {"k": kz, "tau": tau, "f": f, "f_err": f_err, "s_k": s_k,
             "omega_eff": omega_eff, "omega_fit": omega_fit,
             "fit_windows": fit_windows, "feynman": feynman}
 
@@ -168,9 +178,13 @@ def main():
     if args.tg:
         # gamma = 5000: free-fermion particle-hole decays, exact.
         nop = 5
+        # 24 lags: omega_1 * tau_max ~ 0.6, deep enough that the
+        # spectral-inversion moment closure below is conditioned (at
+        # 8 lags the decay barely registers and omega_mean inflates
+        # ~15% from smoothing alone).
         out = measure(v0=0.0, gn=1e4, nop=nop, walkers=args.walkers,
                       nts=512, blocks=args.blocks, dt=5e-5,
-                      est_every=64, num_modes=4, num_lags=8, rm=1.2,
+                      est_every=64, num_modes=4, num_lags=24, rm=1.2,
                       burn=8, regular_init=True)
         kz, tau = out["k"], out["tau"]
         # Exact particle-hole sums.
@@ -183,10 +197,56 @@ def main():
                     exact[:, j] += np.exp(
                         -((qi + k) ** 2 - qi ** 2) * tau) / nop
         err = np.abs(out["f"][:, 1:] - exact[:, 1:]).max()
+        # Spectral inversion closure: invert the MEASURED F(k, tau)
+        # and compare the recovered moments against the exact
+        # particle-hole spectrum (a handful of delta functions at
+        # E_ph = (q+k)^2 - q^2, weight 1/N each).  The inversion can
+        # never resolve the individual poles at this tau_max, but m0
+        # and m1/m0 are exact functionals — they must land on the
+        # free-fermion values within the measurement error.
+        # The discrepancy-principle smoothing has its own finite
+        # resolution (at sigma ~ 1e-3 and omega_1 tau_max ~ 0.6 the
+        # smoothest consistent spectrum overshoots omega_mean by
+        # ~10% at k_1) — so the pipeline gate is the deviation vs a
+        # CONTROL inversion of the EXACT F on the same grid at the
+        # same noise scale, which isolates what the measurement
+        # itself contributes.
+        from phd_qmclib_tpu.analysis import spectral_function_from_itc
+        m0_exact = np.full(len(kz), np.nan)
+        mean_exact = np.full(len(kz), np.nan)
+        m0_meas = np.full(len(kz), np.nan)
+        mean_meas = np.full(len(kz), np.nan)
+        mean_ctrl = np.full(len(kz), np.nan)
+        for j, k in enumerate(kz):
+            if not j:
+                continue
+            e_ph = np.array([(qi + k) ** 2 - qi ** 2 for qi in q
+                             if round(qi + k, 12) not in fs])
+            m0_exact[j] = len(e_ph) / nop
+            mean_exact[j] = e_ph.mean()
+            sig = np.maximum(out["f_err"][:, j], 1e-7)
+            _, _, info = spectral_function_from_itc(
+                tau, out["f"][:, j], sig,
+                omega_max=4.0 * e_ph.max(), num_omega=96)
+            m0_meas[j] = info["m0"]
+            mean_meas[j] = info["omega_mean"]
+            _, _, ctrl = spectral_function_from_itc(
+                tau, exact[:, j], sig,
+                omega_max=4.0 * e_ph.max(), num_omega=96)
+            mean_ctrl[j] = ctrl["omega_mean"]
         print(json.dumps({
             "mode": "tg", "max_abs_dev_vs_free_fermions": float(err),
             "s_k_measured": out["s_k"].tolist(),
-            "s_k_exact": exact[0].tolist()}))
+            "s_k_exact": exact[0].tolist(),
+            "inversion_m0_measured": m0_meas.tolist(),
+            "inversion_m0_exact": m0_exact.tolist(),
+            "inversion_omega_mean_measured": mean_meas.tolist(),
+            "inversion_omega_mean_exact": mean_exact.tolist(),
+            "inversion_omega_mean_smoothing_control": mean_ctrl.tolist(),
+            "inversion_max_rel_dev_omega_mean": float(np.nanmax(
+                np.abs(mean_meas / mean_exact - 1.0))),
+            "inversion_max_rel_dev_vs_control": float(np.nanmax(
+                np.abs(mean_meas / mean_ctrl - 1.0)))}))
         return
 
     # Phonon regime: quasi-flat gas, moderate coupling.  At the
