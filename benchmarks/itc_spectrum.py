@@ -126,11 +126,16 @@ def measure(v0, gn, nop, walkers, nts, blocks, dt, est_every,
 
 
 def pure_ssf(v0, gn, nop, walkers, nts, blocks, dt, num_modes,
-             seed=7, rm=0.3, burn=4):
+             seed=7, rm=0.3, burn=4, pfw_steps=None):
     """Forward-walked (pure) S(k) companion run: the mixed S(k) in the
     ITC run carries O(psi_T - phi_0) trial bias, largest at small k —
     the Feynman ratio k^2/S(k) is only an honest mean-excitation
-    reference when it uses the pure S(k)."""
+    reference when it uses the pure S(k).  ``pfw_steps`` sets the
+    forward-walking projection time (multi-block windows when it
+    exceeds ``nts``): the residual trial bias decays like
+    ``e^{-omega_1 tau_fw}``, so it must cover the SLOWEST mode's
+    relaxation time 1/omega_1 — at the phonon-regime defaults that is
+    1.35 while one block projects only 0.5."""
     from phd_qmclib_tpu.models import mrbp
     from phd_qmclib_tpu.samplers import dmc
 
@@ -142,7 +147,7 @@ def pure_ssf(v0, gn, nop, walkers, nts, blocks, dt, num_modes,
         target_num_walkers=walkers, rng_seed=seed,
         ssf_est_spec=dmc.SSFEstSpec(num_modes=num_modes,
                                     as_pure_est=True,
-                                    pfw_num_time_steps=nts))
+                                    pfw_num_time_steps=pfw_steps or nts))
     rng = np.random.default_rng(1)
     confs = np.stack([spec.init_get_sys_conf(rng=rng)
                       for _ in range(walkers)]).astype(np.float32)
@@ -152,9 +157,14 @@ def pure_ssf(v0, gn, nop, walkers, nts, blocks, dt, num_modes,
         next(it)
     ssf = np.zeros(num_modes)
     w = 0.0
-    for _ in range(blocks):
+    win = max(1, (pfw_steps or nts) // nts)
+    for i in range(blocks):
         b = next(it)
-        # Fully-forward-walked value: the block's last step.
+        if (i + 1) % win:
+            continue                # window still accumulating
+        # Fully-forward-walked value: the last step of the
+        # window-final block (same selection as the exec driver's
+        # `_BlockAccumulator.add`, qmc_exec/dmc.py win_final).
         ssf += np.asarray(b.iter_ssf, dtype=np.float64)[-1, :, 0]
         w += float(np.asarray(b.iter_props.num_walkers,
                               dtype=np.float64)[-1])
@@ -282,6 +292,26 @@ def main():
     fit = out["omega_fit"]
     narrowing = (fit < omega_first) | ~np.isfinite(fit)
     c_itc = float(np.polyfit(kz[1:3], fit[1:3], 1)[0])
+    # Spectral inversion per mode: omega_peak reads the dominant
+    # excitation branch directly (the phonon dispersion), omega_mean
+    # = m1/m0 must land on the same run's Feynman ratio (f-sum).  At
+    # high k the decay dives under the noise floor within a lag or
+    # two and the inversion is skipped (NaN).
+    from phd_qmclib_tpu.analysis import spectral_function_from_itc
+    inv_mean = np.full(len(kz), np.nan)
+    inv_peak = np.full(len(kz), np.nan)
+    for j in range(1, len(kz)):
+        try:
+            _, _, info = spectral_function_from_itc(
+                out["tau"], out["f"][:, j],
+                np.maximum(out["f_err"][:, j], 1e-7), num_omega=96)
+        except ValueError:
+            continue
+        inv_mean[j] = info["omega_mean"]
+        inv_peak[j] = info["omega_peak"]
+    fin_pk = np.isfinite(inv_peak[1:3]).all()
+    c_inv = float(np.polyfit(kz[1:3], inv_peak[1:3], 1)[0]) \
+        if fin_pk else float("nan")
     from phd_qmclib_tpu.analysis import sound_speed_from_ssf
     c_ssf, c_ssf_err = sound_speed_from_ssf(
         kz, out["s_k"], np.full_like(out["s_k"], 1e-3), num_modes=3)
@@ -295,16 +325,25 @@ def main():
         "fit_windows_tau": out["fit_windows"].tolist(),
         "feynman_ratio_mixed": out["feynman"].tolist(),
         "narrowing_ok": narrowing.tolist(),
+        "inversion_omega_mean": inv_mean.tolist(),
+        "inversion_omega_peak": inv_peak.tolist(),
         "sound_speed_itc_tail": c_itc,
+        "sound_speed_inversion_peak": c_inv,
         "sound_speed_feynman_mixed": float(c_ssf)}
     if args.deep:
         # The honest Feynman reference: pure (forward-walked) S(k)
         # from a companion run strips the trial bias the mixed S(k)
         # carries at small k.  Gate: tail rate <= pure ratio within
         # tolerance at every resolved mode.
+        # 2048-step (4-block) forward-walking windows: tau_fw = 2.05
+        # covers the slowest mode's relaxation time 1/omega_1 = 1.35
+        # (one block projects only 0.5 and leaves S(k_1) visibly
+        # trial-biased — the Feynman ratio then sits BELOW the
+        # measured decay, a false bound violation).
         s_pure = pure_ssf(v0=1.0, gn=2.0, nop=args.nop,
                           walkers=max(args.walkers, 16384), nts=512,
-                          blocks=16, dt=1e-3, num_modes=8, burn=12)
+                          blocks=24, dt=1e-3, num_modes=8, burn=12,
+                          pfw_steps=2048)
         feyn_pure = np.full_like(s_pure, np.nan)
         feyn_pure[1:] = kz[1:] ** 2 / s_pure[1:]
         below = (fit <= 1.05 * feyn_pure) | ~np.isfinite(fit)
