@@ -48,7 +48,11 @@ def test_traced_param_packing(setup):
     np.testing.assert_allclose(vec_traced, vec_static, rtol=1e-7)
 
 
+@pytest.mark.slow
 def test_core_funcs_pallas_dispatch(setup, monkeypatch):
+    """Slow tier: env-var dispatch wiring (pays a Pallas interpret
+    compile); kernel consistency stays fast via test_kernel_matches_xla
+    and the randomized shadow guard."""
     spec, funcs, cfc, pos = setup
     monkeypatch.setattr(mrbp, "_PALLAS_INTERPRET", True)
     pfuncs = mrbp.core_funcs(spec, pairwise_impl="pallas")

@@ -117,8 +117,13 @@ def test_cmd_with_measurement_cadence():
         np.asarray(every.iter_cmd)[3::4], rtol=1e-12)
 
 
+@pytest.mark.slow
 def test_cmd_through_vmap_sweep():
-    """iter_cmd flows through the vmap-fused ParamSweep bit-exactly."""
+    """iter_cmd flows through the vmap-fused ParamSweep bit-exactly.
+
+    Slow tier: sweep-interaction gate; CM-diffusion mechanics stay
+    fast (shape/burn/cadence/window tests above) and fused-sweep
+    bit-exactness stays fast via the sweep fuzz corpus."""
     from phd_qmclib_tpu.parallel.sweep import ParamSweep
 
     def row(gn, seed):

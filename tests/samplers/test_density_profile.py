@@ -8,7 +8,11 @@ from phd_qmclib_tpu.models import mrbp
 from phd_qmclib_tpu.samplers import dmc
 
 
+@pytest.mark.slow
 def test_ideal_gas_density_profile_matches_orbital():
+    """Slow tier: statistical physics gate (20 DMC blocks at 512
+    walkers); the density estimator's mechanics stay fast via the
+    exec-layer density tests and the fuzz sum rules."""
     N, L, BINS = 8, 8.0, 16
     spec = mrbp.Spec(lattice_depth=10.0, lattice_ratio=1.0,
                      interaction_strength=0.0, boson_number=N,

@@ -40,11 +40,15 @@ class TestBranchingComb:
         assert int(nw) == 16
         np.testing.assert_array_equal(np.asarray(parent), np.arange(16))
 
+    @pytest.mark.slow
     def test_expected_clone_count(self):
         # E[floor(w + u)] == w exactly for uniform u.  Use a buffer with
         # ample headroom so the max_num_walkers cap never bites.  All
         # trials run in ONE vmapped dispatch (a per-trial Python loop
-        # costs ~5 ms/dispatch on this host).
+        # costs ~5 ms/dispatch on this host).  Slow tier: 2000-trial
+        # statistical gate (~15 s on the 1-CPU host); the comb's exact
+        # behavior stays fast via the searchsorted-oracle and corner-
+        # shape tests.
         w = np.zeros(96)
         w[:32] = np.linspace(0.2, 1.8, 32)
         w = jnp.asarray(w)

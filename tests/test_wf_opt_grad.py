@@ -9,6 +9,7 @@ using orders of magnitude fewer functional evaluations.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from phd_qmclib_tpu import wf_opt
 from phd_qmclib_tpu.models import mrbp
@@ -27,7 +28,10 @@ def _setup():
     return spec, pos_set, lp_set
 
 
+@pytest.mark.slow
 def test_variance_gradient_matches_finite_differences():
+    """Slow tier: finite-difference oracle duplicate; the grad
+    backend stays fast via its agreement-with-DE optimum test."""
     spec, pos_set, lp_set = _setup()
     opt = wf_opt.GradCSWFOptimizer(spec, pos_set, lp_set)
     rm0 = jnp.float64(0.31)
