@@ -122,7 +122,18 @@ def measure(v0, gn, nop, walkers, nts, blocks, dt, est_every,
                 fit_windows[j] = (tau[ok][0], tau[ok][-1])
     return {"k": kz, "tau": tau, "f": f, "f_err": f_err, "s_k": s_k,
             "omega_eff": omega_eff, "omega_fit": omega_fit,
-            "fit_windows": fit_windows, "feynman": feynman}
+            "fit_windows": fit_windows, "feynman": feynman,
+            "sums_b": np.stack(sums_b), "counts_b": np.stack(counts_b),
+            "lag_dt": lag_dt, "nop": nop,
+            "supercell": float(spec.supercell_size)}
+
+
+def itc_blocks(out):
+    """Wrap a measure() result in the production ITCBlocks container
+    (jackknife machinery for the static-response closure below)."""
+    from phd_qmclib_tpu.qmc_exec.data.dmc import ITCBlocks
+    return ITCBlocks(out["sums_b"], out["counts_b"], out["lag_dt"],
+                     out["nop"], out["supercell"])
 
 
 def pure_ssf(v0, gn, nop, walkers, nts, blocks, dt, num_modes,
@@ -244,8 +255,28 @@ def main():
                 tau, exact[:, j], sig,
                 omega_max=4.0 * e_ph.max(), num_omega=96)
             mean_ctrl[j] = ctrl["omega_mean"]
+        # Static-response closure: m_{-1}(k) = sum_ch (1/N)/E_ph
+        # exactly at the TG point (each particle-hole channel is a
+        # delta pole of weight 1/N).  k_1 has a SINGLE channel here
+        # (N = 5), so its tail completion is exact up to noise; the
+        # multi-channel modes carry the documented tail-fit
+        # underestimate, which this closure quantifies.
+        sr = itc_blocks(out).static_response()
+        m_exact = np.full(len(kz), np.nan)
+        for j, k in enumerate(kz):
+            if not j:
+                continue
+            e_ph = np.array([(qi + k) ** 2 - qi ** 2 for qi in q
+                             if round(qi + k, 12) not in fs])
+            m_exact[j] = (1.0 / e_ph).sum() / nop
+        sr_dev = np.nanmax(np.abs(sr["m_minus1"] / m_exact - 1.0))
         print(json.dumps({
             "mode": "tg", "max_abs_dev_vs_free_fermions": float(err),
+            "static_m_minus1_measured": sr["m_minus1"].tolist(),
+            "static_m_minus1_err": sr["m_minus1_err"].tolist(),
+            "static_m_minus1_exact": m_exact.tolist(),
+            "static_m_minus1_max_rel_dev": float(sr_dev),
+            "static_omega_bound": sr["omega_bound"].tolist(),
             "s_k_measured": out["s_k"].tolist(),
             "s_k_exact": exact[0].tolist(),
             "inversion_m0_measured": m0_meas.tolist(),
@@ -330,6 +361,21 @@ def main():
         "sound_speed_itc_tail": c_itc,
         "sound_speed_inversion_peak": c_inv,
         "sound_speed_feynman_mixed": float(c_ssf)}
+    # Compressibility sum rule: chi(k) = -2 m_{-1}(k) -> -1/c^2 as
+    # k -> 0, so 1/sqrt(2 m_{-1}(k_1)) is a THIRD sound-speed route,
+    # independent of both the S(k) slope and the dispersion fits.
+    # The tail completion uses the fitted decay (an upper bound), so
+    # this c carries a small UPWARD bias that dies as omega_1 tau_max
+    # grows — honest only in --deep (shallow lags barely resolve the
+    # decay and the k_1 tail is nearly all extrapolation).
+    sr = itc_blocks(out).static_response()
+    payload.update({
+        "static_chi": sr["chi"].tolist(),
+        "static_chi_err": sr["chi_err"].tolist(),
+        "static_omega_bound": sr["omega_bound"].tolist(),
+        "sound_speed_compressibility": float(sr["sound_speed"][1]),
+        "sound_speed_compressibility_err":
+            float(sr["sound_speed_err"][1])})
     if args.deep:
         # The honest Feynman reference: pure (forward-walked) S(k)
         # from a companion run strips the trial bias the mixed S(k)

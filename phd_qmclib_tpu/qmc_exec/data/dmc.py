@@ -755,6 +755,24 @@ class ITCBlocks:
                       * ((loo - loo.mean(axis=0)) ** 2).sum(axis=0))
         return tau_mid, omega, err
 
+    def _decay_slopes(self, sums, counts, fit_fraction: float,
+                      filled: np.ndarray) -> np.ndarray:
+        """Per-mode large-tau decay rate: a linear fit of
+        ``-ln F(k, tau)`` over the last ``fit_fraction`` of the FILLED
+        lags (backing :meth:`excitation_fit`, which jackknifes it)."""
+        tau = self.tau_grid
+        f = self._ratio(sums, counts)
+        out = np.full(f.shape[1], np.nan)
+        for j in range(f.shape[1]):
+            good = filled & np.isfinite(f[:, j]) & (f[:, j] > 0)
+            idx = np.where(good)[0]
+            if idx.size < 2:
+                continue
+            start = int(round((1.0 - fit_fraction) * idx.size))
+            idx = idx[min(start, idx.size - 2):]
+            out[j] = -np.polyfit(tau[idx], np.log(f[idx, j]), 1)[0]
+        return out
+
     def excitation_fit(self, fit_fraction: float = 0.5):
         """``(omega, omega_err)`` per mode: a linear fit of
         ``-ln F(k, tau)`` over the last ``fit_fraction`` of the FILLED
@@ -764,34 +782,130 @@ class ITCBlocks:
         ``k``.  Errors are delete-one-block jackknives of the slope;
         modes whose F touches zero/NaN in the fit window return NaN.
         """
-        tau = self.tau_grid
         filled = self.lag_counts.sum(axis=0) > 0
-
-        def _slopes(sums, counts):
-            f = self._ratio(sums, counts)
-            out = np.full(f.shape[1], np.nan)
-            for j in range(f.shape[1]):
-                good = filled & np.isfinite(f[:, j]) & (f[:, j] > 0)
-                idx = np.where(good)[0]
-                if idx.size < 2:
-                    continue
-                start = int(round((1.0 - fit_fraction) * idx.size))
-                idx = idx[min(start, idx.size - 2):]
-                out[j] = -np.polyfit(tau[idx],
-                                     np.log(f[idx, j]), 1)[0]
-            return out
-
-        omega = _slopes(self.lag_sums, self.lag_counts)
+        omega = self._decay_slopes(self.lag_sums, self.lag_counts,
+                                   fit_fraction, filled)
         n_b = self.lag_sums.shape[0]
         if n_b < 2:
             return omega, np.full_like(omega, np.nan)
         loo = np.stack([
-            _slopes(np.delete(self.lag_sums, i, axis=0),
-                    np.delete(self.lag_counts, i, axis=0))
+            self._decay_slopes(np.delete(self.lag_sums, i, axis=0),
+                               np.delete(self.lag_counts, i, axis=0),
+                               fit_fraction, filled)
             for i in range(n_b)])
         err = np.sqrt((n_b - 1) / n_b
                       * ((loo - loo.mean(axis=0)) ** 2).sum(axis=0))
         return omega, err
+
+    def static_response(self, fit_fraction: float = 0.5):
+        """Static (zero-frequency) density response
+        ``chi(k) = -2 m_{-1}(k)`` from the inverse-first-moment sum
+        rule (units ``hbar^2/2m = 1``)::
+
+            m_{-1}(k) = int_0^inf S(k, omega)/omega domega
+                      = int_0^inf F(k, tau) dtau
+
+        The measured lags are integrated with exponential (log-linear)
+        segment interpolation — exact for a single decaying pole and
+        more faithful than a trapezoid for any decaying F — and the
+        ``tau > tau_max`` remainder is completed analytically as
+        ``F(tau_max) / omega_fit``, where ``omega_fit`` is a
+        log-linear decay fit over the last ``fit_fraction`` of the
+        SAME trusted prefix the integral uses (cf.
+        :meth:`excitation_fit`).  Since ``omega_fit`` is an UPPER bound
+        on the lowest excitation, the completed tail slightly
+        under-fills ``m_{-1}``; the bias dies as
+        ``omega_1 tau_max`` grows (same projection control as the tail
+        fit itself).
+
+        Derived diagnostics per mode:
+
+        * ``sound_speed = 1/sqrt(2 m_{-1})`` — the compressibility sum
+          rule ``m_{-1} -> 1/(2 c^2)`` as ``k -> 0``, a THIRD route to
+          the macroscopic sound speed, independent of the S(k) slope
+          (Feynman) and of the dispersion-peak/tail fits;
+        * ``omega_bound = m0 / m_{-1}`` with ``m0 = F(k, 0) = S(k)`` —
+          an upper bound on the lowest excitation at ``k`` that is
+          TIGHTER than the Feynman bound ``m1/m0`` by Cauchy-Schwarz
+          (``m0^2 <= m1 m_{-1}``).
+
+        Errors are delete-one-block jackknives of the full functional
+        (each resample re-fits its own tail slope).  No reference
+        analog — the reference has no two-time observables.
+
+        :return: dict of per-mode arrays ``m_minus1``, ``chi``,
+            ``omega_bound``, ``sound_speed`` and their ``*_err``
+            companions (the ``k = 0`` mode and any unresolved mode are
+            NaN).
+        """
+        tau = self.tau_grid
+        filled = self.lag_counts.sum(axis=0) > 0
+
+        def _eval(sums, counts):
+            """(3, num_modes): m_{-1}, omega_bound, sound_speed."""
+            f = self._ratio(sums, counts)
+            out = np.full((3, f.shape[1]), np.nan)
+            for j in range(1, f.shape[1]):
+                good = filled & np.isfinite(f[:, j]) & (f[:, j] > 0)
+                # Contiguous positive prefix: the ring buffer fills
+                # shallow-first, and a noise-driven sign flip at depth
+                # truncates the integral at the last trustworthy lag
+                # (the analytic tail takes over from there).  The tail
+                # slope is fitted INSIDE the same prefix — lags past
+                # the first sign flip are noise and must not steer the
+                # completion.
+                n_pre = 0
+                while n_pre < f.shape[0] and good[n_pre]:
+                    n_pre += 1
+                if n_pre < 3:
+                    continue
+                i0 = min(int(round((1.0 - fit_fraction) * n_pre)),
+                         n_pre - 2)
+                slope = -np.polyfit(tau[i0:n_pre],
+                                    np.log(f[i0:n_pre, j]), 1)[0]
+                if not np.isfinite(slope) or slope <= 0:
+                    continue
+                fj = f[:n_pre, j]
+                logr = np.log(fj[1:] / fj[:-1])
+                dtau = np.diff(tau[:n_pre])
+                flat = np.abs(logr) < 1e-6
+                # Exponential interpolation through (f_i, f_{i+1}):
+                # integral = dtau (f_{i+1} - f_i) / ln(f_{i+1}/f_i),
+                # trapezoid in the flat limit where the log vanishes.
+                seg = np.where(
+                    flat, 0.5 * dtau * (fj[1:] + fj[:-1]),
+                    dtau * (fj[1:] - fj[:-1])
+                    / np.where(flat, 1.0, logr))
+                m = seg.sum() + fj[-1] / slope
+                out[0, j] = m
+                out[1, j] = fj[0] / m
+                out[2, j] = 1.0 / np.sqrt(2.0 * m)
+            return out
+
+        full = _eval(self.lag_sums, self.lag_counts)
+        n_b = self.lag_sums.shape[0]
+        if n_b < 2:
+            err = np.full_like(full, np.nan)
+        else:
+            # NaN-aware jackknife: a resample whose noise-truncated
+            # prefix or tail slope fails to resolve a mode drops out
+            # of that mode's spread instead of poisoning it (>= 2
+            # finite resamples required, else the error is NaN).
+            loo = np.stack([
+                _eval(np.delete(self.lag_sums, i, axis=0),
+                      np.delete(self.lag_counts, i, axis=0))
+                for i in range(n_b)])
+            fin = np.isfinite(loo)
+            cnt = fin.sum(axis=0).astype(np.float64)
+            safe = np.maximum(cnt, 1.0)
+            mu = np.where(fin, loo, 0.0).sum(axis=0) / safe
+            var = (np.where(fin, (loo - mu) ** 2, 0.0)).sum(axis=0)
+            err = np.where(cnt >= 2,
+                           np.sqrt((safe - 1.0) / safe * var), np.nan)
+        return {"m_minus1": full[0], "m_minus1_err": err[0],
+                "chi": -2.0 * full[0], "chi_err": 2.0 * err[0],
+                "omega_bound": full[1], "omega_bound_err": err[1],
+                "sound_speed": full[2], "sound_speed_err": err[2]}
 
     def spectral_function(self, num_omega: int = 64,
                           omega_max: t.Optional[np.ndarray] = None):

@@ -376,6 +376,35 @@ def _itc_lines(itc_blocks, ssf_blocks, nop: int, full: bool) \
                              + ", ".join(closure))
         except (ValueError, np.linalg.LinAlgError):  # pragma: no cover
             pass
+        # Static response chi(k) = -2 m_{-1} (inverse-moment sum rule,
+        # tail-completed tau integral of F): the m0/m_{-1} excitation
+        # bound is Cauchy-Schwarz-tighter than Feynman's m1/m0, and
+        # 1/sqrt(2 m_{-1}) -> c as k -> 0 (compressibility sum rule) —
+        # a third, independent sound-speed route.
+        try:
+            sr = itc_blocks.static_response()
+            parts = [f"k{j} = " + _fmt(sr["chi"][j], sr["chi_err"][j])
+                     for j in show if np.isfinite(sr["chi"][j])]
+            if parts:
+                lines.append("            static response chi(k) = "
+                             "-2 m_{-1}: " + ", ".join(parts))
+                bound = [f"k{j} = " + _fmt(sr["omega_bound"][j],
+                                           sr["omega_bound_err"][j])
+                         for j in show
+                         if np.isfinite(sr["omega_bound"][j])]
+                lines.append("            excitation bound m0/m_{-1} "
+                             "(<= Feynman m1/m0): " + ", ".join(bound))
+                j_lo = next((j for j in show
+                             if np.isfinite(sr["sound_speed"][j])),
+                            None)
+                if j_lo is not None:
+                    lines.append(
+                        "            sound speed from chi(k"
+                        f"{j_lo}) [compressibility sum rule, k->0]: "
+                        + _fmt(sr["sound_speed"][j_lo],
+                               sr["sound_speed_err"][j_lo]))
+        except (ValueError, np.linalg.LinAlgError):  # pragma: no cover
+            pass
     if full:
         f_norm = itc_blocks.normalized
         for j in show:
@@ -580,6 +609,17 @@ def summarize(result, sampling_type: str) -> dict:
                     spec["omega_mean_err"].tolist()
                 out["itc_spectral_m0"] = spec["m0"].tolist()
                 out["itc_spectral_m1"] = spec["m1"].tolist()
+            except (ValueError, np.linalg.LinAlgError):  # pragma: no cover
+                pass
+            # Static response chi(k) = -2 m_{-1} and its derived
+            # diagnostics (see ITCBlocks.static_response).
+            try:
+                sr = itc.static_response()
+                for key in ("m_minus1", "m_minus1_err", "chi",
+                            "chi_err", "omega_bound",
+                            "omega_bound_err", "sound_speed",
+                            "sound_speed_err"):
+                    out[f"itc_{key}"] = np.asarray(sr[key]).tolist()
             except (ValueError, np.linalg.LinAlgError):  # pragma: no cover
                 pass
     if sampling_type == "vmc":

@@ -140,6 +140,66 @@ def test_excitation_fit_recovers_exact_decay():
     np.testing.assert_allclose(fit2, omega, atol=1e-9)
 
 
+def test_static_response_exact_on_single_pole():
+    """F(k, tau) = Z_k exp(-omega_k tau) has m_{-1} = Z_k / omega_k
+    EXACTLY under the log-linear segment rule + analytic tail, the
+    m0/m_{-1} bound collapses to omega_k (a single pole saturates
+    Cauchy-Schwarz), chi = -2 Z_k/omega_k, and the sound-speed map is
+    1/sqrt(2 m_{-1}); identical blocks give ~zero jackknife spread."""
+    num_lags, modes, n_blocks, tau_step = 8, 4, 5, 0.05
+    nop, sc = 8, 8.0
+    omega = np.array([0.0, 1.5, 4.0, 9.0])
+    z = np.array([1.0, 0.4, 0.7, 0.9])
+    tau = np.arange(num_lags + 1) * tau_step
+    f = z * np.exp(-omega[None, :] * tau[:, None])
+    counts = np.full((n_blocks, num_lags + 1), 32.0)
+    sums = np.broadcast_to(f * 32.0 * nop,
+                           (n_blocks, num_lags + 1, modes)).copy()
+    blocks = dmc_data.ITCBlocks(sums, counts, tau_step, nop, sc)
+    sr = blocks.static_response(fit_fraction=1.0)
+    expect = z[1:] / omega[1:]
+    np.testing.assert_allclose(sr["m_minus1"][1:], expect, rtol=1e-9)
+    np.testing.assert_allclose(sr["chi"][1:], -2.0 * expect, rtol=1e-9)
+    np.testing.assert_allclose(sr["omega_bound"][1:], omega[1:],
+                               rtol=1e-9)
+    np.testing.assert_allclose(sr["sound_speed"][1:],
+                               1.0 / np.sqrt(2.0 * expect), rtol=1e-9)
+    assert np.isnan(sr["m_minus1"][0])  # k = 0 row excluded
+    np.testing.assert_allclose(sr["m_minus1_err"][1:], 0.0, atol=1e-10)
+
+
+def test_static_response_two_pole_and_bound_ordering():
+    """Noisy two-pole blocks: m_{-1} lands on sum_i A_i/omega_i (the
+    analytic tail carries the remainder past tau_max), and the moment
+    inequality chain holds per mode — the m0/m_{-1} bound sits between
+    the true lowest pole and the Feynman ratio m1/m0."""
+    rng = np.random.default_rng(3)
+    n_b, num_lags, modes, nop, sc = 12, 16, 4, 8, 8.0
+    tau_step = 0.25
+    tau = np.arange(num_lags + 1) * tau_step
+    k = np.arange(modes) * 2 * np.pi / sc
+    s_k = np.array([float(nop), 0.3, 0.6, 0.85])
+    w_lo = k ** 2 / s_k * 0.9
+    w_hi = k ** 2 / s_k * 1.5
+    base = s_k * (0.8 * np.exp(-np.outer(tau, w_lo))
+                  + 0.2 * np.exp(-np.outer(tau, w_hi)))
+    counts = np.full((n_b, num_lags + 1), 1000.0)
+    sums = np.stack([(base + rng.normal(0, 2e-3, base.shape))
+                     * 1000.0 * nop for _ in range(n_b)])
+    blocks = dmc_data.ITCBlocks(sums, counts, tau_step, nop, sc)
+    sr = blocks.static_response()
+    true_m = s_k * (0.8 / np.where(w_lo > 0, w_lo, 1.0)
+                    + 0.2 / np.where(w_hi > 0, w_hi, 1.0))
+    feynman = k ** 2 / s_k  # m1/m0 of the synthetic spectrum
+    for j in range(1, modes):
+        tol = max(5 * sr["m_minus1_err"][j], 0.05 * true_m[j])
+        assert abs(sr["m_minus1"][j] - true_m[j]) < tol
+        # Cauchy-Schwarz ordering with noise slack.
+        assert sr["omega_bound"][j] <= feynman[j] * 1.02
+        assert sr["omega_bound"][j] >= w_lo[j] * 0.98
+        assert sr["chi"][j] == pytest.approx(-2 * sr["m_minus1"][j])
+
+
 def test_report_lines_and_unfilled_lag_handling():
     """The analyze report prints omega_eff from the deepest RESOLVED
     lag; lags that never filled (num_lags exceeding the run's measured
@@ -236,6 +296,8 @@ def test_report_prints_spectral_inversion_lines():
         report = describe_dmc(result, full=False)
     assert "S(k,omega) inversion" in report
     assert "f-sum closure" in report
+    assert "static response chi(k)" in report
+    assert "sound speed from chi" in report
     with expect_opt_block_warning():
         s = summarize(result, "dmc")
     mean = np.asarray(s["itc_spectral_omega_mean"])
@@ -252,6 +314,19 @@ def test_report_prints_spectral_inversion_lines():
     ok[0] = False
     np.testing.assert_allclose(m0[ok], f0[ok], rtol=0.05)
     assert (m1[ok] > 0).all()
+    # Static-response surface: chi < 0 wherever resolved, the
+    # m0/m_{-1} bound no looser than Feynman's m1/m0 from the SAME
+    # inversion moments, and the sound-speed map positive.
+    chi = np.asarray(s["itc_chi"])
+    bound = np.asarray(s["itc_omega_bound"])
+    c_sr = np.asarray(s["itc_sound_speed"])
+    res = np.isfinite(chi)
+    res[0] = False
+    assert res.any()
+    assert (chi[res] < 0).all()
+    assert (c_sr[res] > 0).all()
+    both = res & np.isfinite(mean) & np.isfinite(m0) & (m0 > 0)
+    assert (bound[both] <= (m1[both] / m0[both]) * 1.1).all()
 
 
 def test_spectral_function_from_production_driver_run():
