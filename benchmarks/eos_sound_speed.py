@@ -1,5 +1,8 @@
 """Thermodynamic consistency: sound speed from the equation of state
-vs the Feynman phonon slope from S(k).
+vs the Feynman phonon slope from S(k) — and, with ``--itc``, the full
+FOUR-way closure at the central density (EOS curvature, Feynman S(k),
+phonon-dispersion fits of F(k, tau), and the compressibility sum rule
+chi(k -> 0) = -2/c^2 from the static response).
 
 Two fully independent routes to the same observable, both measured by
 this framework on hardware:
@@ -40,8 +43,12 @@ def run_sweep(args, dts):
     from phd_qmclib_tpu.qmc_exec.sweep import SweepProc
 
     nop = args.nop
-    # Burn long enough for the SLOWEST-equilibrating row.
-    burn = max(3, int(round(2.0 / (min(dts) * args.nts))))
+    # Burn long enough for the SLOWEST-equilibrating row: the
+    # longest-wavelength density mode of the LARGEST box relaxes at
+    # omega_1 = c 2 pi / L_max (~0.3 here), so the burn must cover
+    # several 1/omega_1 — the shared block structure means the
+    # smallest dt sets the burn block count for every row.
+    burn = max(3, int(round(args.burn_tau / (min(dts) * args.nts))))
     procs = tuple(
         dmc_exec.Proc(
             model_spec=mrbp.Spec(
@@ -58,8 +65,12 @@ def run_sweep(args, dts):
                                          as_pure_est=True))
         for i, sc in enumerate(args.lengths)
         for j, dt in enumerate(dts))
+    # Crystal-like start: near-minimal interaction energy and ordered
+    # long-wavelength modes, so the burn relaxes a SMALL offset
+    # instead of the big random-start one (same reasoning as the TG
+    # itc_spectrum run).
     inputs = [dmc_exec.ProcInput.from_model_sys_conf_spec(
-        dmc_exec.ModelSysConfSpec(dist_type="RANDOM"), p)
+        dmc_exec.ModelSysConfSpec(dist_type="REGULAR"), p)
         for p in procs]
     return SweepProc(procs).exec(inputs)
 
@@ -75,12 +86,30 @@ def main():
                              "density feeds the dt->0 extrapolation")
     parser.add_argument("--gn", type=float, default=4.0)
     parser.add_argument("--modes", type=int, default=12)
+    parser.add_argument("--burn-tau", type=float, default=10.0,
+                        help="imaginary-time burn per row (several "
+                             "1/omega_1 of the largest box)")
     parser.add_argument("--lengths", type=float, nargs="+",
-                        default=[48.0, 40.0, 34.5, 32.0, 29.0, 26.5,
-                                 24.0])
+                        default=[40.0, 36.0, 32.0, 29.0, 26.5])
+    parser.add_argument("--itc", action="store_true",
+                        help="add a companion ITC run at the central "
+                             "density: dispersion fits of F(k, tau) "
+                             "and the compressibility sum rule "
+                             "chi(k->0) = -2/c^2 close the FOUR-way "
+                             "sound-speed comparison")
+    parser.add_argument("--itc-walkers", type=int, default=8192)
+    parser.add_argument("--itc-blocks", type=int, default=24)
+    parser.add_argument("--itc-lags", type=int, default=48)
+    parser.add_argument("--itc-mult", type=int, default=16)
+    parser.add_argument("--itc-pfw-blocks", type=int, default=8,
+                        help="pure-S(k) companion forward-walking "
+                             "window, in 512-step blocks (tau_fw = "
+                             "0.512 x this; 6 windows are run)")
     args = parser.parse_args()
 
     from phd_qmclib_tpu.analysis import zero_limit_extrapolation
+    from phd_qmclib_tpu.lieb_liniger import (ground_state,
+                                             ground_state_energy)
 
     dts = [args.dt, args.dt / 4.0]
     results = run_sweep(args, dts)
@@ -104,10 +133,17 @@ def main():
         c, c_err = ssf.sound_speed(nop, sc,
                                    num_modes=min(4, args.modes - 1))
         c_feyn.append((c, c_err))
+        # Exact Bethe-ansatz value at this density (v0 = 0 ONLY —
+        # the lattice has no closed solution): per-point validation
+        # of the whole energy pipeline.
+        e_exact = n ** 2 * ground_state_energy(args.gn / (2 * n),
+                                               num_points=256)
         print(json.dumps({"L": sc, "n": n,
                           "e_raw_dt": row[dts[0]][0],
                           "e_raw_dt4": row[dts[1]][0],
                           "e_dt0": e0, "e_err": e0_err,
+                          "e_exact_ll": e_exact,
+                          "dev_sigma": (e0 - e_exact) / e0_err,
                           "c_feynman": c, "c_feynman_err": c_err}),
               flush=True)
 
@@ -127,14 +163,90 @@ def main():
 
     ic = int(np.argmin(np.abs(ns - n0)))
     c_f0, c_f0_err = c_feyn[ic]
+    gs_exact = ground_state(args.gn / (2 * n0), density=n0,
+                            num_points=256)
     print(json.dumps({
         "n0": n0, "gn": args.gn, "gamma_at_n0": args.gn / (2 * n0),
         "c_eos": c_eos, "c_eos_err": c_eos_err,
         "c_feynman_at_n0": c_f0, "c_feynman_err": c_f0_err,
-        "ratio": c_eos / c_f0,
-        "consistent_2sigma": bool(
-            abs(c_eos - c_f0) <= 2 * (c_eos_err + c_f0_err)),
+        "c_exact_ll": gs_exact["sound_speed"],
+        "luttinger_k_exact_ll": gs_exact["luttinger_k"],
+        "ratio_eos_vs_exact": c_eos / gs_exact["sound_speed"],
+        "consistent_2sigma_vs_exact": bool(
+            abs(c_eos - gs_exact["sound_speed"])
+            <= 2 * max(c_eos_err, 1e-12)),
         "c_tg_limit": 2 * np.pi * n0,
+    }), flush=True)
+
+    if not args.itc:
+        return
+
+    # FOUR-way closure at the central density: a companion DMC run
+    # measures F(k, tau) deep enough (omega_1 tau_max ~ 3-4) for
+    # (3) the phonon-dispersion fits (tail fit + spectral-inversion
+    # peak, ITCBlocks machinery) and (4) the compressibility sum rule
+    # chi(k -> 0) = -2/c^2 via the static response.  Routes (1) EOS
+    # curvature and (2) Feynman S(k) come from the sweep above; all
+    # four ride DIFFERENT functionals of different estimator chains.
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from itc_spectrum import itc_blocks, measure, pure_ssf
+
+    sc_c = float(sorted(args.lengths)[len(args.lengths) // 2])
+    out = measure(v0=0.0, gn=args.gn, nop=args.nop,
+                  walkers=args.itc_walkers, nts=512,
+                  blocks=args.itc_blocks, dt=1e-3, est_every=8,
+                  num_modes=6, num_lags=args.itc_lags,
+                  rm=0.25 * sc_c, burn=12, itc_mult=args.itc_mult,
+                  supercell=sc_c)
+    itcb = itc_blocks(out)
+    kz = out["k"]
+    # The ITC amplitude F(k, 0) = S(k)_mixed carries trial bias
+    # (largest at small k) that enters m_{-1} linearly and the sound
+    # speed at half weight; a pure (forward-walked) S(k) companion
+    # re-anchors the amplitude while the mixed DECAY — exact in DMC —
+    # provides the shape (ITCBlocks.static_response hybrid mode).
+    s_pure, s_pure_err = pure_ssf(
+        v0=0.0, gn=args.gn, nop=args.nop, walkers=args.itc_walkers,
+        nts=512, blocks=6 * args.itc_pfw_blocks, dt=1e-3,
+        num_modes=6, rm=0.25 * sc_c, burn=16,
+        pfw_steps=512 * args.itc_pfw_blocks, supercell=sc_c)
+    sr_mixed = itcb.static_response()
+    sr = itcb.static_response(ssf=s_pure, ssf_err=s_pure_err)
+    fit, fit_err = itcb.excitation_fit()
+    spec = itcb.spectral_function(num_omega=96)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        c_tail = fit / kz
+        c_peak = spec["omega_peak"] / kz
+        # Feynman c from the deep-projected pure companion:
+        # omega_F/k = k / S_pure(k) -> c as k -> 0.
+        c_feyn_pure = kz[1:3] / s_pure[1:3]
+    print(json.dumps({
+        "four_way_closure_at_n": args.nop / sc_c,
+        "itc_tau_max": float(out["tau"][-1]),
+        "c_exact_ll": gs_exact["sound_speed"],
+        "c_eos": c_eos, "c_eos_err": c_eos_err,
+        "c_feynman_pure_sweep": c_f0, "c_feynman_err": c_f0_err,
+        "c_feynman_pure_companion_k1": float(c_feyn_pure[0]),
+        "c_dispersion_tail_k1": float(c_tail[1]),
+        "c_dispersion_tail_k1_err": float(fit_err[1] / kz[1]),
+        "c_dispersion_peak_k1": float(c_peak[1]),
+        "c_dispersion_peak_k1_err":
+            float(spec["omega_peak_err"][1] / kz[1]),
+        "c_compressibility_hybrid_k1": float(sr["sound_speed"][1]),
+        "c_compressibility_hybrid_k1_err":
+            float(sr["sound_speed_err"][1]),
+        "c_compressibility_hybrid_k2": float(sr["sound_speed"][2]),
+        "c_compressibility_mixed_k1":
+            float(sr_mixed["sound_speed"][1]),
+        "s_pure": s_pure.tolist(), "s_pure_err": s_pure_err.tolist(),
+        "s_mixed_f0": out["f"][0].tolist(),
+        "chi_hybrid_k": sr["chi"].tolist(),
+        "chi_k0_exact_ll": gs_exact["chi_k0"],
+        "omega_bound_vs_feynman_mixed": {
+            "m0_over_m_minus1": sr["omega_bound"].tolist(),
+            "feynman_mixed": out["feynman"].tolist()},
     }), flush=True)
 
 

@@ -38,13 +38,14 @@ import numpy as np
 
 def measure(v0, gn, nop, walkers, nts, blocks, dt, est_every,
             num_modes, num_lags, seed=7, rm=0.3, burn=4,
-            regular_init=False, itc_mult=1):
+            regular_init=False, itc_mult=1, supercell=None):
     from phd_qmclib_tpu.models import mrbp
     from phd_qmclib_tpu.samplers import dmc
 
     spec = mrbp.Spec(lattice_depth=v0, lattice_ratio=1.0,
                      interaction_strength=gn, boson_number=nop,
-                     supercell_size=float(nop), tbf_contact_cutoff=rm)
+                     supercell_size=float(supercell or nop),
+                     tbf_contact_cutoff=rm)
     sampling = dmc.Sampling(
         spec, time_step=dt, max_num_walkers=walkers + walkers // 8,
         target_num_walkers=walkers, rng_seed=seed, est_every=est_every,
@@ -137,7 +138,7 @@ def itc_blocks(out):
 
 
 def pure_ssf(v0, gn, nop, walkers, nts, blocks, dt, num_modes,
-             seed=7, rm=0.3, burn=4, pfw_steps=None):
+             seed=7, rm=0.3, burn=4, pfw_steps=None, supercell=None):
     """Forward-walked (pure) S(k) companion run: the mixed S(k) in the
     ITC run carries O(psi_T - phi_0) trial bias, largest at small k —
     the Feynman ratio k^2/S(k) is only an honest mean-excitation
@@ -152,7 +153,8 @@ def pure_ssf(v0, gn, nop, walkers, nts, blocks, dt, num_modes,
 
     spec = mrbp.Spec(lattice_depth=v0, lattice_ratio=1.0,
                      interaction_strength=gn, boson_number=nop,
-                     supercell_size=float(nop), tbf_contact_cutoff=rm)
+                     supercell_size=float(supercell or nop),
+                     tbf_contact_cutoff=rm)
     sampling = dmc.Sampling(
         spec, time_step=dt, max_num_walkers=walkers + walkers // 8,
         target_num_walkers=walkers, rng_seed=seed,
@@ -166,8 +168,7 @@ def pure_ssf(v0, gn, nop, walkers, nts, blocks, dt, num_modes,
     it = sampling.blocks(state, nts, burn_in_blocks=burn)
     for _ in range(burn):
         next(it)
-    ssf = np.zeros(num_modes)
-    w = 0.0
+    vals, ws = [], []
     win = max(1, (pfw_steps or nts) // nts)
     for i in range(blocks):
         b = next(it)
@@ -176,10 +177,21 @@ def pure_ssf(v0, gn, nop, walkers, nts, blocks, dt, num_modes,
         # Fully-forward-walked value: the last step of the
         # window-final block (same selection as the exec driver's
         # `_BlockAccumulator.add`, qmc_exec/dmc.py win_final).
-        ssf += np.asarray(b.iter_ssf, dtype=np.float64)[-1, :, 0]
-        w += float(np.asarray(b.iter_props.num_walkers,
-                              dtype=np.float64)[-1])
-    return ssf / w / nop
+        vals.append(np.asarray(b.iter_ssf, dtype=np.float64)[-1, :, 0])
+        ws.append(float(np.asarray(b.iter_props.num_walkers,
+                                   dtype=np.float64)[-1]))
+    vals = np.stack(vals)
+    ws = np.asarray(ws)
+    mean = vals.sum(axis=0) / ws.sum() / nop
+    if len(ws) >= 2:          # delete-one-window jackknife
+        loo = np.stack([(vals.sum(axis=0) - vals[i])
+                        / (ws.sum() - ws[i]) / nop
+                        for i in range(len(ws))])
+        err = np.sqrt((len(ws) - 1) / len(ws)
+                      * ((loo - loo.mean(axis=0)) ** 2).sum(axis=0))
+    else:
+        err = np.full_like(mean, np.nan)
+    return mean, err
 
 
 def main():
@@ -361,8 +373,8 @@ def main():
         "sound_speed_itc_tail": c_itc,
         "sound_speed_inversion_peak": c_inv,
         "sound_speed_feynman_mixed": float(c_ssf)}
-    # Compressibility sum rule: chi(k) = -2 m_{-1}(k) -> -1/c^2 as
-    # k -> 0, so 1/sqrt(2 m_{-1}(k_1)) is a THIRD sound-speed route,
+    # Compressibility sum rule: chi(k) = -2 m_{-1}(k) -> -2/c^2 as
+    # k -> 0, so 1/sqrt(m_{-1}(k_1)) is a THIRD sound-speed route,
     # independent of both the S(k) slope and the dispersion fits.
     # The tail completion uses the fitted decay (an upper bound), so
     # this c carries a small UPWARD bias that dies as omega_1 tau_max
@@ -386,10 +398,10 @@ def main():
         # (one block projects only 0.5 and leaves S(k_1) visibly
         # trial-biased — the Feynman ratio then sits BELOW the
         # measured decay, a false bound violation).
-        s_pure = pure_ssf(v0=1.0, gn=2.0, nop=args.nop,
-                          walkers=max(args.walkers, 16384), nts=512,
-                          blocks=24, dt=1e-3, num_modes=8, burn=12,
-                          pfw_steps=2048)
+        s_pure, _ = pure_ssf(v0=1.0, gn=2.0, nop=args.nop,
+                             walkers=max(args.walkers, 16384), nts=512,
+                             blocks=24, dt=1e-3, num_modes=8, burn=12,
+                             pfw_steps=2048)
         feyn_pure = np.full_like(s_pure, np.nan)
         feyn_pure[1:] = kz[1:] ** 2 / s_pure[1:]
         below = (fit <= 1.05 * feyn_pure) | ~np.isfinite(fit)

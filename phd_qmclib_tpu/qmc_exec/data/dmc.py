@@ -797,7 +797,9 @@ class ITCBlocks:
                       * ((loo - loo.mean(axis=0)) ** 2).sum(axis=0))
         return omega, err
 
-    def static_response(self, fit_fraction: float = 0.5):
+    def static_response(self, fit_fraction: float = 0.5,
+                        ssf: t.Optional[np.ndarray] = None,
+                        ssf_err: t.Optional[np.ndarray] = None):
         """Static (zero-frequency) density response
         ``chi(k) = -2 m_{-1}(k)`` from the inverse-first-moment sum
         rule (units ``hbar^2/2m = 1``)::
@@ -820,8 +822,10 @@ class ITCBlocks:
 
         Derived diagnostics per mode:
 
-        * ``sound_speed = 1/sqrt(2 m_{-1})`` — the compressibility sum
-          rule ``m_{-1} -> 1/(2 c^2)`` as ``k -> 0``, a THIRD route to
+        * ``sound_speed = 1/sqrt(m_{-1})`` — the compressibility sum
+          rule ``m_{-1} -> 1/c^2`` as ``k -> 0`` (single phonon pole:
+          ``S -> k/c``, ``omega -> c k``, consistent with the f-sum
+          ``m1 = k^2`` these units carry), a THIRD route to
           the macroscopic sound speed, independent of the S(k) slope
           (Feynman) and of the dispersion-peak/tail fits;
         * ``omega_bound = m0 / m_{-1}`` with ``m0 = F(k, 0) = S(k)`` —
@@ -832,6 +836,21 @@ class ITCBlocks:
         Errors are delete-one-block jackknives of the full functional
         (each resample re-fits its own tail slope).  No reference
         analog — the reference has no two-time observables.
+
+        **Amplitude bias and the hybrid rescale.**  The ITC is a
+        mixed estimator: DMC renders its DECAY RATES exact while its
+        overall amplitude ``F(k, 0) = S(k)_mixed`` carries
+        ``O(psi_T - phi_0)`` trial bias (largest at small k).  The
+        ``omega_bound = m0/m_{-1} = 1 / int (F/F(0)) dtau`` is a ratio
+        of the same amplitude and is therefore amplitude-bias-FREE
+        as-is; ``m_{-1}``, ``chi`` and the sound speed are not.  Pass
+        the same run's PURE (forward-walked) structure factor as
+        ``ssf`` (per-particle, mode-aligned, i.e.
+        ``SSFBlocks.mean / N``) to rescale
+        ``m_{-1} = S_pure(k) int (F/F(0)) dtau`` — decay shape from
+        the mixed two-time measurement, amplitude from the unbiased
+        one-time one.  ``ssf_err`` (same normalization) is folded into
+        the errors in quadrature.
 
         :return: dict of per-mode arrays ``m_minus1``, ``chi``,
             ``omega_bound``, ``sound_speed`` and their ``*_err``
@@ -877,9 +896,14 @@ class ITCBlocks:
                     dtau * (fj[1:] - fj[:-1])
                     / np.where(flat, 1.0, logr))
                 m = seg.sum() + fj[-1] / slope
+                out[1, j] = fj[0] / m       # amplitude-bias-free
+                if ssf is not None:
+                    sj = float(np.asarray(ssf, dtype=np.float64)[j])
+                    if not (np.isfinite(sj) and sj > 0):
+                        continue
+                    m *= sj / fj[0]         # hybrid rescale
                 out[0, j] = m
-                out[1, j] = fj[0] / m
-                out[2, j] = 1.0 / np.sqrt(2.0 * m)
+                out[2, j] = 1.0 / np.sqrt(m)
             return out
 
         full = _eval(self.lag_sums, self.lag_counts)
@@ -902,6 +926,17 @@ class ITCBlocks:
             var = (np.where(fin, (loo - mu) ** 2, 0.0)).sum(axis=0)
             err = np.where(cnt >= 2,
                            np.sqrt((safe - 1.0) / safe * var), np.nan)
+        if ssf is not None and ssf_err is not None:
+            # The pure-S(k) amplitude uncertainty enters m_{-1} (and
+            # chi) linearly and the sound speed at half weight; the
+            # omega_bound is amplitude-free and untouched.
+            with np.errstate(invalid="ignore", divide="ignore"):
+                rel = (np.asarray(ssf_err, dtype=np.float64)
+                       / np.asarray(ssf, dtype=np.float64))
+            rel = np.where(np.isfinite(rel), rel, 0.0)
+            err[0] = np.sqrt(err[0] ** 2 + (full[0] * rel) ** 2)
+            err[2] = np.sqrt(err[2] ** 2
+                             + (0.5 * full[2] * rel) ** 2)
         return {"m_minus1": full[0], "m_minus1_err": err[0],
                 "chi": -2.0 * full[0], "chi_err": 2.0 * err[0],
                 "omega_bound": full[1], "omega_bound_err": err[1],

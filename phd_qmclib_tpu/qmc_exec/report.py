@@ -305,12 +305,36 @@ def describe_dmc(result, full: bool = False) -> str:
                      f"{blocks.cm_diffusion.num_windows} CM-diffusion "
                      f"windows")
     if blocks.itc is not None:
-        lines += _itc_lines(blocks.itc, blocks.ss_factor, nop, full)
+        s_p, s_pe = _pure_ssf_for_itc(blocks.itc, blocks.ss_factor,
+                                      proc, nop)
+        lines += _itc_lines(blocks.itc, blocks.ss_factor, nop, full,
+                            ssf_pure=s_p, ssf_pure_err=s_pe)
     lines += _luttinger_lines(blocks, proc, nop, sc, mm=mm)
     return "\n".join(lines)
 
 
-def _itc_lines(itc_blocks, ssf_blocks, nop: int, full: bool) \
+def _pure_ssf_for_itc(itc, ssf_blocks, proc, nop: int):
+    """Mode-aligned per-particle PURE S(k) (+err) for the hybrid
+    (amplitude-bias-free) static response; ``(None, None)`` when the
+    run's S(k) is mixed or absent (the mixed amplitude would defeat
+    the point of the rescale)."""
+    spec = getattr(proc, "ssf_spec", None)
+    if ssf_blocks is None or spec is None \
+            or not getattr(spec, "as_pure_est", False):
+        return None, None
+    n_m = itc.num_modes
+    s = np.full(n_m, np.nan)
+    se = np.full(n_m, np.nan)
+    mean = np.asarray(ssf_blocks.mean, dtype=np.float64) / nop
+    err = np.asarray(ssf_blocks.mean_error, dtype=np.float64) / nop
+    m = min(n_m, mean.shape[0])
+    s[:m] = mean[:m]
+    se[:m] = err[:m]
+    return s, se
+
+
+def _itc_lines(itc_blocks, ssf_blocks, nop: int, full: bool,
+               ssf_pure=None, ssf_pure_err=None) \
         -> t.List[str]:
     """Imaginary-time correlation: effective excitation energies from
     the large-tau log slope of F(k, tau) — a tau-dependent UPPER bound
@@ -379,15 +403,19 @@ def _itc_lines(itc_blocks, ssf_blocks, nop: int, full: bool) \
         # Static response chi(k) = -2 m_{-1} (inverse-moment sum rule,
         # tail-completed tau integral of F): the m0/m_{-1} excitation
         # bound is Cauchy-Schwarz-tighter than Feynman's m1/m0, and
-        # 1/sqrt(2 m_{-1}) -> c as k -> 0 (compressibility sum rule) —
+        # 1/sqrt(m_{-1}) -> c as k -> 0 (compressibility sum rule) —
         # a third, independent sound-speed route.
         try:
-            sr = itc_blocks.static_response()
+            sr = itc_blocks.static_response(ssf=ssf_pure,
+                                            ssf_err=ssf_pure_err)
+            amp = "pure-S(k) amplitude" if ssf_pure is not None \
+                else "mixed amplitude"
             parts = [f"k{j} = " + _fmt(sr["chi"][j], sr["chi_err"][j])
                      for j in show if np.isfinite(sr["chi"][j])]
             if parts:
                 lines.append("            static response chi(k) = "
-                             "-2 m_{-1}: " + ", ".join(parts))
+                             f"-2 m_{{-1}} [{amp}]: "
+                             + ", ".join(parts))
                 bound = [f"k{j} = " + _fmt(sr["omega_bound"][j],
                                            sr["omega_bound_err"][j])
                          for j in show
@@ -612,14 +640,19 @@ def summarize(result, sampling_type: str) -> dict:
             except (ValueError, np.linalg.LinAlgError):  # pragma: no cover
                 pass
             # Static response chi(k) = -2 m_{-1} and its derived
-            # diagnostics (see ITCBlocks.static_response).
+            # diagnostics (see ITCBlocks.static_response); hybrid
+            # pure-S(k) amplitude whenever the run measured one.
             try:
-                sr = itc.static_response()
+                s_p, s_pe = _pure_ssf_for_itc(
+                    itc, blocks.ss_factor, proc, nop)
+                sr = itc.static_response(ssf=s_p, ssf_err=s_pe)
                 for key in ("m_minus1", "m_minus1_err", "chi",
                             "chi_err", "omega_bound",
                             "omega_bound_err", "sound_speed",
                             "sound_speed_err"):
                     out[f"itc_{key}"] = np.asarray(sr[key]).tolist()
+                out["itc_chi_amplitude"] = \
+                    "pure" if s_p is not None else "mixed"
             except (ValueError, np.linalg.LinAlgError):  # pragma: no cover
                 pass
     if sampling_type == "vmc":

@@ -145,7 +145,7 @@ def test_static_response_exact_on_single_pole():
     EXACTLY under the log-linear segment rule + analytic tail, the
     m0/m_{-1} bound collapses to omega_k (a single pole saturates
     Cauchy-Schwarz), chi = -2 Z_k/omega_k, and the sound-speed map is
-    1/sqrt(2 m_{-1}); identical blocks give ~zero jackknife spread."""
+    1/sqrt(m_{-1}); identical blocks give ~zero jackknife spread."""
     num_lags, modes, n_blocks, tau_step = 8, 4, 5, 0.05
     nop, sc = 8, 8.0
     omega = np.array([0.0, 1.5, 4.0, 9.0])
@@ -163,9 +163,27 @@ def test_static_response_exact_on_single_pole():
     np.testing.assert_allclose(sr["omega_bound"][1:], omega[1:],
                                rtol=1e-9)
     np.testing.assert_allclose(sr["sound_speed"][1:],
-                               1.0 / np.sqrt(2.0 * expect), rtol=1e-9)
+                               1.0 / np.sqrt(expect), rtol=1e-9)
     assert np.isnan(sr["m_minus1"][0])  # k = 0 row excluded
     np.testing.assert_allclose(sr["m_minus1_err"][1:], 0.0, atol=1e-10)
+    # Hybrid amplitude rescale: decay shape from F, amplitude from a
+    # supplied pure S(k) — m_{-1} -> S_pure/omega; the omega_bound is
+    # amplitude-invariant; the supplied S error propagates linearly
+    # into m (the jackknife part is zero on identical blocks).
+    s_pure = np.array([np.nan, 0.5, 0.6, 0.8])
+    s_err = np.full(4, 1e-3)
+    sr2 = blocks.static_response(fit_fraction=1.0, ssf=s_pure,
+                                 ssf_err=s_err)
+    np.testing.assert_allclose(sr2["m_minus1"][1:],
+                               s_pure[1:] / omega[1:], rtol=1e-9)
+    np.testing.assert_allclose(sr2["omega_bound"][1:], omega[1:],
+                               rtol=1e-9)
+    np.testing.assert_allclose(
+        sr2["m_minus1_err"][1:],
+        (s_pure[1:] / omega[1:]) * (1e-3 / s_pure[1:]), rtol=1e-6)
+    np.testing.assert_allclose(
+        sr2["sound_speed"][1:],
+        1.0 / np.sqrt(s_pure[1:] / omega[1:]), rtol=1e-9)
 
 
 def test_static_response_two_pole_and_bound_ordering():
@@ -327,6 +345,44 @@ def test_report_prints_spectral_inversion_lines():
     assert (c_sr[res] > 0).all()
     both = res & np.isfinite(mean) & np.isfinite(m0) & (m0 > 0)
     assert (bound[both] <= (m1[both] / m0[both]) * 1.1).all()
+    assert s["itc_chi_amplitude"] == "mixed"  # make_proc S(k) is mixed
+
+
+def test_static_response_hybrid_pure_amplitude_in_report():
+    """With a PURE S(k) in the same run the report switches the static
+    response to the hybrid (amplitude-bias-free) rescale and labels
+    it; the JSON marks the amplitude source and the omega_bound is
+    identical to the mixed-amplitude computation (it is a ratio of
+    the same amplitude)."""
+    from phd_qmclib_tpu.qmc_exec.report import describe_dmc, summarize
+    from tests.warn_utils import expect_opt_block_warning
+
+    proc = make_proc(num_blocks=6, num_time_steps_block=16,
+                     ssf_spec=dmc_exec.SSFEstSpec(num_modes=4,
+                                                  as_pure_est=True),
+                     itc_spec=dmc_exec.ITCEstSpec(num_modes=4,
+                                                  num_lags=6))
+    result = proc.exec(make_input(proc))
+    with expect_opt_block_warning():
+        report = describe_dmc(result, full=False)
+    assert "[pure-S(k) amplitude]" in report
+    with expect_opt_block_warning():
+        s = summarize(result, "dmc")
+    assert s["itc_chi_amplitude"] == "pure"
+    itc = result.data.blocks.itc
+    mixed = itc.static_response()
+    np.testing.assert_allclose(
+        np.asarray(s["itc_omega_bound"], dtype=float)[1:],
+        mixed["omega_bound"][1:], rtol=1e-12)
+    # The hybrid m_{-1} really re-anchored to the pure amplitude:
+    # m_{-1}^hybrid / m_{-1}^mixed = S_pure / F(0) mode by mode.
+    ssf = result.data.blocks.ss_factor
+    s_pure = np.asarray(ssf.mean, dtype=np.float64)[:4] / NOP
+    hyb = np.asarray(s["itc_m_minus1"], dtype=float)
+    ok = np.isfinite(hyb) & np.isfinite(mixed["m_minus1"])
+    np.testing.assert_allclose(
+        (hyb / mixed["m_minus1"])[ok],
+        (s_pure / itc.mean[0])[ok], rtol=1e-10)
 
 
 def test_spectral_function_from_production_driver_run():
