@@ -61,8 +61,14 @@ def run_sweep(args, dts):
             target_num_walkers=args.walkers, num_blocks=args.blocks,
             num_time_steps_block=args.nts, burn_in_blocks=burn,
             rng_seed=13 + 7 * i + j, verbose=False,
-            ssf_spec=dmc_exec.SSFEstSpec(num_modes=args.modes,
-                                         as_pure_est=True))
+            # 4-block forward-walking windows: at the LARGE dt rows
+            # tau_fw = 4 nts dt ~ 2 covers the slowest mode's
+            # relaxation (one-block windows leave S(k_1) visibly
+            # trial-biased; the dt/4 rows project 4x less and their
+            # S(k) is NOT used for the Feynman read-off below).
+            ssf_spec=dmc_exec.SSFEstSpec(
+                num_modes=args.modes, as_pure_est=True,
+                pfw_num_time_steps=4 * args.nts))
         for i, sc in enumerate(args.lengths)
         for j, dt in enumerate(dts))
     # Crystal-like start: near-minimal interaction energy and ordered
@@ -128,8 +134,11 @@ def main():
             np.asarray([row[dt][1] for dt in dts]), order=1)
         n = nop / sc
         ns.append(n), es.append(e0), errs.append(e0_err)
-        # Feynman c from the small-dt row's pure S(k).
-        ssf = results[len(dts) * i + 1].data.blocks.ss_factor
+        # Feynman c from the LARGE-dt row's pure S(k): its 4-block
+        # window projects 4x more imaginary time than the dt/4 row's,
+        # and the forward-walking projection error dominates the
+        # Trotter one for S(k).
+        ssf = results[len(dts) * i].data.blocks.ss_factor
         c, c_err = ssf.sound_speed(nop, sc,
                                    num_modes=min(4, args.modes - 1))
         c_feyn.append((c, c_err))

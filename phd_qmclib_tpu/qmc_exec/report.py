@@ -257,6 +257,13 @@ def describe_dmc(result, full: bool = False) -> str:
     e_err = float(blocks.energy.mean_error)
     lines.append(f"energy      E/N = {_fmt(e_mean / nop, e_err / nop)}"
                  f"   (E = {_fmt(e_mean, e_err)} per walker)")
+    ll = _exact_ll_reference(proc.model_spec)
+    if ll is not None:
+        dev = (e_mean / nop - ll["e"]) / max(e_err / nop, 1e-300)
+        lines.append(
+            f"            exact Lieb-Liniger (v0 = 0, Bethe ansatz): "
+            f"E/N = {ll['e']:.6g} ({dev:+.1f} sigma), "
+            f"c = {ll['sound_speed']:.6g}, K = {ll['luttinger_k']:.6g}")
     lines.append(_correlation_line(blocks.energy))
     state = result.state
     if state is not None and hasattr(state, "accum_energy"):
@@ -442,6 +449,25 @@ def _itc_lines(itc_blocks, ssf_blocks, nop: int, full: bool,
     return lines
 
 
+def _exact_ll_reference(model_spec) -> t.Optional[dict]:
+    """Exact Bethe-ansatz ground-state data when the model IS the
+    Lieb-Liniger gas (no lattice, no defects, repulsive coupling);
+    None otherwise.  Used by the report as an absolute reference line
+    — every v0 = 0 run can be checked against the exact solution."""
+    try:
+        if model_spec.lattice_depth > 1e-12 \
+                or getattr(model_spec, "num_defects", 0) \
+                or model_spec.interaction_strength <= 0:
+            return None
+        dens = model_spec.boson_number / model_spec.supercell_size
+        gamma = model_spec.interaction_strength / (2.0 * dens)
+    except AttributeError:     # partial spec (e.g. unit-test stubs)
+        return None
+    from ..lieb_liniger import ground_state
+
+    return ground_state(gamma, density=dens, num_points=256)
+
+
 def _luttinger_lines(blocks, proc, nop: int, sc: float,
                      mm: t.Optional[t.Tuple[float, float]] = None) \
         -> t.List[str]:
@@ -494,6 +520,11 @@ def _luttinger_lines(blocks, proc, nop: int, sc: float,
                     f"            K from hydrodynamics "
                     f"(2 pi n f_s / c, independent chains) = "
                     f"{_fmt(k_hydro, k_hydro_err)}")
+    ll = _exact_ll_reference(proc.model_spec)
+    if ll is not None:
+        lines.append(f"            exact Lieb-Liniger K "
+                     f"(v0 = 0, Bethe ansatz) = "
+                     f"{ll['luttinger_k']:.6g}")
     return lines
 
 
@@ -655,6 +686,13 @@ def summarize(result, sampling_type: str) -> dict:
                     "pure" if s_p is not None else "mixed"
             except (ValueError, np.linalg.LinAlgError):  # pragma: no cover
                 pass
+    ll = _exact_ll_reference(proc.model_spec)
+    if ll is not None:
+        out["exact_lieb_liniger"] = {
+            "e_per_particle": ll["e"], "mu": ll["mu"],
+            "sound_speed": ll["sound_speed"],
+            "luttinger_k": ll["luttinger_k"],
+            "ssf_slope": ll["ssf_slope"], "chi_k0": ll["chi_k0"]}
     if sampling_type == "vmc":
         out["move_spread"] = proc.move_spread
         out["num_walkers"] = proc.num_walkers

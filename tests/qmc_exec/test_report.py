@@ -120,6 +120,58 @@ class TestReport:
         assert "variational upper bound" in out.output
 
 
+def test_exact_ll_reference_lines_for_free_gas_runs():
+    """A v0 = 0 run's report carries the exact Bethe-ansatz reference
+    (E/N with a sigma deviation, c, K) and the JSON summary the full
+    exact block; lattice runs carry neither."""
+    import numpy as np
+
+    from phd_qmclib_tpu.models import mrbp
+    from phd_qmclib_tpu.qmc_exec import dmc as dmc_exec
+    from phd_qmclib_tpu.qmc_exec.report import describe_dmc, summarize
+    from phd_qmclib_tpu.lieb_liniger import ground_state
+    from tests.warn_utils import expect_opt_block_warning
+
+    spec = dict(lattice_depth=0.0, lattice_ratio=1.0,
+                interaction_strength=2.0, boson_number=8,
+                supercell_size=8.0, tbf_contact_cutoff=2.0)
+    proc = dmc_exec.Proc(
+        model_spec=mrbp.Spec(**spec), time_step=2e-3,
+        max_num_walkers=288, target_num_walkers=256, num_blocks=6,
+        num_time_steps_block=64, burn_in_blocks=3, rng_seed=5,
+        dtype="float64")
+    pin = dmc_exec.ProcInput.from_model_sys_conf_spec(
+        dmc_exec.ModelSysConfSpec(dist_type="REGULAR"), proc)
+    result = proc.exec(pin)
+    with expect_opt_block_warning():
+        report = describe_dmc(result, full=False)
+    assert "exact Lieb-Liniger" in report
+    with expect_opt_block_warning():
+        s = summarize(result, "dmc")
+    exact = s["exact_lieb_liniger"]
+    gs = ground_state(2.0 / (2 * 1.0), density=1.0, num_points=256)
+    assert exact["e_per_particle"] == gs["e"]
+    assert exact["luttinger_k"] == gs["luttinger_k"]
+    # The short f64 run really sits near the exact energy (coarse
+    # gate: dt bias + 6 blocks; the precision version is the chip
+    # benchmark eos_sound_speed.py).
+    assert abs(s["energy_per_particle"] - gs["e"]) < 0.05
+    # Lattice runs: no exact line.
+    proc_latt = dmc_exec.Proc(
+        model_spec=mrbp.Spec(**{**spec, "lattice_depth": 4.0,
+                                "tbf_contact_cutoff": 0.3}),
+        time_step=2e-3, max_num_walkers=96, target_num_walkers=64,
+        num_blocks=3, num_time_steps_block=16, burn_in_blocks=1,
+        rng_seed=5, dtype="float64")
+    pin2 = dmc_exec.ProcInput.from_model_sys_conf_spec(
+        dmc_exec.ModelSysConfSpec(dist_type="RANDOM"), proc_latt)
+    res2 = proc_latt.exec(pin2)
+    with expect_opt_block_warning():
+        assert "exact Lieb-Liniger" not in describe_dmc(res2)
+    with expect_opt_block_warning():
+        assert "exact_lieb_liniger" not in summarize(res2, "dmc")
+
+
 def test_luttinger_obdm_line_carries_upper_bound_caveat():
     """The OBDM-tail K is biased high (BASELINE.md Luttinger study);
     the report must say so inline instead of presenting it as 'the'
