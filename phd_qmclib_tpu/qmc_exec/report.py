@@ -548,6 +548,14 @@ def describe_vmc(result, full: bool = False) -> str:
     e_err = float(blocks.energy.mean_error)
     lines.append(f"energy      E/N = {_fmt(e_mean / nop, e_err / nop)}"
                  f"   (variational upper bound)")
+    ll = _exact_ll_reference(proc.model_spec)
+    if ll is not None:
+        gap = e_mean / nop - ll["e"]
+        lines.append(
+            f"            exact Lieb-Liniger (v0 = 0, Bethe ansatz): "
+            f"E/N = {ll['e']:.6g} — variational gap "
+            f"{gap:+.4g} ({100.0 * gap / abs(ll['e']):.2f}% of E, "
+            f"trial-function quality)")
     lines.append(_correlation_line(blocks.energy))
     if blocks.ss_factor is not None:
         lines += _ssf_lines(blocks.ss_factor, nop, sc, full)

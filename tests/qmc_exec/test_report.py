@@ -172,6 +172,36 @@ def test_exact_ll_reference_lines_for_free_gas_runs():
         assert "exact_lieb_liniger" not in summarize(res2, "dmc")
 
 
+def test_exact_ll_variational_gap_in_vmc_report():
+    """VMC reports on the free gas quote the exact energy and the
+    variational gap (trial-function quality readout)."""
+    from phd_qmclib_tpu.models import mrbp
+    from phd_qmclib_tpu.qmc_exec import vmc as vmc_exec
+    from phd_qmclib_tpu.qmc_exec.report import describe_vmc
+
+    proc = vmc_exec.Proc(
+        model_spec=mrbp.Spec(lattice_depth=0.0, lattice_ratio=1.0,
+                             interaction_strength=2.0, boson_number=8,
+                             supercell_size=8.0,
+                             tbf_contact_cutoff=2.0),
+        move_spread=0.5, num_walkers=64, num_blocks=4,
+        num_steps_block=32, burn_in_blocks=2, rng_seed=9,
+        dtype="float64")
+    pin = vmc_exec.ProcInput.from_model_sys_conf_spec(
+        vmc_exec.ModelSysConfSpec(dist_type="RANDOM"), proc)
+    result = proc.exec(pin)
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        report = describe_vmc(result)
+    assert "variational gap" in report
+    (line,) = [ln for ln in report.splitlines()
+               if "variational gap" in ln]
+    # The gap the line quotes must be non-negative (within noise): the
+    # VMC energy bounds the exact one from above.
+    assert float(line.split("gap")[1].split("(")[0]) > -0.05
+
+
 def test_luttinger_obdm_line_carries_upper_bound_caveat():
     """The OBDM-tail K is biased high (BASELINE.md Luttinger study);
     the report must say so inline instead of presenting it as 'the'
