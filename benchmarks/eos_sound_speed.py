@@ -61,14 +61,16 @@ def run_sweep(args, dts):
             target_num_walkers=args.walkers, num_blocks=args.blocks,
             num_time_steps_block=args.nts, burn_in_blocks=burn,
             rng_seed=13 + 7 * i + j, verbose=False,
-            # 4-block forward-walking windows: at the LARGE dt rows
-            # tau_fw = 4 nts dt ~ 2 covers the slowest mode's
-            # relaxation (one-block windows leave S(k_1) visibly
-            # trial-biased; the dt/4 rows project 4x less and their
-            # S(k) is NOT used for the Feynman read-off below).
+            # 4-block forward-walking windows (scaled down when the
+            # block budget cannot afford >= 2 window samples): at the
+            # LARGE dt rows tau_fw = 4 nts dt ~ 2 covers the slowest
+            # mode's relaxation (one-block windows leave S(k_1)
+            # visibly trial-biased; the dt/4 rows project 4x less and
+            # their S(k) is NOT used for the Feynman read-off below).
             ssf_spec=dmc_exec.SSFEstSpec(
                 num_modes=args.modes, as_pure_est=True,
-                pfw_num_time_steps=4 * args.nts))
+                pfw_num_time_steps=min(4, max(1, args.blocks // 2))
+                * args.nts))
         for i, sc in enumerate(args.lengths)
         for j, dt in enumerate(dts))
     # Crystal-like start: near-minimal interaction energy and ordered

@@ -1,0 +1,78 @@
+"""Tiny-scale smoke of the physics-validation benchmark drivers.
+
+The benchmarks under ``benchmarks/`` are the chip-facing validation
+surface; they import the production package but are not imported by
+it, so a package refactor can silently break them.  These tests run
+the two most wiring-heavy drivers end to end at joke scale (CPU,
+seconds) and assert structural health of their JSON output — NOT the
+physics (that is what the chip runs are for)."""
+import io
+import json
+import pathlib
+import sys
+
+import numpy as np
+import pytest
+
+BENCH_DIR = str(pathlib.Path(__file__).parent.parent / "benchmarks")
+
+
+def _run_main(module_name: str, argv):
+    import warnings
+
+    if BENCH_DIR not in sys.path:
+        sys.path.insert(0, BENCH_DIR)
+    mod = __import__(module_name)
+    old_argv, old_stdout = sys.argv, sys.stdout
+    sys.argv = [module_name + ".py"] + argv
+    sys.stdout = io.StringIO()
+    try:
+        with warnings.catch_warnings():
+            # Joke-scale series legitimately trip the short-series
+            # reblocking warning; the tier stays warning-clean.
+            warnings.simplefilter("ignore", RuntimeWarning)
+            mod.main()
+        out = sys.stdout.getvalue()
+    finally:
+        sys.argv, sys.stdout = old_argv, old_stdout
+    return [json.loads(line) for line in out.splitlines()
+            if line.lstrip().startswith("{")]
+
+
+@pytest.mark.slow
+def test_itc_spectrum_tg_smoke():
+    rows = _run_main("itc_spectrum",
+                     ["--tg", "--walkers", "128", "--blocks", "6"])
+    (payload,) = rows
+    assert payload["mode"] == "tg"
+    assert payload["max_abs_dev_vs_free_fermions"] < 0.2
+    m = np.asarray(payload["static_m_minus1_measured"], dtype=float)
+    ex = np.asarray(payload["static_m_minus1_exact"], dtype=float)
+    assert np.isnan(m[0]) and np.isfinite(m[1:]).all()
+    # Order-of-magnitude only at this scale.
+    assert np.all(np.abs(m[1:] / ex[1:] - 1.0) < 0.5)
+
+
+@pytest.mark.slow
+def test_eos_sound_speed_four_way_smoke():
+    rows = _run_main(
+        "eos_sound_speed",
+        ["--nop", "8", "--walkers", "96", "--nts", "32", "--blocks",
+         "4", "--lengths", "10", "8", "6.4", "--modes", "4",
+         "--burn-tau", "0.5", "--itc", "--itc-walkers", "96",
+         "--itc-blocks", "4", "--itc-lags", "6", "--itc-mult", "1",
+         "--itc-pfw-blocks", "1"])
+    per_row = [r for r in rows if "L" in r]
+    assert len(per_row) == 3
+    for r in per_row:
+        assert np.isfinite(r["e_dt0"]) and np.isfinite(r["e_exact_ll"])
+    (summary,) = [r for r in rows if "c_exact_ll" in r
+                  and "four_way_closure_at_n" not in r]
+    assert summary["c_exact_ll"] == pytest.approx(2.490588, abs=1e-4)
+    (closure,) = [r for r in rows if "four_way_closure_at_n" in r]
+    for key in ("c_compressibility_hybrid_k1", "c_dispersion_tail_k1",
+                "c_feynman_pure_companion_k1"):
+        assert np.isfinite(closure[key]), key
+    # Amplitude bookkeeping: the hybrid used the pure companion.
+    s_pure = np.asarray(closure["s_pure"], dtype=float)
+    assert s_pure.shape == (6,) and (s_pure[1:] > 0).all()
