@@ -12,8 +12,12 @@ this framework on hardware:
   fold the time-step extrapolation into the SAME sweep (each density
   runs at two ``dt`` values as two more rows; the raw ``e(n)`` slope
   carries a dt bias that varies with the local coupling
-  ``gamma(n) = gn / 2n`` and flattens the curvature, so the
-  extrapolation is essential, not cosmetic).  Hydrodynamics gives
+  ``gamma(n) = gn/(2 n0 n)`` at fixed physical ``c_LL`` and flattens
+  the curvature, so the extrapolation is essential, not cosmetic).
+  Each row's ``interaction_strength`` scales linearly with its
+  density so the PHYSICAL coupling stays fixed along the sweep (the
+  model parameter is the reduced ``gamma = gn/(2 n^2)``,
+  ``models/mrbp.py`` ``lgm``).  Hydrodynamics gives
   ``c^2 = (n/m) d mu / d n`` with ``mu = d(n e)/dn``; in this
   codebase's units (``hbar = 1``, energies in ``hbar^2/(2m)``, i.e.
   ``m = 1/2``): ``c^2 = 2 n (2 e' + n e'')``.  Closed-form check in
@@ -49,11 +53,20 @@ def run_sweep(args, dts):
     # several 1/omega_1 — the shared block structure means the
     # smallest dt sets the burn block count for every row.
     burn = max(3, int(round(args.burn_tau / (min(dts) * args.nts))))
+    # The model's interaction_strength is the REDUCED coupling
+    # gamma = gn/(2 n^2) (models/mrbp.py ``lgm``), i.e. c_LL =
+    # gn/(2 n).  A thermodynamic density sweep must hold the PHYSICAL
+    # coupling c_LL fixed, so gn scales linearly with each row's
+    # density (holding gn itself fixed walks a different path — the
+    # first chip run did exactly that and its curvature was
+    # meaningless against the fixed-g sound speed).
+    n0 = nop / float(sorted(args.lengths)[len(args.lengths) // 2])
     procs = tuple(
         dmc_exec.Proc(
             model_spec=mrbp.Spec(
                 lattice_depth=0.0, lattice_ratio=1.0,
-                interaction_strength=args.gn, boson_number=nop,
+                interaction_strength=args.gn * (nop / float(sc)) / n0,
+                boson_number=nop,
                 supercell_size=float(sc),
                 tbf_contact_cutoff=0.25 * float(sc)),
             time_step=float(dt),
@@ -146,9 +159,13 @@ def main():
         c_feyn.append((c, c_err))
         # Exact Bethe-ansatz value at this density (v0 = 0 ONLY —
         # the lattice has no closed solution): per-point validation
-        # of the whole energy pipeline.
-        e_exact = n ** 2 * ground_state_energy(args.gn / (2 * n),
-                                               num_points=256)
+        # of the whole energy pipeline.  gamma(row) = gn_row/(2 n^2)
+        # with gn_row = gn n/n0 (fixed physical coupling), i.e.
+        # gamma = gn/(2 n0 n).
+        n0_c = nop / float(sorted(args.lengths)[len(args.lengths)
+                                                // 2])
+        e_exact = n ** 2 * ground_state_energy(
+            args.gn / (2 * n0_c * n), num_points=256)
         print(json.dumps({"L": sc, "n": n,
                           "e_raw_dt": row[dts[0]][0],
                           "e_raw_dt4": row[dts[1]][0],
@@ -174,10 +191,12 @@ def main():
 
     ic = int(np.argmin(np.abs(ns - n0)))
     c_f0, c_f0_err = c_feyn[ic]
-    gs_exact = ground_state(args.gn / (2 * n0), density=n0,
+    # gamma(n0) = gn/(2 n0^2) (the model's reduced-coupling map).
+    gs_exact = ground_state(args.gn / (2 * n0 ** 2), density=n0,
                             num_points=256)
     print(json.dumps({
-        "n0": n0, "gn": args.gn, "gamma_at_n0": args.gn / (2 * n0),
+        "n0": n0, "gn": args.gn,
+        "gamma_at_n0": args.gn / (2 * n0 ** 2),
         "c_eos": c_eos, "c_eos_err": c_eos_err,
         "c_feynman_at_n0": c_f0, "c_feynman_err": c_f0_err,
         "c_exact_ll": gs_exact["sound_speed"],

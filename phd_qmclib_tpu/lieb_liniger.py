@@ -1,9 +1,13 @@
 """Exact Lieb-Liniger ground state by Bethe ansatz.
 
 The ``lattice_depth = 0`` limit of the multi-rod model is the
-Lieb-Liniger gas: ``H = sum_i -d^2/dz_i^2 + gn sum_{i<j} delta(z_ij)``
-in this codebase's units (``hbar^2/2m = 1``, so the conventional LL
-coupling is ``c_LL = gn / 2`` and ``gamma = c_LL / n = gn / (2 n)``).
+Lieb-Liniger gas in this codebase's units (``hbar^2/2m = 1``).  The
+model's ``interaction_strength`` parameter maps to the Lieb coupling
+through the supercell geometry: ``gamma = (L/N)^2 gn / 2 = gn/(2 n^2)``
+(the model's own reduction, ``models/mrbp.py`` ``lgm``), i.e. the
+conventional coupling is ``c_LL = gamma n = gn/(2 n)`` — at unit
+density the familiar ``gamma = gn/2``.  Verified against chip DMC
+energies at five densities (eos_sound_speed.py).
 Its ground state is exactly solvable (Lieb & Liniger 1963): the
 quasi-momentum density ``rho(k)`` on ``[-Q, Q]`` obeys the linear
 Fredholm equation::

@@ -460,7 +460,8 @@ def _exact_ll_reference(model_spec) -> t.Optional[dict]:
                 or model_spec.interaction_strength <= 0:
             return None
         dens = model_spec.boson_number / model_spec.supercell_size
-        gamma = model_spec.interaction_strength / (2.0 * dens)
+        # Model reduction (models/mrbp.py lgm): gamma = gn/(2 n^2).
+        gamma = model_spec.interaction_strength / (2.0 * dens ** 2)
     except AttributeError:     # partial spec (e.g. unit-test stubs)
         return None
     from ..lieb_liniger import ground_state

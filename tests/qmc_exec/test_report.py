@@ -152,6 +152,20 @@ def test_exact_ll_reference_lines_for_free_gas_runs():
     gs = ground_state(2.0 / (2 * 1.0), density=1.0, num_points=256)
     assert exact["e_per_particle"] == gs["e"]
     assert exact["luttinger_k"] == gs["luttinger_k"]
+    # The coupling map carries the model's n^2 reduction
+    # (gamma = gn/(2 n^2), models/mrbp.py lgm) — pinned away from
+    # n = 1 where both conventions coincide (verified on chip: 5
+    # densities land within 1.5-6.6 sigma of exact ONLY under this
+    # map, eos_sound_speed.py).
+    from phd_qmclib_tpu.qmc_exec.report import _exact_ll_reference
+
+    half = _exact_ll_reference(mrbp.Spec(**{**spec,
+                                            "supercell_size": 16.0,
+                                            "tbf_contact_cutoff": 4.0}))
+    gs_half = ground_state(2.0 / (2 * 0.5 ** 2), density=0.5,
+                           num_points=256)
+    assert half["e"] == gs_half["e"]
+    assert half["sound_speed"] == gs_half["sound_speed"]
     # The short f64 run really sits near the exact energy (coarse
     # gate: dt bias + 6 blocks; the precision version is the chip
     # benchmark eos_sound_speed.py).
