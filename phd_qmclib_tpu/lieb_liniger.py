@@ -94,6 +94,27 @@ def ground_state_energy(gamma: float, num_points: int = 512) -> float:
     return ed / n ** 3
 
 
+@functools.lru_cache(maxsize=64)
+def _ground_state_cached(gamma: float, density: float,
+                         num_points: int, d_gamma: float):
+    out = ground_state.__wrapped__(gamma, density, num_points,
+                                   d_gamma)
+    return tuple(sorted(out.items()))
+
+
+def _with_cache(fn):
+    """Memoize the (pure, deterministic) solve; a fresh dict is built
+    per call so callers can mutate their copy safely."""
+    @functools.wraps(fn)
+    def wrapper(gamma, density=1.0, num_points=512, d_gamma=1e-3):
+        return dict(_ground_state_cached(float(gamma), float(density),
+                                         int(num_points),
+                                         float(d_gamma)))
+    wrapper.__wrapped__ = fn
+    return wrapper
+
+
+@_with_cache
 def ground_state(gamma: float, density: float = 1.0,
                  num_points: int = 512,
                  d_gamma: float = 1e-3) -> t.Dict[str, float]:
