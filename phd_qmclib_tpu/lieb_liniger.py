@@ -53,13 +53,19 @@ def _leggauss(num_points: int):
     return np.polynomial.legendre.leggauss(num_points)
 
 
-def _solve_rho(c_ll: float, q: float, num_points: int):
+def _solve_rho(c_ll: float, q: float, num_points: int,
+               adaptive: bool = True):
     """Quasi-momentum density on ``[-Q, Q]`` by Gauss-Legendre
     collocation of the Lieb equation; returns ``(n, energy_density)``.
     The kernel is smooth on the scale ``c_LL``, so the point count
     scales up with ``Q / c_LL`` when the Lorentzian gets narrow
-    relative to the band (the weak-coupling side)."""
-    num_points = int(min(max(num_points, 12.0 * q / c_ll), 3072))
+    relative to the band (the weak-coupling side); ``adaptive=False``
+    clamps it — used by the coarse bracketing stage, where the
+    far-from-root midpoints only need the SIGN of ``c_LL/n - gamma``
+    and an O(m^3) solve at inflated resolution would dominate the
+    whole computation."""
+    if adaptive:
+        num_points = int(min(max(num_points, 12.0 * q / c_ll), 3072))
     x, w = _leggauss(num_points)
     k = q * x
     wk = q * w
@@ -80,9 +86,22 @@ def ground_state_energy(gamma: float, num_points: int = 512) -> float:
     # Scale invariance: fix c_LL = 1 and bisect the Fermi rapidity Q
     # until c_LL / n(Q) = gamma (n is monotonically increasing in Q).
     c_ll = 1.0
+    # Two-stage geometric bisection.  Stage 1 brackets Q at CLAMPED
+    # resolution (n is monotone in Q and a few-% quadrature error far
+    # from the root cannot flip the comparison ordering there); stage
+    # 2 re-bisects a widened bracket at full adaptive resolution, so
+    # the expensive high-point solves happen only near the root.
     lo, hi = 1e-6, 1e6
-    # 80 geometric bisections of 12 decades: Q resolved far past f64.
-    for _ in range(80):
+    for _ in range(60):
+        q = np.sqrt(lo * hi)
+        n, _ = _solve_rho(c_ll, q, num_points, adaptive=False)
+        if c_ll / n > gamma:
+            lo = q
+        else:
+            hi = q
+    q1 = np.sqrt(lo * hi)
+    lo, hi = q1 / 4.0, q1 * 4.0
+    for _ in range(60):
         q = np.sqrt(lo * hi)
         n, _ = _solve_rho(c_ll, q, num_points)
         if c_ll / n > gamma:

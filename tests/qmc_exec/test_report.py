@@ -137,8 +137,8 @@ def test_exact_ll_reference_lines_for_free_gas_runs():
                 supercell_size=8.0, tbf_contact_cutoff=2.0)
     proc = dmc_exec.Proc(
         model_spec=mrbp.Spec(**spec), time_step=2e-3,
-        max_num_walkers=288, target_num_walkers=256, num_blocks=6,
-        num_time_steps_block=64, burn_in_blocks=3, rng_seed=5,
+        max_num_walkers=144, target_num_walkers=128, num_blocks=4,
+        num_time_steps_block=32, burn_in_blocks=2, rng_seed=5,
         dtype="float64")
     pin = dmc_exec.ProcInput.from_model_sys_conf_spec(
         dmc_exec.ModelSysConfSpec(dist_type="REGULAR"), proc)
@@ -167,9 +167,9 @@ def test_exact_ll_reference_lines_for_free_gas_runs():
     assert half["e"] == gs_half["e"]
     assert half["sound_speed"] == gs_half["sound_speed"]
     # The short f64 run really sits near the exact energy (coarse
-    # gate: dt bias + 6 blocks; the precision version is the chip
-    # benchmark eos_sound_speed.py).
-    assert abs(s["energy_per_particle"] - gs["e"]) < 0.05
+    # gate: dt bias + 4 tiny blocks; the precision version is the
+    # chip benchmark eos_sound_speed.py, 2.8e-3 absolute).
+    assert abs(s["energy_per_particle"] - gs["e"]) < 0.1
     # Lattice runs: no exact line.
     proc_latt = dmc_exec.Proc(
         model_spec=mrbp.Spec(**{**spec, "lattice_depth": 4.0,

@@ -45,6 +45,7 @@ def test_variance_gradient_matches_finite_differences():
     np.testing.assert_allclose(float(g), float(fd), rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_grad_optimizer_agrees_with_de():
     spec, pos_set, lp_set = _setup()
     de_spec = wf_opt.CSWFOptimizer(spec, pos_set, lp_set).exec()
