@@ -194,6 +194,100 @@ def pure_ssf(v0, gn, nop, walkers, nts, blocks, dt, num_modes,
     return mean, err
 
 
+def lattice_run(v0, gn, nop, walkers, nts, blocks, dt, est_every,
+                num_modes, num_lags, itc_mult, pfw_blocks, cm_blocks,
+                rm, burn, seed=7):
+    """ONE deep-lattice run measuring the three ingredients of the
+    lattice phonon-speed closure together: the imaginary-time
+    correlation F(k, tau) (mixed, deep lags), the PURE forward-walked
+    S(k) (``pfw_blocks``-block windows), and the CM-diffusion phase
+    stiffness (``cm_blocks``-block windows).  ``blocks`` must be a
+    common multiple of both window lengths so every window closes.
+
+    Physics: in a lattice, Galilean invariance is broken and the
+    Luttinger relation ``c^2 = v_J v_N`` splits the sound speed into
+    the phase stiffness ``v_J = v_F (m/m*)`` (CM diffusion; Leggett's
+    T = 0 identity) and the thermodynamic ``v_N`` (compressibility sum
+    rule ``m_{-1}(k -> 0) -> `` per-particle ``(1/2n) dn/dmu``), so::
+
+        c_lattice = sqrt((m/m*) / m_{-1})
+
+    while the same run's F(k, tau) dispersion fits read ``c`` directly
+    — two routes through DIFFERENT estimator chains that must agree
+    with NO exact solution available (the v0 = 0 limit of both is the
+    Bethe-ansatz-validated four-way closure, eos_sound_speed.py).
+    """
+    from phd_qmclib_tpu import analysis
+    from phd_qmclib_tpu.models import mrbp
+    from phd_qmclib_tpu.samplers import dmc
+
+    if blocks % pfw_blocks or blocks % cm_blocks:
+        raise ValueError("blocks must close every pfw/cm window")
+    spec = mrbp.Spec(lattice_depth=v0, lattice_ratio=1.0,
+                     interaction_strength=gn, boson_number=nop,
+                     supercell_size=float(nop), tbf_contact_cutoff=rm)
+    sampling = dmc.Sampling(
+        spec, time_step=dt, max_num_walkers=walkers + walkers // 8,
+        target_num_walkers=walkers, rng_seed=seed, est_every=est_every,
+        ssf_est_spec=dmc.SSFEstSpec(num_modes=num_modes,
+                                    as_pure_est=True,
+                                    pfw_num_time_steps=pfw_blocks * nts),
+        itc_est_spec=dmc.ITCEstSpec(num_modes=num_modes,
+                                    num_lags=num_lags,
+                                    est_every_mult=itc_mult),
+        cm_diffusion_est=True, cm_window_blocks=cm_blocks)
+    rng = np.random.default_rng(1)
+    confs = np.stack([
+        spec.init_get_sys_conf(dist_type=mrbp.DIST_REGULAR,
+                               offset=rng.uniform(0, nop))
+        for _ in range(walkers)]).astype(np.float32)
+    state = sampling.build_state(confs, dtype=np.float32)
+    it = sampling.blocks(state, nts, burn_in_blocks=burn)
+    for _ in range(burn):
+        next(it)
+    sums_b, counts_b = [], []
+    ssf_vals, ssf_ws = [], []
+    cmds, nws = [], []
+    for i in range(blocks):
+        b = next(it)
+        sums_b.append(np.asarray(b.iter_itc, dtype=np.float64)
+                      .sum(axis=0))
+        counts_b.append(np.asarray(b.iter_itc_nw,
+                                   dtype=np.float64).sum(axis=0))
+        nw_steps = np.asarray(b.iter_props.num_walkers,
+                              dtype=np.float64)
+        cmds.append(np.asarray(b.iter_cmd, dtype=np.float64))
+        nws.append(nw_steps[est_every - 1::est_every]
+                   if b.iter_cmd.shape[0] * est_every == nts
+                   else nw_steps)
+        if not (i + 1) % pfw_blocks:    # window-final pure S(k)
+            ssf_vals.append(np.asarray(b.iter_ssf,
+                                       dtype=np.float64)[-1, :, 0])
+            ssf_ws.append(float(nw_steps[-1]))
+    # Pure S(k): one sample per closed forward-walking window.
+    vals, ws = np.stack(ssf_vals), np.asarray(ssf_ws)
+    s_pure = vals.sum(axis=0) / ws.sum() / nop
+    loo = np.stack([(vals.sum(axis=0) - vals[i]) / (ws.sum() - ws[i])
+                    / nop for i in range(len(ws))])
+    s_pure_err = np.sqrt((len(ws) - 1) / len(ws)
+                         * ((loo - loo.mean(axis=0)) ** 2).sum(axis=0))
+    # Phase stiffness m/m* from the stitched CM-diffusion windows.
+    rows = cmds[0].shape[0]
+    cmd = np.stack(cmds).reshape(blocks // cm_blocks,
+                                 cm_blocks * rows, 2)
+    nw = np.stack(nws).reshape(blocks // cm_blocks, cm_blocks * rows)
+    stiff, stiff_err = analysis.effective_mass_from_cm_diffusion(
+        (nts // rows) * dt, cmd, nw, nop)
+    lag_dt = est_every * itc_mult * dt
+    kz = np.arange(num_modes) * 2 * np.pi / spec.supercell_size
+    return {"k": kz, "sums_b": np.stack(sums_b),
+            "counts_b": np.stack(counts_b), "lag_dt": lag_dt,
+            "nop": nop, "supercell": float(spec.supercell_size),
+            "s_pure": s_pure, "s_pure_err": s_pure_err,
+            "stiffness": float(stiff),
+            "stiffness_err": float(stiff_err)}
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--tg", action="store_true",
@@ -206,7 +300,144 @@ def main():
                    "lags (tau_max ~ 4.1, omega_1 tau_max > 1: the "
                    "regime where the tail fit actually undercuts the "
                    "Feynman bound) and 4x the walkers")
+    p.add_argument("--lattice", action="store_true",
+                   help="deep-lattice phonon closure: the ITC "
+                   "dispersion vs the Galilean-broken Luttinger split "
+                   "c = sqrt((m/m*)/m_{-1}) (CM-diffusion stiffness x "
+                   "compressibility sum rule) — NO exact solution "
+                   "exists at v0 > 0")
+    p.add_argument("--v0", type=float, default=20.0,
+                   help="lattice depth for --lattice (UE units; "
+                   "20 = 2 ER, the production flagship regime)")
+    p.add_argument("--gn", type=float, default=1.0,
+                   help="interaction strength for --lattice")
+    p.add_argument("--lat-blocks", type=int, default=96,
+                   help="--lattice run length (a common multiple of "
+                   "the pfw and cm windows)")
+    p.add_argument("--lat-nts", type=int, default=512)
+    p.add_argument("--lat-lags", type=int, default=64)
+    p.add_argument("--lat-mult", type=int, default=16,
+                   help="ITC est_every_mult for --lattice (lag unit "
+                   "= est_every * this * dt)")
+    p.add_argument("--lat-pfw-blocks", type=int, default=8)
+    p.add_argument("--lat-cm-blocks", type=int, default=16)
+    p.add_argument("--lat-burn", type=int, default=16)
     args = p.parse_args()
+
+    if args.lattice:
+        # One run, three estimator chains (ITC deep lags + pure S(k)
+        # windows + CM-diffusion windows) at the production lattice
+        # regime scaled to a spectroscopy-friendly box (k_1 = 2 pi/16:
+        # omega_1 ~ 0.4, so tau_max = 8.2 gives omega_1 tau_max ~ 3).
+        out = lattice_run(v0=args.v0, gn=args.gn, nop=args.nop,
+                          walkers=args.walkers, nts=args.lat_nts,
+                          blocks=args.lat_blocks, dt=1e-3, est_every=8,
+                          num_modes=6, num_lags=args.lat_lags,
+                          itc_mult=args.lat_mult,
+                          pfw_blocks=args.lat_pfw_blocks,
+                          cm_blocks=args.lat_cm_blocks, rm=0.3,
+                          burn=args.lat_burn)
+        itcb = itc_blocks(out)
+        kz = out["k"]
+        s_pure, s_pure_err = out["s_pure"], out["s_pure_err"]
+        stiff, stiff_err = out["stiffness"], out["stiffness_err"]
+        fit, fit_err = itcb.excitation_fit()
+        spec = itcb.spectral_function(num_omega=96)
+        sr = itcb.static_response(ssf=s_pure, ssf_err=s_pure_err)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            c_tail = fit / kz
+            c_tail_err = fit_err / kz
+            c_peak = spec["omega_peak"] / kz
+            # Galilean-broken Luttinger split: c^2 = v_J v_N with
+            # v_J = v_F (m/m*) (Leggett stiffness = CM diffusion) and
+            # v_N the thermodynamic branch the compressibility sum
+            # rule measures (m_{-1} -> per-particle (1/2n) dn/dmu, a
+            # lattice-blind identity), i.e. c = sqrt((m/m*) / m_{-1}).
+            # sr["sound_speed"] is the hybrid 1/sqrt(m_{-1}); the
+            # stiffness enters at half weight.
+            c_split = np.sqrt(stiff) * sr["sound_speed"]
+            c_split_err = c_split * np.sqrt(
+                (0.5 * stiff_err / stiff) ** 2
+                + (sr["sound_speed_err"] / sr["sound_speed"]) ** 2)
+            feyn_pure = np.full_like(s_pure, np.nan)
+            feyn_pure[1:] = kz[1:] ** 2 / s_pure[1:]
+        # Bound ordering per resolved mode (2-sigma slack): the tail
+        # decay rate is the lowest surviving excitation, m0/m_{-1} an
+        # upper bound on the lowest, Feynman m1/m0 a (looser) mean.
+        order_ok = []
+        for j in range(1, len(kz)):
+            if not (np.isfinite(fit[j])
+                    and np.isfinite(sr["omega_bound"][j])):
+                continue
+            slack1 = 2.0 * (np.nan_to_num(fit_err[j])
+                            + np.nan_to_num(sr["omega_bound_err"][j]))
+            slack2 = 2.0 * (np.nan_to_num(sr["omega_bound_err"][j])
+                            + np.nan_to_num(s_pure_err[j])
+                            * feyn_pure[j] / max(s_pure[j], 1e-12))
+            order_ok.append(bool(
+                fit[j] <= sr["omega_bound"][j] + slack1
+                and sr["omega_bound"][j] <= feyn_pure[j] + slack2))
+        # Per-mode stiffness-corrected single-mode closure: when one
+        # branch carries the density channel at mode k, the inversion
+        # peak and the split speed are two functionals of the SAME
+        # pole (omega_peak = sqrt(stiffness) k / sqrt(m_{-1})) read
+        # through DIFFERENT estimator chains (F-shape vs CM-diffusion
+        # x tau-integral x pure amplitude) — their ratio -> 1 is the
+        # lattice analog of the v0 = 0 four-way closure.  Expected to
+        # open at the lowest k, where the m_{-1} tail completion is
+        # mostly extrapolation and multi-branch weight matters.
+        with np.errstate(invalid="ignore", divide="ignore"):
+            sma_ratio = c_peak / c_split
+        # k -> 0 sound speed: quadratic-in-k extrapolation of the
+        # split speed over the first three modes (the finite-k rise
+        # is dispersion curvature, analytic in k^2).
+        kk = kz[1:4] ** 2
+        cc = c_split[1:4]
+        if np.isfinite(cc).all():
+            coef = np.polyfit(kk, cc, 1)
+            c_split0 = float(coef[1])
+        else:
+            c_split0 = float("nan")
+        # v0 = 0 exact values at the same physical coupling: the
+        # lattice must REDUCE the k -> 0 sound speed and the
+        # thermodynamic Luttinger K from these.
+        from phd_qmclib_tpu.lieb_liniger import ground_state
+        n = out["nop"] / out["supercell"]
+        ll = ground_state(args.gn / (2.0 * n ** 2), density=n,
+                          num_points=256)
+        v_f = 2.0 * np.pi * n
+        k_thermo = v_f * np.sqrt(stiff * sr["m_minus1"][1])
+        print(json.dumps({
+            "mode": "lattice", "v0": args.v0, "gn": args.gn,
+            "density": n, "tau_max": float(itcb.tau_grid[-1]),
+            "stiffness_m_over_mstar": stiff,
+            "stiffness_err": stiff_err,
+            "s_k_pure": s_pure.tolist(),
+            "s_k_pure_err": s_pure_err.tolist(),
+            "c_dispersion_tail": c_tail.tolist(),
+            "c_dispersion_tail_err": c_tail_err.tolist(),
+            "c_dispersion_peak": c_peak.tolist(),
+            "c_luttinger_split": c_split.tolist(),
+            "c_luttinger_split_err": c_split_err.tolist(),
+            "sma_closure_peak_over_split": sma_ratio.tolist(),
+            "c_split_k0_extrapolated": c_split0,
+            "feynman_pure": feyn_pure.tolist(),
+            "omega_bound_m0_over_m_minus1":
+                sr["omega_bound"].tolist(),
+            "bound_ordering_ok": order_ok,
+            "chi_hybrid": sr["chi"].tolist(),
+            "chi_hybrid_err": sr["chi_err"].tolist(),
+            "luttinger_k_thermo_k1": float(k_thermo),
+            "c_exact_v0_0": ll["sound_speed"],
+            "luttinger_k_exact_v0_0": ll["luttinger_k"],
+            "galilean_breaking_ok": bool(
+                stiff + 2.0 * stiff_err < 1.0
+                and k_thermo < ll["luttinger_k"]),
+            "lattice_reduces_c_ok": bool(
+                np.isfinite(c_split0)
+                and c_split0 < ll["sound_speed"]),
+        }))
+        return
 
     if args.tg:
         # gamma = 5000: free-fermion particle-hole decays, exact.

@@ -71,6 +71,15 @@ class HDF5FileHandler(IOHandler, metaclass=ABCMeta):
     def from_config(cls, config: t.Mapping):
         config = dict(config)
         config.pop("type", None)
+        # A missing required key would surface as a bare dataclass
+        # TypeError; name the stanza and the key instead (the
+        # reference requires the same keys with the same raw failure,
+        # ``qmc_exec/io.py:51-70``).
+        for key in ("location", "group"):
+            if key not in config:
+                raise ValueError(
+                    f"an HDF5_FILE stanza needs a '{key}' entry "
+                    f"(got keys {sorted(config)})")
         return cls(**config)
 
     @property

@@ -43,10 +43,11 @@ def _correlation_line(energy_blocks) -> str:
 
 
 def _model_lines(model_spec) -> t.List[str]:
+    wells = model_spec.supercell_size / model_spec.boson_number
+    per = "well" if abs(wells - 1.0) < 1e-12 else f"{wells:g} wells"
     lines = [
         f"model       N = {model_spec.boson_number} bosons, "
-        f"L = {model_spec.supercell_size:g} (one boson per "
-        f"{model_spec.supercell_size / model_spec.boson_number:g} wells)",
+        f"L = {model_spec.supercell_size:g} (one boson per {per})",
         f"            v0 = {model_spec.lattice_depth:g}, "
         f"r = {model_spec.lattice_ratio:g}, "
         f"gn = {model_spec.interaction_strength:g}, "

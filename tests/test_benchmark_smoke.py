@@ -54,6 +54,30 @@ def test_itc_spectrum_tg_smoke():
 
 
 @pytest.mark.slow
+def test_itc_spectrum_lattice_smoke():
+    rows = _run_main(
+        "itc_spectrum",
+        ["--lattice", "--nop", "8", "--walkers", "64", "--lat-blocks",
+         "8", "--lat-nts", "32", "--lat-lags", "6", "--lat-mult", "1",
+         "--lat-pfw-blocks", "2", "--lat-cm-blocks", "4",
+         "--lat-burn", "2"])
+    (payload,) = rows
+    assert payload["mode"] == "lattice"
+    assert np.isfinite(payload["stiffness_m_over_mstar"])
+    s_pure = np.asarray(payload["s_k_pure"], dtype=float)
+    assert s_pure.shape == (6,) and (s_pure[1:] > 0).all()
+    split = np.asarray(payload["c_luttinger_split"], dtype=float)
+    assert np.isnan(split[0]) and np.isfinite(split[1:]).all()
+    assert len(payload["bound_ordering_ok"]) >= 1
+    ratio = np.asarray(payload["sma_closure_peak_over_split"],
+                       dtype=float)
+    assert ratio.shape == split.shape
+    assert "c_split_k0_extrapolated" in payload
+    # The v0 = 0 oracle reference rides along.
+    assert payload["c_exact_v0_0"] == pytest.approx(1.33231, abs=1e-4)
+
+
+@pytest.mark.slow
 def test_eos_sound_speed_four_way_smoke():
     rows = _run_main(
         "eos_sound_speed",
