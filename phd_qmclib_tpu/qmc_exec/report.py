@@ -315,8 +315,11 @@ def describe_dmc(result, full: bool = False) -> str:
     if blocks.itc is not None:
         s_p, s_pe = _pure_ssf_for_itc(blocks.itc, blocks.ss_factor,
                                       proc, nop)
+        in_lattice = getattr(proc.model_spec, "lattice_depth",
+                             0.0) > 1e-12
         lines += _itc_lines(blocks.itc, blocks.ss_factor, nop, full,
-                            ssf_pure=s_p, ssf_pure_err=s_pe)
+                            ssf_pure=s_p, ssf_pure_err=s_pe,
+                            lattice_mm=mm if in_lattice else None)
     lines += _luttinger_lines(blocks, proc, nop, sc, mm=mm)
     return "\n".join(lines)
 
@@ -342,7 +345,7 @@ def _pure_ssf_for_itc(itc, ssf_blocks, proc, nop: int):
 
 
 def _itc_lines(itc_blocks, ssf_blocks, nop: int, full: bool,
-               ssf_pure=None, ssf_pure_err=None) \
+               ssf_pure=None, ssf_pure_err=None, lattice_mm=None) \
         -> t.List[str]:
     """Imaginary-time correlation: effective excitation energies from
     the large-tau log slope of F(k, tau) — a tau-dependent UPPER bound
@@ -439,6 +442,27 @@ def _itc_lines(itc_blocks, ssf_blocks, nop: int, full: bool,
                         f"{j_lo}) [compressibility sum rule, k->0]: "
                         + _fmt(sr["sound_speed"][j_lo],
                                sr["sound_speed_err"][j_lo]))
+                    if lattice_mm is not None \
+                            and np.isfinite(lattice_mm[0]) \
+                            and lattice_mm[0] > 0:
+                        # Galilean-broken Luttinger split: in a
+                        # lattice c^2 = v_J v_N, i.e. the
+                        # compressibility speed picks up the phase-
+                        # stiffness factor sqrt(m/m*) measured by the
+                        # same run's CM diffusion (exact at v0 = 0
+                        # where m/m* = 1).  Chip validation:
+                        # BASELINE.md "Lattice phonon closure".
+                        mmv, mme = lattice_mm
+                        c_l = np.sqrt(mmv) * sr["sound_speed"][j_lo]
+                        rel = np.hypot(
+                            0.5 * mme / mmv,
+                            sr["sound_speed_err"][j_lo]
+                            / sr["sound_speed"][j_lo])
+                        lines.append(
+                            "            lattice sound speed "
+                            "sqrt(m/m*) x chi-route [Galilean-broken "
+                            "Luttinger split]: "
+                            + _fmt(c_l, abs(c_l) * rel))
         except (ValueError, np.linalg.LinAlgError):  # pragma: no cover
             pass
     if full:
@@ -694,6 +718,25 @@ def summarize(result, sampling_type: str) -> dict:
                     out[f"itc_{key}"] = np.asarray(sr[key]).tolist()
                 out["itc_chi_amplitude"] = \
                     "pure" if s_p is not None else "mixed"
+                # Galilean-broken Luttinger split (lattice runs with a
+                # CM-diffusion measurement): c = sqrt(m/m*) / sqrt(m_{-1}).
+                cmd = getattr(blocks, "cm_diffusion", None)
+                if cmd is not None and getattr(
+                        proc.model_spec, "lattice_depth", 0.0) > 1e-12:
+                    mmv, mme = cmd.effective_mass_ratio()
+                    if np.isfinite(mmv) and mmv > 0:
+                        c_arr = np.sqrt(mmv) \
+                            * np.asarray(sr["sound_speed"])
+                        with np.errstate(invalid="ignore",
+                                         divide="ignore"):
+                            rel = np.hypot(
+                                0.5 * mme / mmv,
+                                np.asarray(sr["sound_speed_err"])
+                                / np.asarray(sr["sound_speed"]))
+                        out["itc_sound_speed_lattice_split"] = \
+                            c_arr.tolist()
+                        out["itc_sound_speed_lattice_split_err"] = \
+                            np.abs(c_arr * rel).tolist()
             except (ValueError, np.linalg.LinAlgError):  # pragma: no cover
                 pass
     ll = _exact_ll_reference(proc.model_spec)

@@ -385,6 +385,52 @@ def test_static_response_hybrid_pure_amplitude_in_report():
         (s_pure / itc.mean[0])[ok], rtol=1e-10)
 
 
+def test_lattice_split_sound_speed_in_report():
+    """A lattice run measuring BOTH the ITC and the CM-diffusion
+    stiffness gets the Galilean-broken Luttinger split
+    ``c = sqrt(m/m*) / sqrt(m_{-1})`` in the analyze report and the
+    JSON summary, exactly ``sqrt(m/m*)`` times the chi-route speed
+    (chip validation: BASELINE.md 'Lattice phonon closure')."""
+    from phd_qmclib_tpu.qmc_exec.report import describe_dmc, summarize
+    from tests.warn_utils import expect_opt_block_warning
+
+    proc = make_proc(num_blocks=6, num_time_steps_block=16,
+                     itc_spec=dmc_exec.ITCEstSpec(num_modes=4,
+                                                  num_lags=6),
+                     cm_diffusion_spec=dmc_exec.CMDiffusionEstSpec(
+                         window_blocks=2))
+    result = proc.exec(make_input(proc))
+    with expect_opt_block_warning():
+        report = describe_dmc(result, full=False)
+    assert "Galilean-broken Luttinger split" in report
+    with expect_opt_block_warning():
+        s = summarize(result, "dmc")
+    split = np.asarray(s["itc_sound_speed_lattice_split"], dtype=float)
+    c_sr = np.asarray(s["itc_sound_speed"], dtype=float)
+    mm, _ = result.data.blocks.cm_diffusion.effective_mass_ratio()
+    ok = np.isfinite(split)
+    assert ok.any()
+    np.testing.assert_allclose(split[ok], np.sqrt(mm) * c_sr[ok],
+                               rtol=1e-12)
+    # A free-gas (v0 = 0) run must NOT print the split line: the
+    # stiffness is identically 1 there and the plain chi-route speed
+    # already IS the sound speed.
+    free = dict(MODEL_CONFIG, lattice_depth=0.0)
+    proc0 = make_proc(num_blocks=6, num_time_steps_block=16,
+                      model_spec=mrbp.Spec(**free),
+                      itc_spec=dmc_exec.ITCEstSpec(num_modes=4,
+                                                   num_lags=6),
+                      cm_diffusion_spec=dmc_exec.CMDiffusionEstSpec(
+                          window_blocks=2))
+    result0 = proc0.exec(make_input(proc0))
+    with expect_opt_block_warning():
+        report0 = describe_dmc(result0, full=False)
+    assert "Galilean-broken Luttinger split" not in report0
+    with expect_opt_block_warning():
+        s0 = summarize(result0, "dmc")
+    assert "itc_sound_speed_lattice_split" not in s0
+
+
 def test_spectral_function_from_production_driver_run():
     """End to end: the spectral inversion consumes the ITC blocks a
     real (tiny) Proc run produced — every finite mode must satisfy
