@@ -165,22 +165,49 @@ def _make_cli(sampling_type: str, prefix: str):
     @click.option("--json", "as_json", is_flag=True, default=False,
                   help="emit a machine-readable JSON summary instead "
                        "of the human report")
+    @click.option("--dt-fit", "dt_fit", is_flag=True, default=False,
+                  help="(dmc only) extrapolate E(dt) -> E(0) across "
+                       "every stored DMC result (e.g. a fused "
+                       "time_step sweep); -g restricts to a group "
+                       "prefix")
+    @click.option("--dt-fit-order", default=1, show_default=True,
+                  help="polynomial degree of the --dt-fit "
+                       "extrapolation")
     def analyze(result_path: str, group: str = None, full: bool = False,
                 vmc_path: str = None, vmc_group: str = None,
-                as_json: bool = False):
+                as_json: bool = False, dt_fit: bool = False,
+                dt_fit_order: int = 1):
         """Report the physics stored in an HDF5 result file (energy
         with reblocked errors, population, S(k), density, OBDM, g2,
         effective mass).  Beyond the reference, which leaves result
         inspection to notebook code."""
         from .qmc_exec.report import report_hdf5
 
+        # With --dt-fit, -g is a group PREFIX selecting the sweep rows
+        # for the fit; the per-group reports then cover the whole file
+        # (a prefix is not a stored group name).
+        report_group = None if dt_fit else group
+
         def _report(**kw):
             try:
-                return report_hdf5(result_path, group=group,
+                return report_hdf5(result_path, group=report_group,
                                    sampling_type=sampling_type, **kw)
             except ValueError as exc:
                 # A clean one-line message instead of a traceback
                 # (wrong group, empty file, checkpoint-only file...).
+                raise click.ClickException(str(exc)) from exc
+
+        dt_summary = None
+        if dt_fit:
+            if sampling_type != "dmc":
+                raise click.UsageError("--dt-fit applies to DMC "
+                                       "results")
+            from .qmc_exec.report import dt_fit_hdf5
+            try:
+                dt_summary = dt_fit_hdf5(result_path,
+                                         group_prefix=group,
+                                         order=dt_fit_order)
+            except ValueError as exc:
                 raise click.ClickException(str(exc)) from exc
 
         extrapolated = None
@@ -218,6 +245,9 @@ def _make_cli(sampling_type: str, prefix: str):
                     if entry["sampling_type"] == "dmc":
                         entry["extrapolated"] = extra
                         break
+            if dt_summary is not None:
+                payload.append({"sampling_type": "dt_fit",
+                                **dt_summary})
             click.echo(_json.dumps(payload, indent=2))
             return
         click.echo(_report(full=full))
@@ -225,6 +255,10 @@ def _make_cli(sampling_type: str, prefix: str):
             from .qmc_exec.report import describe_extrapolated
             click.echo("")
             click.echo(describe_extrapolated(*extrapolated, full=full))
+        if dt_summary is not None:
+            from .qmc_exec.report import describe_dt_fit
+            click.echo("")
+            click.echo(describe_dt_fit(dt_summary))
 
     return cli
 

@@ -919,6 +919,159 @@ def describe_extrapolated(dmc_result, vmc_result,
     return "\n".join(lines)
 
 
+def summarize_dt_fit(entries: t.Sequence[t.Tuple[str, t.Any]],
+                     order: int = 1) -> dict:
+    """Time-step extrapolation ``E(dt) -> E(0)`` across a set of
+    otherwise-identical DMC results — the production face of the
+    ``benchmarks/dt_sweep.py`` workflow (BASELINE config #3), wired
+    into ``mrbp-dmc analyze --dt-fit``.
+
+    ``entries`` are ``(group, ProcResult)`` pairs, e.g. the rows of a
+    fused ``time_step`` sweep stored in one HDF5 file.  The
+    drift-diffusion Trotter bias is smooth in dt, so the headline is
+    the degree-``order`` (default linear) weighted fit of E/N vs dt
+    through :func:`~phd_qmclib_tpu.analysis.zero_limit_extrapolation`;
+    when at least ``order + 3`` points are available a
+    degree-``order + 1`` check fit is attached so curvature
+    contamination of the linear window is visible instead of silent.
+    For a pure Lieb-Liniger model (v0 = 0, no defects) the exact
+    Bethe-ansatz energy is attached with the extrapolation's
+    sigma-deviation.
+
+    The reference ships no analysis layer for this workflow at all —
+    its DMC driver (``qmc_exec/dmc/proc.py``) leaves time-step studies
+    to notebook code outside the package.
+    """
+    from ..analysis import zero_limit_extrapolation
+
+    if len(entries) < 2:
+        raise ValueError(
+            f"a time-step fit needs at least two stored DMC results, "
+            f"got {len(entries)}")
+    specs, caveats = [], []
+    groups, dts, means, errs = [], [], [], []
+    for group, result in entries:
+        proc = result.proc
+        if not hasattr(proc, "time_step"):
+            raise ValueError(
+                f"group '{group or '/'}' is not a DMC result "
+                f"(no time_step); --dt-fit applies to DMC sweeps")
+        nop = proc.model_spec.boson_number
+        specs.append(proc.model_spec)
+        groups.append(group)
+        dts.append(float(proc.time_step))
+        blocks = result.data.blocks
+        means.append(float(blocks.energy.mean) / nop)
+        errs.append(float(blocks.energy.mean_error) / nop)
+    base = specs[0]
+    for group, spec in zip(groups[1:], specs[1:]):
+        if spec != base:
+            raise ValueError(
+                f"the stored results do not share one model spec "
+                f"(group '{groups[0] or '/'}' vs '{group or '/'}': "
+                f"{base} vs {spec}); a dt fit needs rows differing "
+                f"only in time_step")
+    if len(set(dts)) < order + 1:
+        raise ValueError(
+            f"need at least {order + 1} distinct time steps for a "
+            f"degree-{order} fit, got {sorted(set(dts))}")
+    walkers = {e[1].proc.target_num_walkers for e in entries}
+    if len(walkers) > 1:
+        caveats.append(
+            f"rows differ in target_num_walkers {sorted(walkers)}: "
+            f"the O(1/N_w) population-control bias is not constant "
+            f"across the fit")
+    idx = np.argsort(dts)
+    x = np.asarray(dts, dtype=np.float64)[idx]
+    y = np.asarray(means, dtype=np.float64)[idx]
+    y_err = np.asarray(errs, dtype=np.float64)[idx]
+    e0, e0_err, coeffs = zero_limit_extrapolation(x, y, y_err,
+                                                  order=order)
+    out = {
+        "order": order,
+        "num_points": len(x),
+        "groups": [groups[i] for i in idx],
+        "time_steps": x.tolist(),
+        "energy_per_particle": y.tolist(),
+        "energy_per_particle_err": y_err.tolist(),
+        "e0": e0,
+        "e0_err": e0_err,
+        "slope": float(coeffs[-2]),
+    }
+    dof = len(x) - (order + 1)
+    if dof > 0:
+        resid = (y - np.polyval(coeffs, x)) / np.maximum(y_err, 1e-300)
+        out["chi2_dof"] = float((resid ** 2).sum() / dof)
+    if len(x) >= order + 3 and len(set(dts)) >= order + 2:
+        q0, q0_err, _ = zero_limit_extrapolation(x, y, y_err,
+                                                 order=order + 1)
+        out["check_fit"] = {"order": order + 1, "e0": q0,
+                            "e0_err": q0_err}
+    ll = _exact_ll_reference(base)
+    if ll is not None:
+        out["exact_ll"] = {
+            "energy_per_particle": ll["e"],
+            "sigma_dev": (e0 - ll["e"]) / max(e0_err, 1e-300),
+        }
+    if caveats:
+        out["caveats"] = caveats
+    return out
+
+
+def describe_dt_fit(summary: dict) -> str:
+    """Render a :func:`summarize_dt_fit` dict as a human report."""
+    lines = ["== time-step extrapolation E(dt) -> E(0) =="]
+    for dt, e, err, group in zip(summary["time_steps"],
+                                 summary["energy_per_particle"],
+                                 summary["energy_per_particle_err"],
+                                 summary["groups"]):
+        lines.append(f"  dt = {dt:<10.6g} E/N = {_fmt(e, err)}   "
+                     f"[{group or '/'}]")
+    chi2 = (f", chi2/dof = {summary['chi2_dof']:.3g}"
+            if "chi2_dof" in summary else "")
+    lines.append(
+        f"degree-{summary['order']} fit: "
+        f"E/N(dt->0) = {_fmt(summary['e0'], summary['e0_err'])} "
+        f"(slope {summary['slope']:+.4g}{chi2})")
+    check = summary.get("check_fit")
+    if check is not None:
+        lines.append(
+            f"            degree-{check['order']} check fit: "
+            f"E/N(dt->0) = {_fmt(check['e0'], check['e0_err'])}")
+    ll = summary.get("exact_ll")
+    if ll is not None:
+        lines.append(
+            f"            exact Lieb-Liniger (v0 = 0, Bethe ansatz): "
+            f"E/N = {ll['energy_per_particle']:.6g} "
+            f"({ll['sigma_dev']:+.1f} sigma)")
+    for caveat in summary.get("caveats", ()):
+        lines.append(f"            caveat: {caveat}")
+    return "\n".join(lines)
+
+
+def dt_fit_hdf5(location: str, group_prefix: t.Optional[str] = None,
+                order: int = 1) -> dict:
+    """Load every stored DMC result in ``location`` (optionally
+    restricted to groups starting with ``group_prefix``, e.g. one
+    sweep's row prefix) and run :func:`summarize_dt_fit` on them."""
+    from .io import DmcHDF5FileHandler
+
+    entries = [(g, st) for g, st in find_result_groups(location)
+               if st == "dmc"]
+    if group_prefix is not None:
+        entries = [(g, st) for g, st in entries
+                   if g.startswith(group_prefix)]
+    loaded = [(g, DmcHDF5FileHandler(location=location, group=g).load())
+              for g, _ in entries]
+    if len(loaded) < 2:
+        stored = ", ".join(g or "/" for g, _ in entries) or "none"
+        raise ValueError(
+            f"--dt-fit needs at least two stored DMC results in "
+            f"'{location}' (matching prefix {group_prefix!r}; "
+            f"found: {stored})")
+    return summarize_dt_fit(loaded, order=order)
+
+
 def find_result_groups(location: str) -> t.List[t.Tuple[str, str]]:
     """``(group, sampling_type)`` pairs stored in an HDF5 result file."""
     found = []

@@ -1,0 +1,166 @@
+"""``analyze --dt-fit``: time-step extrapolation E(dt) -> E(0) across
+the DMC results stored in one HDF5 file (the production face of
+``benchmarks/dt_sweep.py``; the reference leaves dt studies to notebook
+code outside the package)."""
+import dataclasses
+
+import numpy as np
+import pytest
+from click.testing import CliRunner
+
+from phd_qmclib_tpu import mrbp_cli
+from phd_qmclib_tpu.models import mrbp
+from phd_qmclib_tpu.qmc_exec import dmc as dmc_exec
+from phd_qmclib_tpu.qmc_exec.io import DmcHDF5FileHandler
+from phd_qmclib_tpu.qmc_exec.report import (dt_fit_hdf5,
+                                            summarize_dt_fit)
+from tests.warn_utils import expect_opt_block_warning
+
+# v0 = 0 (pure Lieb-Liniger) so the exact Bethe-ansatz reference is
+# attached to the fit summary.
+MODEL_CONFIG = dict(lattice_depth=0.0, lattice_ratio=1.0,
+                    interaction_strength=1.0, boson_number=5,
+                    supercell_size=5.0, tbf_contact_cutoff=0.3)
+TIME_STEPS = (4e-3, 1e-3, 2e-3)        # deliberately unsorted
+
+
+def _run_dmc(time_step: float, seed: int = 7, **kw):
+    base = dict(model_spec=mrbp.Spec(**MODEL_CONFIG),
+                time_step=time_step, max_num_walkers=48,
+                target_num_walkers=32, num_blocks=3,
+                num_time_steps_block=12, burn_in_blocks=1,
+                rng_seed=seed, dtype="float64")
+    base.update(kw)
+    proc = dmc_exec.Proc(**base)
+    proc_input = dmc_exec.ProcInput.from_model_sys_conf_spec(
+        dmc_exec.ModelSysConfSpec(dist_type="RANDOM"), proc)
+    return proc.exec(proc_input)
+
+
+@pytest.fixture(scope="module")
+def sweep_file(tmp_path_factory):
+    """Three otherwise-identical DMC rows at different dt, stored as
+    groups ``dt0..dt2`` of one file (the fused-sweep output layout)."""
+    path = tmp_path_factory.mktemp("dtfit") / "sweep.h5"
+    results = []
+    for i, dt in enumerate(TIME_STEPS):
+        result = _run_dmc(dt, seed=7 + i)
+        DmcHDF5FileHandler(location=str(path),
+                           group=f"dt{i}").dump(result)
+        results.append(result)
+    return str(path), results
+
+
+def test_summary_matches_independent_fit(sweep_file):
+    path, results = sweep_file
+    with expect_opt_block_warning():
+        summary = dt_fit_hdf5(path)
+    assert summary["num_points"] == 3
+    # Rows come out sorted by dt regardless of storage order.
+    assert summary["time_steps"] == sorted(TIME_STEPS)
+    nop = MODEL_CONFIG["boson_number"]
+    with expect_opt_block_warning():   # reblocking on short series
+        by_dt = {float(r.proc.time_step):
+                 (float(r.data.blocks.energy.mean) / nop,
+                  float(r.data.blocks.energy.mean_error) / nop)
+                 for r in results}
+    x = np.array(sorted(TIME_STEPS))
+    y = np.array([by_dt[dt][0] for dt in x])
+    y_err = np.array([by_dt[dt][1] for dt in x])
+    np.testing.assert_allclose(summary["energy_per_particle"], y,
+                               rtol=1e-12)
+    # Independent recompute of the weighted fit and its covariance.
+    coeffs, cov = np.polyfit(x, y, 1, w=1.0 / y_err, cov="unscaled")
+    assert summary["e0"] == pytest.approx(coeffs[-1], rel=1e-10)
+    assert summary["slope"] == pytest.approx(coeffs[-2], rel=1e-10)
+    assert summary["e0_err"] == pytest.approx(
+        float(np.sqrt(cov[-1, -1])), rel=1e-10)
+    resid = (y - np.polyval(coeffs, x)) / y_err
+    assert summary["chi2_dof"] == pytest.approx(
+        float((resid ** 2).sum()), rel=1e-10)          # dof = 1
+    # v0 = 0: the exact Lieb-Liniger reference rides along.
+    assert "exact_ll" in summary
+    assert np.isfinite(summary["exact_ll"]["sigma_dev"])
+
+
+def test_mismatched_model_specs_rejected(sweep_file):
+    _, results = sweep_file
+    entries = [(f"dt{i}", r) for i, r in enumerate(results)]
+    bad_spec = results[1].proc.model_spec.evolve(
+        interaction_strength=2.0)
+    bad_proc = dataclasses.replace(results[1].proc,
+                                   model_spec=bad_spec)
+    entries[1] = ("dt1", dataclasses.replace(results[1],
+                                             proc=bad_proc))
+    with expect_opt_block_warning(), \
+            pytest.raises(ValueError, match="share one model spec"):
+        summarize_dt_fit(entries)
+
+
+def test_walker_target_mismatch_is_a_caveat(sweep_file):
+    """Differing population-control settings do not block the fit but
+    must be called out (the O(1/N_w) bias is not constant)."""
+    _, results = sweep_file
+    entries = [(f"dt{i}", r) for i, r in enumerate(results)]
+    other = dataclasses.replace(results[2].proc,
+                                target_num_walkers=64)
+    entries[2] = ("dt2", dataclasses.replace(results[2], proc=other))
+    with expect_opt_block_warning():
+        summary = summarize_dt_fit(entries)
+    assert any("target_num_walkers" in c for c in summary["caveats"])
+
+
+def test_too_few_rows_rejected(sweep_file):
+    _, results = sweep_file
+    with pytest.raises(ValueError, match="at least two"):
+        summarize_dt_fit([("dt0", results[0])])
+    # Two rows at the SAME dt cannot fix a line either.
+    twin = [("a", results[0]), ("b", results[0])]
+    with expect_opt_block_warning(), \
+            pytest.raises(ValueError, match="distinct time steps"):
+        summarize_dt_fit(twin)
+
+
+def test_cli_human_report(sweep_file):
+    path, _ = sweep_file
+    with expect_opt_block_warning():
+        out = CliRunner().invoke(mrbp_cli.dmc_cli,
+                                 ["analyze", path, "--dt-fit"])
+    assert out.exit_code == 0, out.output
+    assert "time-step extrapolation" in out.output
+    assert "exact Lieb-Liniger" in out.output
+    # The per-row reports still print.
+    assert out.output.count("== DMC result ==") == 3
+
+
+def test_cli_json_payload(sweep_file):
+    import json
+
+    path, _ = sweep_file
+    with expect_opt_block_warning():
+        out = CliRunner().invoke(
+            mrbp_cli.dmc_cli,
+            ["analyze", path, "--dt-fit", "--json", "-g", "dt"])
+    assert out.exit_code == 0, out.output
+    payload = json.loads(out.output)
+    assert len(payload) == 4           # 3 rows + the fit entry
+    fit = payload[-1]
+    assert fit["sampling_type"] == "dt_fit"
+    assert np.isfinite(fit["e0"]) and np.isfinite(fit["e0_err"])
+    assert fit["groups"] == ["dt1", "dt2", "dt0"]   # sorted by dt
+
+
+def test_cli_prefix_without_matches_fails_cleanly(sweep_file):
+    path, _ = sweep_file
+    out = CliRunner().invoke(
+        mrbp_cli.dmc_cli, ["analyze", path, "--dt-fit", "-g", "zz"])
+    assert out.exit_code != 0
+    assert "at least two stored DMC results" in out.output
+
+
+def test_vmc_cli_rejects_dt_fit(sweep_file):
+    path, _ = sweep_file
+    out = CliRunner().invoke(mrbp_cli.vmc_cli,
+                             ["analyze", path, "--dt-fit"])
+    assert out.exit_code != 0
+    assert "--dt-fit applies to DMC results" in out.output
