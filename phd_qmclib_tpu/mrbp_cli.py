@@ -170,23 +170,30 @@ def _make_cli(sampling_type: str, prefix: str):
                        "every stored DMC result (e.g. a fused "
                        "time_step sweep); -g restricts to a group "
                        "prefix")
-    @click.option("--dt-fit-order", default=1, show_default=True,
-                  help="polynomial degree of the --dt-fit "
+    @click.option("--nw-fit", "nw_fit", is_flag=True, default=False,
+                  help="(dmc only) extrapolate the O(1/N_w) "
+                       "population-control bias to E(N_w -> inf) "
+                       "across every stored DMC result; -g restricts "
+                       "to a group prefix")
+    @click.option("--dt-fit-order", "fit_order", default=1,
+                  show_default=True,
+                  help="polynomial degree of the --dt-fit/--nw-fit "
                        "extrapolation")
     def analyze(result_path: str, group: str = None, full: bool = False,
                 vmc_path: str = None, vmc_group: str = None,
                 as_json: bool = False, dt_fit: bool = False,
-                dt_fit_order: int = 1):
+                nw_fit: bool = False, fit_order: int = 1):
         """Report the physics stored in an HDF5 result file (energy
         with reblocked errors, population, S(k), density, OBDM, g2,
         effective mass).  Beyond the reference, which leaves result
         inspection to notebook code."""
         from .qmc_exec.report import report_hdf5
 
-        # With --dt-fit, -g is a group PREFIX selecting the sweep rows
-        # for the fit; the per-group reports then cover the whole file
-        # (a prefix is not a stored group name).
-        report_group = None if dt_fit else group
+        # With --dt-fit/--nw-fit, -g is a group PREFIX selecting the
+        # sweep rows for the fit; the per-group reports then cover the
+        # whole file (a prefix is not a stored group name).
+        any_fit = dt_fit or nw_fit
+        report_group = None if any_fit else group
 
         def _report(**kw):
             try:
@@ -197,18 +204,23 @@ def _make_cli(sampling_type: str, prefix: str):
                 # (wrong group, empty file, checkpoint-only file...).
                 raise click.ClickException(str(exc)) from exc
 
-        dt_summary = None
-        if dt_fit:
+        fit_summaries = []
+        if any_fit:
             if sampling_type != "dmc":
-                raise click.UsageError("--dt-fit applies to DMC "
-                                       "results")
-            from .qmc_exec.report import dt_fit_hdf5
-            try:
-                dt_summary = dt_fit_hdf5(result_path,
-                                         group_prefix=group,
-                                         order=dt_fit_order)
-            except ValueError as exc:
-                raise click.ClickException(str(exc)) from exc
+                raise click.UsageError(
+                    f"--{'dt' if dt_fit else 'nw'}-fit applies to "
+                    f"DMC results")
+            from .qmc_exec.report import sweep_fit_hdf5
+            for kind, active in (("dt", dt_fit), ("nw", nw_fit)):
+                if not active:
+                    continue
+                try:
+                    fit_summaries.append(
+                        (kind, sweep_fit_hdf5(result_path, kind,
+                                              group_prefix=group,
+                                              order=fit_order)))
+                except ValueError as exc:
+                    raise click.ClickException(str(exc)) from exc
 
         extrapolated = None
         if vmc_path is not None:
@@ -245,9 +257,9 @@ def _make_cli(sampling_type: str, prefix: str):
                     if entry["sampling_type"] == "dmc":
                         entry["extrapolated"] = extra
                         break
-            if dt_summary is not None:
-                payload.append({"sampling_type": "dt_fit",
-                                **dt_summary})
+            for kind, summary in fit_summaries:
+                payload.append({"sampling_type": f"{kind}_fit",
+                                **summary})
             click.echo(_json.dumps(payload, indent=2))
             return
         click.echo(_report(full=full))
@@ -255,10 +267,10 @@ def _make_cli(sampling_type: str, prefix: str):
             from .qmc_exec.report import describe_extrapolated
             click.echo("")
             click.echo(describe_extrapolated(*extrapolated, full=full))
-        if dt_summary is not None:
-            from .qmc_exec.report import describe_dt_fit
+        for _, summary in fit_summaries:
+            from .qmc_exec.report import describe_sweep_fit
             click.echo("")
-            click.echo(describe_dt_fit(dt_summary))
+            click.echo(describe_sweep_fit(summary))
 
     return cli
 

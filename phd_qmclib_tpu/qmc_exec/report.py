@@ -919,6 +919,88 @@ def describe_extrapolated(dmc_result, vmc_result,
     return "\n".join(lines)
 
 
+def _sweep_zero_fit(entries: t.Sequence[t.Tuple[str, t.Any]],
+                    order: int, what: str, x_key: str,
+                    x_of_proc: t.Callable[[t.Any], float],
+                    caveat_of_procs: t.Callable[
+                        [t.Sequence[t.Any]], t.List[str]]) -> dict:
+    """Shared machinery of the stored-sweep ``x -> 0`` energy
+    extrapolations (``--dt-fit``, ``--nw-fit``): extract (x, E/N, err)
+    per row, demand one shared model spec, run the weighted fit, and
+    attach chi2/dof, a higher-degree check fit, and the exact
+    Lieb-Liniger reference for v0 = 0."""
+    from ..analysis import zero_limit_extrapolation
+
+    if len(entries) < 2:
+        raise ValueError(
+            f"a {what} fit needs at least two stored DMC results, "
+            f"got {len(entries)}")
+    specs = []
+    groups, xs, means, errs = [], [], [], []
+    for group, result in entries:
+        proc = result.proc
+        if not hasattr(proc, "time_step"):
+            raise ValueError(
+                f"group '{group or '/'}' is not a DMC result "
+                f"(no time_step); the {what} fit applies to DMC "
+                f"sweeps")
+        nop = proc.model_spec.boson_number
+        specs.append(proc.model_spec)
+        groups.append(group)
+        xs.append(x_of_proc(proc))
+        blocks = result.data.blocks
+        means.append(float(blocks.energy.mean) / nop)
+        errs.append(float(blocks.energy.mean_error) / nop)
+    base = specs[0]
+    for group, spec in zip(groups[1:], specs[1:]):
+        if spec != base:
+            raise ValueError(
+                f"the stored results do not share one model spec "
+                f"(group '{groups[0] or '/'}' vs '{group or '/'}': "
+                f"{base} vs {spec}); a {what} fit needs rows "
+                f"differing only in the swept parameter")
+    if len(set(xs)) < order + 1:
+        raise ValueError(
+            f"need at least {order + 1} distinct {what} values for a "
+            f"degree-{order} fit, got {sorted(set(xs))}")
+    caveats = caveat_of_procs([e[1].proc for e in entries])
+    idx = np.argsort(xs)
+    x = np.asarray(xs, dtype=np.float64)[idx]
+    y = np.asarray(means, dtype=np.float64)[idx]
+    y_err = np.asarray(errs, dtype=np.float64)[idx]
+    e0, e0_err, coeffs = zero_limit_extrapolation(x, y, y_err,
+                                                  order=order)
+    out = {
+        "order": order,
+        "num_points": len(x),
+        "groups": [groups[i] for i in idx],
+        x_key: x.tolist(),
+        "energy_per_particle": y.tolist(),
+        "energy_per_particle_err": y_err.tolist(),
+        "e0": e0,
+        "e0_err": e0_err,
+        "slope": float(coeffs[-2]),
+    }
+    dof = len(x) - (order + 1)
+    if dof > 0:
+        resid = (y - np.polyval(coeffs, x)) / np.maximum(y_err, 1e-300)
+        out["chi2_dof"] = float((resid ** 2).sum() / dof)
+    if len(x) >= order + 3 and len(set(xs)) >= order + 2:
+        q0, q0_err, _ = zero_limit_extrapolation(x, y, y_err,
+                                                 order=order + 1)
+        out["check_fit"] = {"order": order + 1, "e0": q0,
+                            "e0_err": q0_err}
+    ll = _exact_ll_reference(base)
+    if ll is not None:
+        out["exact_ll"] = {
+            "energy_per_particle": ll["e"],
+            "sigma_dev": (e0 - ll["e"]) / max(e0_err, 1e-300),
+        }
+    if caveats:
+        out["caveats"] = caveats
+    return out
+
+
 def summarize_dt_fit(entries: t.Sequence[t.Tuple[str, t.Any]],
                      order: int = 1) -> dict:
     """Time-step extrapolation ``E(dt) -> E(0)`` across a set of
@@ -942,102 +1024,72 @@ def summarize_dt_fit(entries: t.Sequence[t.Tuple[str, t.Any]],
     its DMC driver (``qmc_exec/dmc/proc.py``) leaves time-step studies
     to notebook code outside the package.
     """
-    from ..analysis import zero_limit_extrapolation
+    def caveats(procs):
+        walkers = {p.target_num_walkers for p in procs}
+        if len(walkers) > 1:
+            return [f"rows differ in target_num_walkers "
+                    f"{sorted(walkers)}: the O(1/N_w) "
+                    f"population-control bias is not constant across "
+                    f"the fit"]
+        return []
 
-    if len(entries) < 2:
-        raise ValueError(
-            f"a time-step fit needs at least two stored DMC results, "
-            f"got {len(entries)}")
-    specs, caveats = [], []
-    groups, dts, means, errs = [], [], [], []
-    for group, result in entries:
-        proc = result.proc
-        if not hasattr(proc, "time_step"):
-            raise ValueError(
-                f"group '{group or '/'}' is not a DMC result "
-                f"(no time_step); --dt-fit applies to DMC sweeps")
-        nop = proc.model_spec.boson_number
-        specs.append(proc.model_spec)
-        groups.append(group)
-        dts.append(float(proc.time_step))
-        blocks = result.data.blocks
-        means.append(float(blocks.energy.mean) / nop)
-        errs.append(float(blocks.energy.mean_error) / nop)
-    base = specs[0]
-    for group, spec in zip(groups[1:], specs[1:]):
-        if spec != base:
-            raise ValueError(
-                f"the stored results do not share one model spec "
-                f"(group '{groups[0] or '/'}' vs '{group or '/'}': "
-                f"{base} vs {spec}); a dt fit needs rows differing "
-                f"only in time_step")
-    if len(set(dts)) < order + 1:
-        raise ValueError(
-            f"need at least {order + 1} distinct time steps for a "
-            f"degree-{order} fit, got {sorted(set(dts))}")
-    walkers = {e[1].proc.target_num_walkers for e in entries}
-    if len(walkers) > 1:
-        caveats.append(
-            f"rows differ in target_num_walkers {sorted(walkers)}: "
-            f"the O(1/N_w) population-control bias is not constant "
-            f"across the fit")
-    idx = np.argsort(dts)
-    x = np.asarray(dts, dtype=np.float64)[idx]
-    y = np.asarray(means, dtype=np.float64)[idx]
-    y_err = np.asarray(errs, dtype=np.float64)[idx]
-    e0, e0_err, coeffs = zero_limit_extrapolation(x, y, y_err,
-                                                  order=order)
-    out = {
-        "order": order,
-        "num_points": len(x),
-        "groups": [groups[i] for i in idx],
-        "time_steps": x.tolist(),
-        "energy_per_particle": y.tolist(),
-        "energy_per_particle_err": y_err.tolist(),
-        "e0": e0,
-        "e0_err": e0_err,
-        "slope": float(coeffs[-2]),
-    }
-    dof = len(x) - (order + 1)
-    if dof > 0:
-        resid = (y - np.polyval(coeffs, x)) / np.maximum(y_err, 1e-300)
-        out["chi2_dof"] = float((resid ** 2).sum() / dof)
-    if len(x) >= order + 3 and len(set(dts)) >= order + 2:
-        q0, q0_err, _ = zero_limit_extrapolation(x, y, y_err,
-                                                 order=order + 1)
-        out["check_fit"] = {"order": order + 1, "e0": q0,
-                            "e0_err": q0_err}
-    ll = _exact_ll_reference(base)
-    if ll is not None:
-        out["exact_ll"] = {
-            "energy_per_particle": ll["e"],
-            "sigma_dev": (e0 - ll["e"]) / max(e0_err, 1e-300),
-        }
-    if caveats:
-        out["caveats"] = caveats
-    return out
+    return _sweep_zero_fit(entries, order, "time-step", "time_steps",
+                           lambda p: float(p.time_step), caveats)
 
 
-def describe_dt_fit(summary: dict) -> str:
-    """Render a :func:`summarize_dt_fit` dict as a human report."""
-    lines = ["== time-step extrapolation E(dt) -> E(0) =="]
-    for dt, e, err, group in zip(summary["time_steps"],
-                                 summary["energy_per_particle"],
+def summarize_nw_fit(entries: t.Sequence[t.Tuple[str, t.Any]],
+                     order: int = 1) -> dict:
+    """Population-control-bias extrapolation ``E(N_w) -> E(inf)``
+    across a set of otherwise-identical DMC results at different
+    walker targets (``mrbp-dmc analyze --nw-fit``).
+
+    The E_ref feedback of the branching controller (reference formula:
+    ``qmc_base/dmc.py:769-771``) biases the growth/mixed energy by
+    O(1/N_w), so the fit variable is ``x = 1/target_num_walkers`` and
+    the reported ``e0`` is the infinite-population limit.  Rows that
+    also differ in ``time_step`` carry a caveat (the Trotter bias
+    would contaminate the fit)."""
+    def caveats(procs):
+        dts = {float(p.time_step) for p in procs}
+        if len(dts) > 1:
+            return [f"rows differ in time_step {sorted(dts)}: the "
+                    f"O(dt) Trotter bias is not constant across the "
+                    f"fit"]
+        return []
+
+    return _sweep_zero_fit(entries, order, "walker-number",
+                           "inv_walkers",
+                           lambda p: 1.0 / p.target_num_walkers,
+                           caveats)
+
+
+def describe_sweep_fit(summary: dict) -> str:
+    """Render a :func:`summarize_dt_fit` / :func:`summarize_nw_fit`
+    dict as a human report."""
+    nw = "inv_walkers" in summary
+    title = ("population-control extrapolation E(N_w) -> E(inf)"
+             if nw else "time-step extrapolation E(dt) -> E(0)")
+    lines = [f"== {title} =="]
+    xs = summary["inv_walkers" if nw else "time_steps"]
+    for xv, e, err, group in zip(xs, summary["energy_per_particle"],
                                  summary["energy_per_particle_err"],
                                  summary["groups"]):
-        lines.append(f"  dt = {dt:<10.6g} E/N = {_fmt(e, err)}   "
+        label = (f"N_w = {1.0 / xv:<8.6g}" if nw
+                 else f"dt = {xv:<10.6g}")
+        lines.append(f"  {label} E/N = {_fmt(e, err)}   "
                      f"[{group or '/'}]")
     chi2 = (f", chi2/dof = {summary['chi2_dof']:.3g}"
             if "chi2_dof" in summary else "")
+    limit = "E/N(N_w->inf)" if nw else "E/N(dt->0)"
     lines.append(
         f"degree-{summary['order']} fit: "
-        f"E/N(dt->0) = {_fmt(summary['e0'], summary['e0_err'])} "
+        f"{limit} = {_fmt(summary['e0'], summary['e0_err'])} "
         f"(slope {summary['slope']:+.4g}{chi2})")
     check = summary.get("check_fit")
     if check is not None:
         lines.append(
             f"            degree-{check['order']} check fit: "
-            f"E/N(dt->0) = {_fmt(check['e0'], check['e0_err'])}")
+            f"{limit} = {_fmt(check['e0'], check['e0_err'])}")
     ll = summary.get("exact_ll")
     if ll is not None:
         lines.append(
@@ -1049,11 +1101,18 @@ def describe_dt_fit(summary: dict) -> str:
     return "\n".join(lines)
 
 
-def dt_fit_hdf5(location: str, group_prefix: t.Optional[str] = None,
-                order: int = 1) -> dict:
+# Backward-compatible alias (the dt fit landed first).
+describe_dt_fit = describe_sweep_fit
+
+
+def sweep_fit_hdf5(location: str, kind: str = "dt",
+                   group_prefix: t.Optional[str] = None,
+                   order: int = 1) -> dict:
     """Load every stored DMC result in ``location`` (optionally
     restricted to groups starting with ``group_prefix``, e.g. one
-    sweep's row prefix) and run :func:`summarize_dt_fit` on them."""
+    sweep's row prefix) and run the ``kind`` extrapolation
+    (``"dt"`` -> :func:`summarize_dt_fit`, ``"nw"`` ->
+    :func:`summarize_nw_fit`) on them."""
     from .io import DmcHDF5FileHandler
 
     entries = [(g, st) for g, st in find_result_groups(location)
@@ -1066,10 +1125,17 @@ def dt_fit_hdf5(location: str, group_prefix: t.Optional[str] = None,
     if len(loaded) < 2:
         stored = ", ".join(g or "/" for g, _ in entries) or "none"
         raise ValueError(
-            f"--dt-fit needs at least two stored DMC results in "
+            f"--{kind}-fit needs at least two stored DMC results in "
             f"'{location}' (matching prefix {group_prefix!r}; "
             f"found: {stored})")
-    return summarize_dt_fit(loaded, order=order)
+    fit = summarize_dt_fit if kind == "dt" else summarize_nw_fit
+    return fit(loaded, order=order)
+
+
+def dt_fit_hdf5(location: str, group_prefix: t.Optional[str] = None,
+                order: int = 1) -> dict:
+    """:func:`sweep_fit_hdf5` with ``kind="dt"``."""
+    return sweep_fit_hdf5(location, "dt", group_prefix, order)
 
 
 def find_result_groups(location: str) -> t.List[t.Tuple[str, str]]:

@@ -13,7 +13,9 @@ from phd_qmclib_tpu.models import mrbp
 from phd_qmclib_tpu.qmc_exec import dmc as dmc_exec
 from phd_qmclib_tpu.qmc_exec.io import DmcHDF5FileHandler
 from phd_qmclib_tpu.qmc_exec.report import (dt_fit_hdf5,
-                                            summarize_dt_fit)
+                                            summarize_dt_fit,
+                                            summarize_nw_fit,
+                                            sweep_fit_hdf5)
 from tests.warn_utils import expect_opt_block_warning
 
 # v0 = 0 (pure Lieb-Liniger) so the exact Bethe-ansatz reference is
@@ -117,8 +119,90 @@ def test_too_few_rows_rejected(sweep_file):
     # Two rows at the SAME dt cannot fix a line either.
     twin = [("a", results[0]), ("b", results[0])]
     with expect_opt_block_warning(), \
-            pytest.raises(ValueError, match="distinct time steps"):
+            pytest.raises(ValueError, match="distinct time-step"):
         summarize_dt_fit(twin)
+
+
+@pytest.fixture(scope="module")
+def nw_file(sweep_file, tmp_path_factory):
+    """The same three rows re-labelled as a WALKER-TARGET sweep at one
+    dt (replaced proc metadata; the energies only parametrize the fit
+    math here)."""
+    _, results = sweep_file
+    path = tmp_path_factory.mktemp("nwfit") / "nw.h5"
+    for i, (result, nw) in enumerate(zip(results, (32, 48, 64))):
+        proc = dataclasses.replace(result.proc, time_step=1e-3,
+                                   target_num_walkers=nw)
+        DmcHDF5FileHandler(location=str(path), group=f"nw{i}").dump(
+            dataclasses.replace(result, proc=proc))
+    return str(path)
+
+
+def test_nw_fit_math_and_caveat(sweep_file):
+    """E(N_w) -> E(inf) against an independent polyfit in 1/N_w; rows
+    at differing dt must carry the Trotter-contamination caveat."""
+    _, results = sweep_file
+    targets = (32, 48, 64)
+    entries = [(f"nw{i}",
+                dataclasses.replace(r, proc=dataclasses.replace(
+                    r.proc, target_num_walkers=nw)))
+               for i, (r, nw) in enumerate(zip(results, targets))]
+    with expect_opt_block_warning():
+        summary = summarize_nw_fit(entries)
+    nop = MODEL_CONFIG["boson_number"]
+    with expect_opt_block_warning():
+        pts = sorted(
+            (1.0 / nw,
+             float(r.data.blocks.energy.mean) / nop,
+             float(r.data.blocks.energy.mean_error) / nop)
+            for (_, r), nw in zip(entries, targets))
+    x, y, y_err = (np.array(c) for c in zip(*pts))
+    np.testing.assert_allclose(summary["inv_walkers"], x, rtol=1e-12)
+    coeffs, cov = np.polyfit(x, y, 1, w=1.0 / y_err, cov="unscaled")
+    assert summary["e0"] == pytest.approx(coeffs[-1], rel=1e-10)
+    assert summary["e0_err"] == pytest.approx(
+        float(np.sqrt(cov[-1, -1])), rel=1e-10)
+    # The source rows differ in dt -> the caveat must fire.
+    assert any("time_step" in c for c in summary["caveats"])
+
+
+def test_nw_fit_needs_distinct_targets(sweep_file):
+    _, results = sweep_file          # all rows share target 32
+    entries = [(f"dt{i}", r) for i, r in enumerate(results)]
+    with expect_opt_block_warning(), \
+            pytest.raises(ValueError,
+                          match="distinct walker-number"):
+        summarize_nw_fit(entries)
+
+
+def test_cli_nw_fit(nw_file):
+    import json
+
+    with expect_opt_block_warning():
+        out = CliRunner().invoke(
+            mrbp_cli.dmc_cli,
+            ["analyze", nw_file, "--nw-fit", "--json"])
+    assert out.exit_code == 0, out.output
+    payload = json.loads(out.output)
+    fit = payload[-1]
+    assert fit["sampling_type"] == "nw_fit"
+    assert fit["inv_walkers"] == [1 / 64, 1 / 48, 1 / 32]
+    assert np.isfinite(fit["e0"])
+    assert "caveats" not in fit      # one shared dt after relabeling
+    with expect_opt_block_warning():
+        human = CliRunner().invoke(
+            mrbp_cli.dmc_cli, ["analyze", nw_file, "--nw-fit"])
+    assert "population-control extrapolation" in human.output
+    assert "N_w = 64" in human.output
+
+
+def test_sweep_fit_hdf5_kind_dispatch(nw_file):
+    with expect_opt_block_warning():
+        summary = sweep_fit_hdf5(nw_file, "nw")
+    assert "inv_walkers" in summary
+    with expect_opt_block_warning(), \
+            pytest.raises(ValueError, match="distinct time-step"):
+        sweep_fit_hdf5(nw_file, "dt")   # one shared dt -> no dt fit
 
 
 def test_cli_human_report(sweep_file):
