@@ -391,15 +391,21 @@ def parent_main(args) -> int:
         print(dmc_line)
         return 0
 
-    # Attempt 1: the full requested configuration.  It gets nearly the
-    # whole budget: under a degraded relay the warmup cost is dominated
-    # by cached-executable LOADS (observed 10-45 s each), which a
-    # smaller second attempt pays all over again — the per-block
-    # PARTIAL salvage is the real safety net.
+    # Attempt 1: the full requested configuration.  It gets the whole
+    # budget minus a 30 s epsilon: under a degraded relay the warmup
+    # cost is dominated by remote compiles / cached-executable LOADS
+    # (observed 10-45 s per load, minutes per cold compile), which a
+    # smaller second attempt pays ALL OVER AGAIN (different nts =
+    # different executable) — the per-block PARTIAL salvage is the
+    # real safety net, and letting the cold compile FINISH here is
+    # what populates the persistent cache for every later run.  The
+    # warm path completes in ~90 s, leaving the VMC stage its window;
+    # attempt 2 is only for fast-crash scenarios, which return the
+    # unused budget anyway.
     full_args = passthrough + ["--nts", str(args.nts),
                                "--blocks", str(args.blocks)]
     final, partial = _run_attempt(
-        full_args, timeout_s=max(60.0, remaining() - 120.0))
+        full_args, timeout_s=max(60.0, remaining() - 30.0))
     if final is not None:
         return finish(json.dumps(final))
     if partial is not None:
