@@ -208,9 +208,10 @@ class Proc(proc_base.Proc):
         for name, spec in (("density_spec", self.density_spec),
                            ("ssf_spec", self.ssf_spec),
                            ("obd_spec", self.obd_spec),
-                           ("pair_corr_spec", self.pair_corr_spec)):
+                           ("pair_corr_spec", self.pair_corr_spec),
+                           ("itc_spec", self.itc_spec)):
             every = self.est_every
-            if name in ("obd_spec", "pair_corr_spec") \
+            if name in ("obd_spec", "pair_corr_spec", "itc_spec") \
                     and spec is not None:
                 mult = int(spec.est_every_mult)
                 if mult < 1:
@@ -271,7 +272,7 @@ class Proc(proc_base.Proc):
         windows = set()
         nts = self.num_time_steps_block
         for spec in (self.density_spec, self.ssf_spec, self.obd_spec,
-                     self.pair_corr_spec):
+                     self.pair_corr_spec, self.itc_spec):
             if spec is None or not spec.as_pure_est:
                 continue
             pfw = spec.pfw_num_time_steps
@@ -395,6 +396,11 @@ class Proc(proc_base.Proc):
             if self.itc_spec.est_every_mult != 1:
                 config["itc_spec"]["est_every_mult"] = \
                     self.itc_spec.est_every_mult
+            if self.itc_spec.as_pure_est:
+                config["itc_spec"]["as_pure_est"] = True
+                if self.itc_spec.pfw_num_time_steps:
+                    config["itc_spec"]["pfw_num_time_steps"] = \
+                        self.itc_spec.pfw_num_time_steps
         return {k: v for k, v in config.items() if v is not None}
 
     def evolve(self, config: t.Mapping) -> "Proc":
@@ -466,7 +472,11 @@ class Proc(proc_base.Proc):
             if self.should_eval_pair_corr else None
         itc_est_spec = dmc_sampler.ITCEstSpec(
             self.itc_spec.num_modes, self.itc_spec.num_lags,
-            est_every_mult=self.itc_spec.est_every_mult) \
+            est_every_mult=self.itc_spec.est_every_mult,
+            as_pure_est=self.itc_spec.as_pure_est,
+            pfw_num_time_steps=(self._pfw(self.itc_spec)
+                                if self.itc_spec.as_pure_est
+                                else None)) \
             if self.should_eval_itc else None
         mesh = None
         if self.num_mesh_devices is not None:
@@ -915,14 +925,23 @@ class _BlockAccumulator:
         self.itc_sums_data = None
         self.itc_counts_data = None
         if proc.should_eval_itc:
-            # Per-block lag-sum/count totals (blocks are the
-            # decorrelation unit; the ring buffer itself rides the
-            # sampler State).
-            self.itc_sums_data = np.zeros(
-                (num_blocks, proc.itc_spec.num_lags + 1,
-                 proc.itc_spec.num_modes))
-            self.itc_counts_data = np.zeros(
-                (num_blocks, proc.itc_spec.num_lags + 1))
+            if proc.itc_spec.as_pure_est:
+                # Forward-walked ITC: one (lag-sums, lag-counts)
+                # statistics sample per pure-estimator window, like
+                # the other pure estimators (the counts sample rides
+                # along — it is the descendant-weighted denominator,
+                # so no ``win_weights`` weighting applies here).
+                self.pure_samples["itc"] = []
+                self.pure_samples["itc_nw"] = []
+            else:
+                # Per-block lag-sum/count totals (blocks are the
+                # decorrelation unit; the ring buffer itself rides the
+                # sampler State).
+                self.itc_sums_data = np.zeros(
+                    (num_blocks, proc.itc_spec.num_lags + 1,
+                     proc.itc_spec.num_modes))
+                self.itc_counts_data = np.zeros(
+                    (num_blocks, proc.itc_spec.num_lags + 1))
         self.cmd_w2_data = None
         self.cmd_raw_data = None
         if proc.should_eval_cm_diffusion:
@@ -1037,7 +1056,7 @@ class _BlockAccumulator:
         proc = self.proc
         props = self.props
         nts_block = proc.num_time_steps_block
-        if iter_itc is not None:
+        if iter_itc is not None and not proc.itc_spec.as_pure_est:
             self.itc_sums_data[block_idx] = iter_itc.sum(axis=0)
             self.itc_counts_data[block_idx] = iter_itc_nw.sum(axis=0)
         if iter_cmd is not None:
@@ -1082,6 +1101,13 @@ class _BlockAccumulator:
                 proc.should_eval_pair_corr
                 and proc.pair_corr_spec.as_pure_est
                 and iter_g2 is not None)
+        if iter_itc is not None and proc.itc_spec.as_pure_est \
+                and win_final:
+            # The counts are the estimator's own descendant-weighted
+            # denominator — they form the paired window sample.
+            self.pure_samples["itc"].append(np.asarray(iter_itc[-1]))
+            self.pure_samples["itc_nw"].append(
+                np.asarray(iter_itc_nw[-1]))
 
         if proc.keep_iter_data:
             props["energy"][block_idx] = energy
@@ -1222,8 +1248,14 @@ class _BlockAccumulator:
 
         itc_blocks = None
         if proc.should_eval_itc:
+            if proc.itc_spec.as_pure_est:
+                itc_sums = np.stack(self.pure_samples["itc"])
+                itc_counts = np.stack(self.pure_samples["itc_nw"])
+            else:
+                itc_sums = self.itc_sums_data
+                itc_counts = self.itc_counts_data
             itc_blocks = dmc_data.ITCBlocks(
-                self.itc_sums_data, self.itc_counts_data,
+                itc_sums, itc_counts,
                 tau_step=(proc.est_every
                           * proc.itc_spec.est_every_mult
                           * proc.time_step),

@@ -116,13 +116,23 @@ class ITCEstSpec:
     (OBDM-style cadence multiplier) the lag spacing: lags reach
     ``num_lags * est_every * est_every_mult * time_step`` in
     imaginary time, so the multiplier buys deep tau at FIXED buffer
-    memory and per-step transport cost.  A mixed estimator by
-    construction (the early-time insertion always touches the trial
-    function); see :class:`phd_qmclib_tpu.samplers.dmc.ITCEstSpec`.
+    memory and per-step transport cost.
+
+    ``as_pure_est=True`` forward-walks the two-time products through
+    the branching ancestry (descendant weighting — in the long-
+    projection limit both insertions become interior and the
+    amplitudes lose their ``O(psi_T - phi_0)`` trial bias); the
+    default stays the mixed estimator, whose decay RATES are already
+    exact and whose lag 0 is bit-identical to the mixed S(k)
+    numerator.  ``pfw_num_time_steps`` has the same forward-walking
+    window semantics as :class:`DensityEstSpec`.  See
+    :class:`phd_qmclib_tpu.samplers.dmc.ITCEstSpec`.
     """
     num_modes: int
     num_lags: int
     est_every_mult: int = 1
+    as_pure_est: bool = False
+    pfw_num_time_steps: t.Optional[int] = None
 
 
 @dataclass(frozen=True)

@@ -319,7 +319,9 @@ def describe_dmc(result, full: bool = False) -> str:
                              0.0) > 1e-12
         lines += _itc_lines(blocks.itc, blocks.ss_factor, nop, full,
                             ssf_pure=s_p, ssf_pure_err=s_pe,
-                            lattice_mm=mm if in_lattice else None)
+                            lattice_mm=mm if in_lattice else None,
+                            itc_pure=getattr(proc.itc_spec,
+                                             "as_pure_est", False))
     lines += _luttinger_lines(blocks, proc, nop, sc, mm=mm)
     return "\n".join(lines)
 
@@ -328,7 +330,11 @@ def _pure_ssf_for_itc(itc, ssf_blocks, proc, nop: int):
     """Mode-aligned per-particle PURE S(k) (+err) for the hybrid
     (amplitude-bias-free) static response; ``(None, None)`` when the
     run's S(k) is mixed or absent (the mixed amplitude would defeat
-    the point of the rescale)."""
+    the point of the rescale) — or when the ITC itself is the pure
+    (forward-walked) estimator, whose amplitude needs no rescue."""
+    itc_spec = getattr(proc, "itc_spec", None)
+    if getattr(itc_spec, "as_pure_est", False):
+        return None, None
     spec = getattr(proc, "ssf_spec", None)
     if ssf_blocks is None or spec is None \
             or not getattr(spec, "as_pure_est", False):
@@ -345,8 +351,8 @@ def _pure_ssf_for_itc(itc, ssf_blocks, proc, nop: int):
 
 
 def _itc_lines(itc_blocks, ssf_blocks, nop: int, full: bool,
-               ssf_pure=None, ssf_pure_err=None, lattice_mm=None) \
-        -> t.List[str]:
+               ssf_pure=None, ssf_pure_err=None, lattice_mm=None,
+               itc_pure: bool = False) -> t.List[str]:
     """Imaginary-time correlation: effective excitation energies from
     the large-tau log slope of F(k, tau) — a tau-dependent UPPER bound
     on the lowest excitation at each k, tighter than (and bounded by)
@@ -419,8 +425,12 @@ def _itc_lines(itc_blocks, ssf_blocks, nop: int, full: bool,
         try:
             sr = itc_blocks.static_response(ssf=ssf_pure,
                                             ssf_err=ssf_pure_err)
-            amp = "pure-S(k) amplitude" if ssf_pure is not None \
-                else "mixed amplitude"
+            if itc_pure:
+                amp = "pure (forward-walked) amplitude"
+            elif ssf_pure is not None:
+                amp = "pure-S(k) amplitude"
+            else:
+                amp = "mixed amplitude"
             parts = [f"k{j} = " + _fmt(sr["chi"][j], sr["chi_err"][j])
                      for j in show if np.isfinite(sr["chi"][j])]
             if parts:
@@ -716,8 +726,11 @@ def summarize(result, sampling_type: str) -> dict:
                             "omega_bound_err", "sound_speed",
                             "sound_speed_err"):
                     out[f"itc_{key}"] = np.asarray(sr[key]).tolist()
-                out["itc_chi_amplitude"] = \
-                    "pure" if s_p is not None else "mixed"
+                if getattr(proc.itc_spec, "as_pure_est", False):
+                    out["itc_chi_amplitude"] = "pure-forward-walked"
+                else:
+                    out["itc_chi_amplitude"] = \
+                        "pure" if s_p is not None else "mixed"
                 # Galilean-broken Luttinger split (lattice runs with a
                 # CM-diffusion measurement): c = sqrt(m/m*) / sqrt(m_{-1}).
                 cmd = getattr(blocks, "cm_diffusion", None)

@@ -275,12 +275,26 @@ class ITCEstSpec:
     exactly.  Lag 0 reproduces the S(k) numerator (bit-identical to
     the ``ssf`` estimator's mixed slot-0 sums when both are enabled).
 
-    This is a MIXED estimator by construction — the two-time insertion
-    makes the usual forward-walking purification inapplicable (the
-    early-time endpoint always touches the trial function), so there
-    is no ``as_pure_est`` knob; trial-function bias vanishes as
-    ``psi_T`` approaches the ground state and is quantified by the
-    VMC-vs-DMC ``tau = 0`` difference.
+    **Mixed vs pure.**  The default is the MIXED estimator: the later
+    insertion ``rho_k(t + tau)`` touches the trial function, so the
+    amplitudes carry ``O(psi_T - phi_0)`` bias while the DECAY RATES
+    stay exact (the early endpoint is already interior — DMC evolved
+    past it).  ``as_pure_est=True`` applies the same forward-walking
+    discipline as the other estimators (reference pure transport:
+    ``qmc_base/jastrow/dmc.py:194-462``) to the two-time product: each
+    measured per-walker product ``rho_k(t) rho_-k(t - l dtau)``
+    accumulates into an ancestry-transported aux array and is sampled
+    at the forward-walking window end, weighting every contribution by
+    its number of descendants — in the long-projection limit BOTH
+    endpoints become interior and the estimator converges to
+    ``<phi_0| rho_k e^{-tau(H - E_0)} rho_-k |phi_0>`` over the
+    projected norm.  Matching per-lag descendant-weighted counts ride
+    along, so the ratio-of-means normalization is the standard pure
+    one.  Mixed stays the default so lag 0 remains bit-identical to
+    the ``ssf`` estimator's mixed slot-0 numerator and the recorded
+    chip baselines stay reproducible; the production config opts into
+    pure.  ``pfw_num_time_steps`` has the same window semantics as the
+    other pure estimators (``None`` = accumulate all window long).
 
     Cost: the buffer must ride the branching every step, but gathers
     compose — so the per-step work is one ``(Wm,)`` int32 parent
@@ -306,6 +320,8 @@ class ITCEstSpec:
     num_modes: int
     num_lags: int
     est_every_mult: int = 1
+    as_pure_est: bool = False
+    pfw_num_time_steps: t.Optional[int] = None
 
     def __post_init__(self):
         if self.num_modes < 1:
@@ -605,6 +621,13 @@ class Sampling:
                 and self.pair_corr_est_spec.as_pure_est:
             shapes["aux_g2"] = (max_w,
                                 self.pair_corr_est_spec.num_bins)
+        if self.itc_est_spec is not None \
+                and self.itc_est_spec.as_pure_est:
+            shapes["aux_itc"] = (max_w,
+                                 self.itc_est_spec.num_lags + 1,
+                                 self.itc_est_spec.num_modes)
+            shapes["aux_itc_cnt"] = (max_w,
+                                     self.itc_est_spec.num_lags + 1)
         return shapes
 
     def pfw_window_blocks(self, num_time_steps_block: int) -> int:
@@ -616,7 +639,8 @@ class Sampling:
         (the window must then be a multiple of the block length)."""
         window = 1
         for spec in (self.density_est_spec, self.ssf_est_spec,
-                     self.obd_est_spec, self.pair_corr_est_spec):
+                     self.obd_est_spec, self.pair_corr_est_spec,
+                     self.itc_est_spec):
             if spec is None or not spec.as_pure_est \
                     or not spec.pfw_num_time_steps:
                 continue
@@ -854,6 +878,7 @@ class Sampling:
         ssf_pure = use_ssf and ssf_spec.as_pure_est
         obd_pure = use_obd and obd_spec.as_pure_est
         g2_pure = use_g2 and g2_spec.as_pure_est
+        itc_pure = use_itc and itc_spec.as_pure_est
         obd_offsets = np.asarray(self.obd_pos_offsets) if use_obd else None
         use_cmd = self.cm_diffusion_est
         use_hw_normals = self.hw_normals if self.hw_normals is not None \
@@ -917,7 +942,7 @@ class Sampling:
                 if "anc_perm" in extra else parent
             if transport_only:
                 for name in ("aux_density", "aux_ssf", "aux_obd",
-                             "aux_g2"):
+                             "aux_g2", "aux_itc", "aux_itc_cnt"):
                     if name in extra:
                         new_extra[name] = extra[name]
                 if "anc_perm" in extra:
@@ -1119,8 +1144,15 @@ class Sampling:
                     # tau at fixed buffer size and per-step transport.
                     itc_now = (step_idx + 1) % (cadence * itc_mult) == 0
 
+                    cad_itc = cadence * itc_mult
+                    if itc_pure:
+                        pfw_itc = self._pfw_steps(itc_spec)
+                        itc_divisor = jnp.minimum(
+                            (step_idx + 1) // cad_itc,
+                            pfw_itc // cad_itc).astype(cpos.dtype)
+
                     def _itc_measure(ops):
-                        buf, filled, perm = ops
+                        buf, filled, perm, aux_p, aux_cnt_p = ops
                         # ONE buffer gather through the composed
                         # parent permutation — bit-identical to the
                         # per-step gathers it replaces.
@@ -1145,17 +1177,49 @@ class Sampling:
                         # as the ssf estimator's slot 0, so the two
                         # are bit-identical when both are enabled.
                         sq = reim[..., 0] ** 2 + reim[..., 1] ** 2
-                        lag0 = jnp.where(valid[:, None], sq,
-                                         0.0).sum(axis=0)
-                        lag_prod = jnp.einsum("wlkc,wkc,w->lk", buf,
-                                              reim, maskf)
-                        sums = jnp.concatenate([lag0[None], lag_prod],
-                                               axis=0)
                         nwf = nw.astype(cpos.dtype)
                         lag_ok = (jnp.arange(1, num_lags + 1)
                                   <= filled).astype(cpos.dtype)
-                        counts = jnp.concatenate([nwf[None],
-                                                  nwf * lag_ok])
+                        if itc_pure:
+                            # Forward walking: the per-walker lag
+                            # products accumulate into an ancestry-
+                            # transported aux (gathered through the
+                            # SAME composed permutation as the ring
+                            # buffer), alongside per-lag contribution
+                            # counts; sampling divides by the number
+                            # of contributions, exactly the pure-
+                            # density discipline.
+                            prod_w = jnp.einsum(
+                                "wlkc,wkc->wlk", buf, reim) \
+                                * maskf[:, None, None]
+                            sq_w = jnp.where(valid[:, None], sq, 0.0)
+                            contrib = jnp.concatenate(
+                                [sq_w[:, None], prod_w], axis=1)
+                            cnt_row = jnp.concatenate(
+                                [jnp.ones((1,), cpos.dtype), lag_ok])
+                            aux = aux_p[perm]
+                            aux_cnt = aux_cnt_p[perm]
+                            grow = step_idx < pfw_itc
+                            aux = jnp.where(grow, aux + contrib, aux)
+                            aux_cnt = jnp.where(
+                                grow, aux_cnt + maskf[:, None]
+                                * cnt_row[None], aux_cnt)
+                            sums = jnp.where(
+                                valid[:, None, None], aux,
+                                0.0).sum(axis=0) / itc_divisor
+                            counts = jnp.where(
+                                valid[:, None], aux_cnt,
+                                0.0).sum(axis=0) / itc_divisor
+                        else:
+                            aux, aux_cnt = aux_p, aux_cnt_p
+                            lag0 = jnp.where(valid[:, None], sq,
+                                             0.0).sum(axis=0)
+                            lag_prod = jnp.einsum("wlkc,wkc,w->lk",
+                                                  buf, reim, maskf)
+                            sums = jnp.concatenate(
+                                [lag0[None], lag_prod], axis=0)
+                            counts = jnp.concatenate([nwf[None],
+                                                      nwf * lag_ok])
                         buf = jnp.concatenate(
                             [reim[:, None], buf[:, :-1]], axis=1)
                         filled = jnp.minimum(filled + 1,
@@ -1165,22 +1229,34 @@ class Sampling:
                         # same shard_map vartype).
                         iota = jnp.arange(perm.shape[0],
                                           dtype=perm.dtype) + 0 * perm
-                        return buf, filled, sums, counts, iota
+                        return buf, filled, sums, counts, iota, \
+                            aux, aux_cnt
 
-                    ops = (new_itc_buf, state.itc_filled, itc_perm)
+                    if itc_pure:
+                        aux_ops = (extra["aux_itc"],
+                                   extra["aux_itc_cnt"])
+                    else:
+                        # Placeholder scalars keep the cond operand
+                        # tree uniform when the aux arrays are off
+                        # (derived from a varying operand so the
+                        # shard_map vartypes line up).
+                        aux_ops = (0.0 * cpos[0, 0], 0.0 * cpos[0, 0])
+                    ops = (new_itc_buf, state.itc_filled, itc_perm,
+                           *aux_ops)
                     if itc_mult == 1:
                         # This (measuring) step function only runs on
                         # cadence-measured steps, so with mult == 1
                         # every invocation measures — no cond needed.
                         (new_itc_buf, new_itc_filled, est_out["itc"],
-                         est_out["itc_nw"],
-                         new_extra["itc_perm"]) = _itc_measure(ops)
+                         est_out["itc_nw"], new_extra["itc_perm"],
+                         new_aux_itc, new_aux_itc_cnt) \
+                            = _itc_measure(ops)
                     else:
                         # Skip-branch zeros derive from a varying
                         # operand so both cond branches carry the same
                         # shard_map vartype (cf. the OBDM cond).
                         def _itc_skip(ops):
-                            buf, filled, perm = ops
+                            buf, filled, perm, aux_p, aux_cnt_p = ops
                             zero = 0.0 * buf[0, 0, 0, 0]
                             return (buf, filled,
                                     jnp.zeros((num_lags + 1,
@@ -1188,12 +1264,15 @@ class Sampling:
                                               cpos.dtype) + zero,
                                     jnp.zeros((num_lags + 1,),
                                               cpos.dtype) + zero,
-                                    perm)
+                                    perm, aux_p, aux_cnt_p)
 
                         (new_itc_buf, new_itc_filled, est_out["itc"],
-                         est_out["itc_nw"],
-                         new_extra["itc_perm"]) = jax.lax.cond(
+                         est_out["itc_nw"], new_extra["itc_perm"],
+                         new_aux_itc, new_aux_itc_cnt) = jax.lax.cond(
                             itc_now, _itc_measure, _itc_skip, ops)
+                    if itc_pure:
+                        new_extra["aux_itc"] = new_aux_itc
+                        new_extra["aux_itc_cnt"] = new_aux_itc_cnt
 
             # 5) Diffuse children with the PREVIOUS E_ref
             #    (jastrow/dmc.py:742-827).
@@ -1328,6 +1407,12 @@ class Sampling:
                 if g2_spec is not None and g2_spec.as_pure_est:
                     extra0["aux_g2"] = jnp.zeros(
                         (max_w, g2_spec.num_bins), dtype=dtype)
+                if itc_spec is not None and itc_spec.as_pure_est:
+                    extra0["aux_itc"] = jnp.zeros(
+                        (max_w, itc_spec.num_lags + 1,
+                         itc_spec.num_modes), dtype=dtype)
+                    extra0["aux_itc_cnt"] = jnp.zeros(
+                        (max_w, itc_spec.num_lags + 1), dtype=dtype)
             aux_keys = tuple(extra0)
             varying = tuple(a for a in (axis_name, *extra_varying_axes)
                             if a is not None)

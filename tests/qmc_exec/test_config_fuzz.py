@@ -86,11 +86,15 @@ def draw_dmc_config(rng: np.random.Generator) -> dict:
         if rng.random() < 0.5:
             cfg["rebalance_every"] = int(rng.choice([2, 3]))
     # Imaginary-time correlation (drawn LAST so the earlier knob
-    # sequence — and the fixed corpus's coverage — is unchanged).
+    # sequence — and the fixed corpus's coverage — is unchanged; the
+    # pure/forward-walked variant draws after it for the same reason).
     if rng.random() < 0.5:
         cfg["itc_spec"] = {"num_modes": 4,
                            "num_lags": int(rng.choice([2, 3, 5])),
                            "est_every_mult": int(rng.choice([1, 2]))}
+        if rng.random() < 0.5:
+            cfg["itc_spec"]["as_pure_est"] = True
+            cfg["itc_spec"]["pfw_num_time_steps"] = window_steps
     # Validity constraints: est_every (x mult) must divide the block
     # AND any forward-walking window length.
     if NTS % est_every:

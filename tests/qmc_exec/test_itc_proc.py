@@ -114,6 +114,88 @@ def test_kill_restore_resumes_itc_bit_exact(tmp_path, monkeypatch):
                                   np.asarray(full.state.itc_buf))
 
 
+class TestPureItcProc:
+    """Forward-walked (pure) ITC through the production driver: one
+    (lag-sums, lag-counts) statistics sample per forward-walking
+    window, config/HDF5/checkpoint plumbing identical to the other
+    pure estimators."""
+
+    def test_exec_pure_collects_samples_and_roundtrips(self, tmp_path):
+        proc = make_proc(itc_spec=dmc_exec.ITCEstSpec(
+            num_modes=4, num_lags=3, as_pure_est=True))
+        result = proc.exec(make_input(proc))
+        itc = result.data.blocks.itc
+        assert isinstance(itc, dmc_data.ITCBlocks)
+        # One window sample per measured block (pfw defaults to one
+        # block; burn-in blocks are extra).
+        assert itc.lag_sums.shape == (proc.num_blocks, 4, 4)
+        # k = 0 column: every contribution is exactly N^2, exact
+        # through the descendant weighting too.
+        np.testing.assert_allclose(itc.mean[:, 0], float(NOP),
+                                   rtol=1e-12)
+        f_norm = itc.normalized
+        assert np.all(f_norm[1:, 1:] <= 1.0 + 1e-12)
+        # Config round trip preserves the pure flag.
+        proc2 = dmc_exec.Proc.from_config(proc.as_config())
+        assert proc2 == proc
+        assert proc2.itc_spec.as_pure_est
+        # HDF5 round trip.
+        handler = DmcHDF5FileHandler(
+            location=str(tmp_path / "rp.h5"), group="g")
+        handler.dump(result)
+        loaded = handler.load()
+        assert loaded.proc.itc_spec.as_pure_est
+        np.testing.assert_array_equal(loaded.data.blocks.itc.lag_sums,
+                                      itc.lag_sums)
+
+    def test_pure_dynamics_and_energy_match_mixed(self):
+        results = []
+        for pure in (True, False):
+            proc = make_proc(itc_spec=dmc_exec.ITCEstSpec(
+                num_modes=4, num_lags=3, as_pure_est=pure))
+            results.append(proc.exec(make_input(proc)))
+        np.testing.assert_array_equal(
+            np.asarray(results[0].state.pos),
+            np.asarray(results[1].state.pos))
+        np.testing.assert_array_equal(
+            results[0].data.blocks.energy.totals,
+            results[1].data.blocks.energy.totals)
+
+    def test_kill_restore_resumes_pure_itc_bit_exact(
+            self, tmp_path, monkeypatch):
+        """Multi-block forward-walking window (pfw = 2 blocks) cut by
+        the checkpoint: the transported aux arrays persist in the
+        checkpoint's aux carry, so the resumed window sample matches
+        the uninterrupted run bit-exactly."""
+        itc_spec = dmc_exec.ITCEstSpec(num_modes=4, num_lags=3,
+                                       as_pure_est=True,
+                                       pfw_num_time_steps=16)
+        ckpt = str(tmp_path / "ckpt.h5")
+        proc = make_proc(ckpt, num_blocks=6, burn_in_blocks=1,
+                         itc_spec=itc_spec, checkpoint_every=3)
+        proc_input = make_input(proc)
+        full = make_proc(num_blocks=6, burn_in_blocks=1,
+                         itc_spec=itc_spec).exec(
+            dmc_exec.ProcInput(proc_input.state))
+
+        with monkeypatch.context() as mp:
+            killed = kill_after_checkpoint(mp, dmc_exec.Proc,
+                                           at_blocks=3)
+            with pytest.raises(killed):
+                proc.exec(proc_input)
+
+        proc2, proc_input2 = dmc_exec.Proc.restore_checkpoint(ckpt)
+        assert proc2.itc_spec == itc_spec
+        resumed = proc2.evolve({"checkpoint_file": None}).exec(
+            proc_input2)
+        np.testing.assert_array_equal(
+            resumed.data.blocks.itc.lag_sums,
+            full.data.blocks.itc.lag_sums)
+        np.testing.assert_array_equal(
+            resumed.data.blocks.itc.lag_counts,
+            full.data.blocks.itc.lag_counts)
+
+
 def test_excitation_fit_recovers_exact_decay():
     """Synthetic exactness: blocks built from F(k, tau) =
     A_k exp(-omega_k tau) must return every omega_k to round-off,

@@ -272,15 +272,210 @@ class TestItcSharded:
             np.asarray(finals[1].iter_props.energy))
 
 
+class TestItcPure:
+    """Forward-walked (pure) ITC: the per-walker lag products
+    accumulate into an ancestry-transported aux array and are sampled
+    at the forward-walking window end — the same discipline as the
+    other pure estimators (round-5 addition; the mixed estimator
+    remains the default)."""
+
+    def _pure_sampling(self, spec, **kw):
+        base = dict(itc_est_spec=dmc.ITCEstSpec(
+            num_modes=MODES, num_lags=LAGS, as_pure_est=True))
+        base.update(kw)
+        return make_sampling(spec, **base)
+
+    def test_pure_dynamics_bit_identical_to_mixed(self):
+        spec = make_spec()
+        finals = []
+        for pure in (True, False):
+            sampling = make_sampling(
+                spec, itc_est_spec=dmc.ITCEstSpec(
+                    num_modes=MODES, num_lags=LAGS, as_pure_est=pure))
+            state = sampling.build_state(make_confs(spec, 80))
+            blocks = sampling.blocks(state, num_time_steps_block=12,
+                                     burn_in_blocks=1)
+            next(blocks)
+            finals.append(next(blocks))
+        np.testing.assert_array_equal(
+            np.asarray(finals[0].last_state.pos),
+            np.asarray(finals[1].last_state.pos))
+        np.testing.assert_array_equal(
+            np.asarray(finals[0].iter_props.energy),
+            np.asarray(finals[1].iter_props.energy))
+
+    def test_pure_k0_sum_rule_and_first_step_equals_mixed(self):
+        """k = 0: every contribution adds exactly N^2, so the pure
+        sums obey ``N^2 x counts`` at every lag; and the FIRST
+        measured step of a window holds a single contribution, which
+        must equal the mixed estimator's sums bit-for-bit."""
+        spec = make_spec()
+        rows = []
+        for pure in (True, False):
+            sampling = make_sampling(
+                spec, itc_est_spec=dmc.ITCEstSpec(
+                    num_modes=MODES, num_lags=LAGS, as_pure_est=pure))
+            state = sampling.build_state(make_confs(spec, 80))
+            blocks = sampling.blocks(state, num_time_steps_block=12,
+                                     burn_in_blocks=1)
+            next(blocks)
+            rows.append(next(blocks))
+        bp, bm = rows
+        itc = np.asarray(bp.iter_itc)
+        nw = np.asarray(bp.iter_itc_nw)
+        np.testing.assert_allclose(itc[:, :, 0], NOP ** 2 * nw,
+                                   rtol=1e-12)
+        np.testing.assert_allclose(itc[0], np.asarray(bm.iter_itc)[0],
+                                   rtol=1e-12)
+        np.testing.assert_allclose(nw[0],
+                                   np.asarray(bm.iter_itc_nw)[0])
+
+    def test_pure_lag0_matches_pure_ssf_bitexact(self):
+        """Lag 0 of the pure ITC is the SAME per-walker quantity as
+        the pure S(k) slot-0 numerator, accumulated on the same steps
+        and transported through the same composed permutations — the
+        window samples must agree bit-for-bit.  This certifies the
+        transported-aux machinery against the established pure-SSF
+        path."""
+        spec = make_spec()
+        sampling = make_sampling(
+            spec,
+            ssf_est_spec=dmc.SSFEstSpec(num_modes=MODES,
+                                        as_pure_est=True),
+            itc_est_spec=dmc.ITCEstSpec(num_modes=MODES,
+                                        num_lags=LAGS,
+                                        as_pure_est=True))
+        state = sampling.build_state(make_confs(spec, 80))
+        blocks = sampling.blocks(state, num_time_steps_block=12,
+                                 burn_in_blocks=1)
+        next(blocks)
+        b = next(blocks)
+        np.testing.assert_array_equal(
+            np.asarray(b.iter_itc)[:, 0, :],
+            np.asarray(b.iter_ssf)[:, :, 0])
+
+    def test_pure_mult_cadence_sum_rule(self):
+        spec = make_spec()
+        sampling = make_sampling(
+            spec, itc_est_spec=dmc.ITCEstSpec(
+                num_modes=MODES, num_lags=LAGS, est_every_mult=2,
+                as_pure_est=True))
+        state = sampling.build_state(make_confs(spec, 80))
+        blocks = sampling.blocks(state, num_time_steps_block=12,
+                                 burn_in_blocks=1)
+        next(blocks)
+        b = next(blocks)
+        itc = np.asarray(b.iter_itc)
+        nw = np.asarray(b.iter_itc_nw)
+        assert itc.shape == (6, LAGS + 1, MODES)
+        np.testing.assert_allclose(itc[:, :, 0], NOP ** 2 * nw,
+                                   rtol=1e-12)
+
+    def test_pure_sharded_sum_rule(self):
+        mesh = make_walker_mesh()
+        spec = make_spec()
+        sampling = make_sampling(
+            spec, mesh=mesh, max_num_walkers=192,
+            target_num_walkers=128,
+            itc_est_spec=dmc.ITCEstSpec(num_modes=MODES,
+                                        num_lags=LAGS,
+                                        as_pure_est=True))
+        state = sampling.build_state(make_confs(spec, 128))
+        blocks = sampling.blocks(state, num_time_steps_block=8,
+                                 burn_in_blocks=1)
+        next(blocks)
+        b = next(blocks)
+        itc = np.asarray(b.iter_itc)
+        nw = np.asarray(b.iter_itc_nw)
+        np.testing.assert_allclose(itc[:, :, 0], NOP ** 2 * nw,
+                                   rtol=1e-12)
+        # Fully-filled lags: sum_w cnt/divisor telescopes to the
+        # global population of the measured step.
+        np.testing.assert_allclose(
+            nw[:, 0], np.asarray(b.iter_props.num_walkers,
+                                 dtype=np.float64))
+
+    def test_pure_aux_transport_matches_numpy_oracle(self):
+        """Re-enact the forward-walking transport in NumPy across a
+        multi-block window (nts = 1, pfw = 4 -> 4-block windows):
+        reconstruct each step's branching parents from the sampler's
+        own key stream, carry buffer AND aux arrays by the parent
+        gathers, and match every emitted pure sum/count."""
+        spec = make_spec()
+        pfw = 4
+        sampling = make_sampling(
+            spec, itc_est_spec=dmc.ITCEstSpec(
+                num_modes=MODES, num_lags=LAGS, as_pure_est=True,
+                pfw_num_time_steps=pfw))
+        state = sampling.build_state(make_confs(spec, 80))
+        max_w = sampling.max_num_walkers
+        assert sampling.pfw_window_blocks(1) == pfw
+
+        blocks = sampling.blocks(state, num_time_steps_block=1)
+        base_key = jax.random.PRNGKey(sampling.rng_seed)
+
+        buf = np.zeros((max_w, LAGS, MODES, 2))
+        aux = np.zeros((max_w, LAGS + 1, MODES))
+        aux_cnt = np.zeros((max_w, LAGS + 1))
+        filled = 0
+        prev = state
+        for t in range(3 * pfw):
+            win_pos = t % pfw
+            if win_pos == 0:
+                aux = np.zeros_like(aux)
+                aux_cnt = np.zeros_like(aux_cnt)
+            b = next(blocks)
+            block_key = jax.random.fold_in(base_key, t)
+            step_key = jax.random.split(block_key, 1)[0]
+            k_comb, _ = jax.random.split(step_key)
+            parent, nw = dmc.branching_comb(
+                np.asarray(prev.weights), prev.num_walkers, k_comb)
+            parent = np.asarray(parent)
+            nw = int(nw)
+            cpos = np.asarray(prev.pos)[parent]
+            valid = np.arange(max_w) < nw
+
+            reim = _rho_reim(cpos)
+            buf = buf[parent]
+            sq = (reim ** 2).sum(axis=-1)
+            prod = np.einsum("wlkc,wkc->wlk", buf, reim) \
+                * valid[:, None, None]
+            contrib = np.concatenate(
+                [np.where(valid[:, None], sq, 0.0)[:, None], prod],
+                axis=1)
+            lag_ok = (np.arange(1, LAGS + 1) <= filled).astype(float)
+            cnt_row = np.concatenate([[1.0], lag_ok])
+            aux = aux[parent] + contrib
+            aux_cnt = aux_cnt[parent] \
+                + valid[:, None].astype(float) * cnt_row[None]
+            divisor = win_pos + 1
+            est = (aux * valid[:, None, None]).sum(axis=0) / divisor
+            est_cnt = (aux_cnt * valid[:, None]).sum(axis=0) / divisor
+
+            np.testing.assert_allclose(np.asarray(b.iter_itc)[0],
+                                       est, rtol=1e-10, atol=1e-8)
+            np.testing.assert_allclose(np.asarray(b.iter_itc_nw)[0],
+                                       est_cnt, rtol=1e-10)
+
+            buf = np.concatenate([reim[:, None], buf[:, :-1]], axis=1)
+            filled = min(filled + 1, LAGS)
+            prev = b.last_state
+
+
 @pytest.mark.slow
-def test_free_gas_decay_matches_exact_propagator():
+@pytest.mark.parametrize("pure", [False, True],
+                         ids=["mixed", "pure"])
+def test_free_gas_decay_matches_exact_propagator(pure):
     """Exact physics gate: for the free ideal gas the trial
     wavefunction is constant, the DMC dynamics is the exact
     imaginary-time propagator (no drift, no branching, no Trotter
     error for this gauge), and ``rho_k |0>`` is an exact eigenstate —
     so ``F(k, tau)/F(k, 0) = exp(-k^2 tau)`` exactly (units
     ``hbar^2/2m = 1``; the diffusion constant is 1 by construction,
-    ``sigma^2 = 2 dt``)."""
+    ``sigma^2 = 2 dt``).  The trial function is exact here, so the
+    pure (forward-walked) estimator must reproduce the same exact
+    decay — gating that the descendant weighting does not corrupt the
+    physics."""
     spec = mrbp.Spec(lattice_depth=1e-6, lattice_ratio=1.0,
                      interaction_strength=0.0, boson_number=NOP,
                      supercell_size=SC, tbf_contact_cutoff=0.3)
@@ -288,7 +483,8 @@ def test_free_gas_decay_matches_exact_propagator():
     sampling = dmc.Sampling(
         spec, time_step=5e-3, max_num_walkers=640,
         target_num_walkers=512, rng_seed=13, est_every=4,
-        itc_est_spec=dmc.ITCEstSpec(num_modes=4, num_lags=num_lags))
+        itc_est_spec=dmc.ITCEstSpec(num_modes=4, num_lags=num_lags,
+                                    as_pure_est=pure))
     state = sampling.build_state(make_confs(spec, 512, seed=2))
     blocks = sampling.blocks(state, num_time_steps_block=64,
                              burn_in_blocks=2)
@@ -297,9 +493,18 @@ def test_free_gas_decay_matches_exact_propagator():
     counts = np.zeros(num_lags + 1)
     for _ in range(6):
         b = next(blocks)
-        sums += np.asarray(b.iter_itc, dtype=np.float64).sum(axis=0)
-        counts += np.asarray(b.iter_itc_nw,
-                             dtype=np.float64).sum(axis=0)
+        if pure:
+            # One window sample per block: the end-of-window value
+            # (interior steps hold partial, under-projected
+            # accumulations — cf. the Proc data layer).
+            sums += np.asarray(b.iter_itc, dtype=np.float64)[-1]
+            counts += np.asarray(b.iter_itc_nw,
+                                 dtype=np.float64)[-1]
+        else:
+            sums += np.asarray(b.iter_itc,
+                               dtype=np.float64).sum(axis=0)
+            counts += np.asarray(b.iter_itc_nw,
+                                 dtype=np.float64).sum(axis=0)
     f = sums / counts[:, None]
     f_norm = f / f[0]
     tau = np.asarray(sampling.itc_lag_times)
