@@ -38,7 +38,8 @@ import numpy as np
 
 def measure(v0, gn, nop, walkers, nts, blocks, dt, est_every,
             num_modes, num_lags, seed=7, rm=0.3, burn=4,
-            regular_init=False, itc_mult=1, supercell=None):
+            regular_init=False, itc_mult=1, supercell=None,
+            pure=False):
     from phd_qmclib_tpu.models import mrbp
     from phd_qmclib_tpu.samplers import dmc
 
@@ -53,7 +54,8 @@ def measure(v0, gn, nop, walkers, nts, blocks, dt, est_every,
                                     as_pure_est=False),
         itc_est_spec=dmc.ITCEstSpec(num_modes=num_modes,
                                     num_lags=num_lags,
-                                    est_every_mult=itc_mult))
+                                    est_every_mult=itc_mult,
+                                    as_pure_est=pure))
     rng = np.random.default_rng(1)
     if regular_init:
         # Crystal-like start: the long-wavelength density modes relax
@@ -75,10 +77,19 @@ def measure(v0, gn, nop, walkers, nts, blocks, dt, est_every,
     ssf_w = 0.0
     for _ in range(blocks):
         b = next(it)
-        sums_b.append(np.asarray(b.iter_itc, dtype=np.float64)
-                      .sum(axis=0))
-        counts_b.append(np.asarray(b.iter_itc_nw,
-                                   dtype=np.float64).sum(axis=0))
+        if pure:
+            # Forward-walked: one window sample per block (the
+            # end-of-window value; interior steps hold partial,
+            # under-projected accumulations — cf. the Proc data
+            # layer's win_final selection).
+            sums_b.append(np.asarray(b.iter_itc, dtype=np.float64)[-1])
+            counts_b.append(np.asarray(b.iter_itc_nw,
+                                       dtype=np.float64)[-1])
+        else:
+            sums_b.append(np.asarray(b.iter_itc, dtype=np.float64)
+                          .sum(axis=0))
+            counts_b.append(np.asarray(b.iter_itc_nw,
+                                       dtype=np.float64).sum(axis=0))
         parts = np.asarray(b.iter_ssf, dtype=np.float64)
         ssf += parts[..., 0].sum(axis=0)
         ssf_w += np.asarray(b.iter_props.num_walkers,
@@ -322,6 +333,13 @@ def main():
     p.add_argument("--lat-pfw-blocks", type=int, default=8)
     p.add_argument("--lat-cm-blocks", type=int, default=16)
     p.add_argument("--lat-burn", type=int, default=16)
+    p.add_argument("--tg-mult", type=int, default=1,
+                   help="ITC est_every_mult for --tg: stretches "
+                   "tau_max at fixed lag count (4 -> omega_1 tau_max "
+                   "~ 2.4, where the m_{-1} tail completion closes)")
+    p.add_argument("--pure", action="store_true",
+                   help="forward-walked (pure) ITC estimator instead "
+                   "of mixed")
     args = p.parse_args()
 
     if args.lattice:
@@ -445,11 +463,19 @@ def main():
         # 24 lags: omega_1 * tau_max ~ 0.6, deep enough that the
         # spectral-inversion moment closure below is conditioned (at
         # 8 lags the decay barely registers and omega_mean inflates
-        # ~15% from smoothing alone).
+        # ~15% from smoothing alone).  --tg-mult stretches the lag
+        # unit (tau_max scales with it at fixed buffer/lag count):
+        # the documented ~2.5% m_{-1} tail-completion deficit at
+        # omega_1 tau_max ~ 0.6 must shrink below ~1% at mult = 4
+        # (omega_1 tau_max ~ 2.4), closing the static-response gate.
+        # --pure swaps in the forward-walked estimator (identical
+        # expectations here — the trial function is exact at the TG
+        # point — so it A/Bs the pure transport at production scale).
         out = measure(v0=0.0, gn=1e4, nop=nop, walkers=args.walkers,
                       nts=512, blocks=args.blocks, dt=5e-5,
                       est_every=64, num_modes=4, num_lags=24, rm=1.2,
-                      burn=8, regular_init=True)
+                      burn=8, regular_init=True,
+                      itc_mult=args.tg_mult, pure=args.pure)
         kz, tau = out["k"], out["tau"]
         # Exact particle-hole sums.
         q = 2 * np.pi / nop * np.arange(-(nop // 2), nop // 2 + 1)
@@ -544,12 +570,12 @@ def main():
                       walkers=max(args.walkers, 16384), nts=512,
                       blocks=max(args.blocks, 64), dt=1e-3,
                       est_every=8, num_modes=8, num_lags=64,
-                      itc_mult=8, burn=12)
+                      itc_mult=8, burn=12, pure=args.pure)
     else:
         out = measure(v0=1.0, gn=2.0, nop=args.nop,
                       walkers=args.walkers, nts=512,
                       blocks=args.blocks, dt=1e-3, est_every=8,
-                      num_modes=8, num_lags=12)
+                      num_modes=8, num_lags=12, pure=args.pure)
     kz = out["k"]
     # f-sum consistency: the FIRST log-derivative is the mean
     # excitation energy of the density channel, which IS the Feynman

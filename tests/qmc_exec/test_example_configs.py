@@ -45,10 +45,12 @@ def test_production_config_execs_scaled_down(tmp_path):
                                  "pfw_num_time_steps": 16},
                        obd_spec={"num_pos": 4, "as_pure_est": True},
                        cm_diffusion_spec={"window_blocks": 2},
-                       # Scale the lag depth with the run (16 lags
-                       # cannot fill 2 x 16 steps at cadence 2 x 2).
+                       # Scale the lag depth with the run (deep lags
+                       # cannot fill 2 x 16 steps at cadence 2 x 2);
+                       # keep the shipped config's pure estimator.
                        itc_spec={"num_modes": 4, "num_lags": 3,
-                                 "est_every_mult": 2})
+                                 "est_every_mult": 2,
+                                 "as_pure_est": True})
     proc_cfg["model_spec"] = dict(proc_cfg["model_spec"],
                                   boson_number=5, supercell_size=5.0)
     out = str(tmp_path / "out.h5")
