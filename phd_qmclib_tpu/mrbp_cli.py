@@ -175,24 +175,32 @@ def _make_cli(sampling_type: str, prefix: str):
                        "population-control bias to E(N_w -> inf) "
                        "across every stored DMC result; -g restricts "
                        "to a group prefix")
+    @click.option("--fs-fit", "fs_fit", is_flag=True, default=False,
+                  help="(dmc only) finite-size extrapolation "
+                       "E/N(N) -> E/N(inf) in x = 1/N^2 (the PBC "
+                       "Luttinger-liquid Casimir correction) across "
+                       "stored DMC results at matched density; -g "
+                       "restricts to a group prefix")
     @click.option("--dt-fit-order", "fit_order", default=1,
                   show_default=True,
-                  help="polynomial degree of the --dt-fit/--nw-fit "
-                       "extrapolation")
+                  help="polynomial degree of the "
+                       "--dt-fit/--nw-fit/--fs-fit extrapolation")
     def analyze(result_path: str, group: str = None, full: bool = False,
                 vmc_path: str = None, vmc_group: str = None,
                 as_json: bool = False, dt_fit: bool = False,
-                nw_fit: bool = False, fit_order: int = 1):
+                nw_fit: bool = False, fs_fit: bool = False,
+                fit_order: int = 1):
         """Report the physics stored in an HDF5 result file (energy
         with reblocked errors, population, S(k), density, OBDM, g2,
         effective mass).  Beyond the reference, which leaves result
         inspection to notebook code."""
         from .qmc_exec.report import report_hdf5
 
-        # With --dt-fit/--nw-fit, -g is a group PREFIX selecting the
-        # sweep rows for the fit; the per-group reports then cover the
-        # whole file (a prefix is not a stored group name).
-        any_fit = dt_fit or nw_fit
+        # With --dt-fit/--nw-fit/--fs-fit, -g is a group PREFIX
+        # selecting the sweep rows for the fit; the per-group reports
+        # then cover the whole file (a prefix is not a stored group
+        # name).
+        any_fit = dt_fit or nw_fit or fs_fit
         report_group = None if any_fit else group
 
         def _report(**kw):
@@ -208,10 +216,11 @@ def _make_cli(sampling_type: str, prefix: str):
         if any_fit:
             if sampling_type != "dmc":
                 raise click.UsageError(
-                    f"--{'dt' if dt_fit else 'nw'}-fit applies to "
-                    f"DMC results")
+                    f"--{'dt' if dt_fit else 'nw' if nw_fit else 'fs'}"
+                    f"-fit applies to DMC results")
             from .qmc_exec.report import sweep_fit_hdf5
-            for kind, active in (("dt", dt_fit), ("nw", nw_fit)):
+            for kind, active in (("dt", dt_fit), ("nw", nw_fit),
+                                 ("fs", fs_fit)):
                 if not active:
                     continue
                 try:
@@ -240,12 +249,32 @@ def _make_cli(sampling_type: str, prefix: str):
                 vmc_group = vmc_entries[0]
             dmc_entries = [g for g, st in find_result_groups(result_path)
                            if st == "dmc"]
-            dgroup = group if group is not None else dmc_entries[0]
-            extrapolated = (
-                DmcHDF5FileHandler(location=result_path,
-                                   group=dgroup).load(),
-                VmcHDF5FileHandler(location=vmc_path,
-                                   group=vmc_group).load())
+            if not dmc_entries:
+                raise click.UsageError(
+                    f"no DMC result stored in '{result_path}'")
+            if group is None:
+                dgroup = dmc_entries[0]
+            elif any_fit:
+                # With a fit flag active, -g is a group PREFIX (see
+                # above) — resolve the first stored group matching it
+                # instead of treating the prefix as a literal name.
+                dgroup = next(
+                    (g for g in dmc_entries if g.startswith(group)),
+                    None)
+                if dgroup is None:
+                    raise click.UsageError(
+                        f"no stored DMC group matches the prefix "
+                        f"'{group}' in '{result_path}'")
+            else:
+                dgroup = group
+            try:
+                extrapolated = (
+                    DmcHDF5FileHandler(location=result_path,
+                                       group=dgroup).load(),
+                    VmcHDF5FileHandler(location=vmc_path,
+                                       group=vmc_group).load())
+            except (ValueError, KeyError) as exc:
+                raise click.ClickException(str(exc)) from exc
         if as_json:
             import json as _json
 

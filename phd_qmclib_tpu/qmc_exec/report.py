@@ -936,7 +936,9 @@ def _sweep_zero_fit(entries: t.Sequence[t.Tuple[str, t.Any]],
                     order: int, what: str, x_key: str,
                     x_of_proc: t.Callable[[t.Any], float],
                     caveat_of_procs: t.Callable[
-                        [t.Sequence[t.Any]], t.List[str]]) -> dict:
+                        [t.Sequence[t.Any]], t.List[str]],
+                    spec_key: t.Optional[
+                        t.Callable[[t.Any], t.Any]] = None) -> dict:
     """Shared machinery of the stored-sweep ``x -> 0`` energy
     extrapolations (``--dt-fit``, ``--nw-fit``): extract (x, E/N, err)
     per row, demand one shared model spec, run the weighted fit, and
@@ -944,6 +946,14 @@ def _sweep_zero_fit(entries: t.Sequence[t.Tuple[str, t.Any]],
     Lieb-Liniger reference for v0 = 0."""
     from ..analysis import zero_limit_extrapolation
 
+    if order < 1:
+        # A degree-0 "fit" has no slope (coeffs[-2] below) and no
+        # extrapolation content — fail with the same clean message
+        # channel every other bad input gets (the CLI wraps
+        # ValueError in a one-line ClickException).
+        raise ValueError(
+            f"a {what} fit needs a polynomial order >= 1, "
+            f"got {order}")
     if len(entries) < 2:
         raise ValueError(
             f"a {what} fit needs at least two stored DMC results, "
@@ -965,8 +975,13 @@ def _sweep_zero_fit(entries: t.Sequence[t.Tuple[str, t.Any]],
         means.append(float(blocks.energy.mean) / nop)
         errs.append(float(blocks.energy.mean_error) / nop)
     base = specs[0]
+    # ``spec_key`` projects out the fields the sweep legitimately
+    # varies (the finite-size fit varies N and L together at fixed
+    # density); the default compares whole specs.
+    key = spec_key or (lambda s: s)
+    base_key = key(base)
     for group, spec in zip(groups[1:], specs[1:]):
-        if spec != base:
+        if key(spec) != base_key:
             raise ValueError(
                 f"the stored results do not share one model spec "
                 f"(group '{groups[0] or '/'}' vs '{group or '/'}': "
@@ -1076,24 +1091,91 @@ def summarize_nw_fit(entries: t.Sequence[t.Tuple[str, t.Any]],
                            caveats)
 
 
+def summarize_fs_fit(entries: t.Sequence[t.Tuple[str, t.Any]],
+                     order: int = 1) -> dict:
+    """Finite-size extrapolation ``E/N(N) -> E/N(inf)`` across a set
+    of DMC results at matched density and coupling but different
+    particle numbers (``mrbp-dmc analyze --fs-fit``) — the third
+    standard DMC convergence axis next to ``--dt-fit`` (Trotter) and
+    ``--nw-fit`` (population control).
+
+    Under periodic boundaries the low-energy physics is a gapless
+    Luttinger liquid, so the leading finite-size correction to the
+    ground-state energy density is the CFT Casimir term
+    ``E/L = e_inf - pi c_sound/(6 L^2)`` (central charge 1) — at fixed
+    density ``n = N/L`` the per-particle correction is ``O(1/N^2)``,
+    which is the fit variable ``x = 1/N^2`` (degree ``order`` in x;
+    NOT 1/N, whose coefficient vanishes for PBC).  For v0 = 0 the
+    attached exact Bethe-ansatz reference IS the thermodynamic-limit
+    energy, so its sigma-deviation gates the whole extrapolation —
+    unlike the dt/nw fits, where the exact line carries the residual
+    finite-size offset.
+
+    Rows must share everything except ``boson_number`` and
+    ``supercell_size`` (scaled together; a density mismatch is a hard
+    error).  Rows differing in ``time_step`` or walker target carry
+    caveats (those biases would contaminate the fit).  The reference
+    leaves size studies to notebook code outside the package.
+    """
+    import dataclasses
+
+    def spec_key(spec):
+        d = dataclasses.asdict(spec)
+        n = d.pop("boson_number")
+        sc = d.pop("supercell_size")
+        return (tuple(sorted(d.items())), round(n / sc, 10))
+
+    def caveats(procs):
+        out = []
+        dts = {float(p.time_step) for p in procs}
+        if len(dts) > 1:
+            out.append(f"rows differ in time_step {sorted(dts)}: the "
+                       f"O(dt) Trotter bias is not constant across "
+                       f"the fit")
+        walkers = {p.target_num_walkers for p in procs}
+        if len(walkers) > 1:
+            out.append(f"rows differ in target_num_walkers "
+                       f"{sorted(walkers)}: the O(1/N_w) "
+                       f"population-control bias is not constant "
+                       f"across the fit")
+        return out
+
+    return _sweep_zero_fit(entries, order, "finite-size",
+                           "inv_nop_sq",
+                           lambda p: 1.0
+                           / p.model_spec.boson_number ** 2,
+                           caveats, spec_key=spec_key)
+
+
 def describe_sweep_fit(summary: dict) -> str:
-    """Render a :func:`summarize_dt_fit` / :func:`summarize_nw_fit`
-    dict as a human report."""
+    """Render a :func:`summarize_dt_fit` / :func:`summarize_nw_fit` /
+    :func:`summarize_fs_fit` dict as a human report."""
     nw = "inv_walkers" in summary
-    title = ("population-control extrapolation E(N_w) -> E(inf)"
-             if nw else "time-step extrapolation E(dt) -> E(0)")
+    fs = "inv_nop_sq" in summary
+    if fs:
+        title = "finite-size extrapolation E/N(N) -> E/N(inf)"
+    elif nw:
+        title = "population-control extrapolation E(N_w) -> E(inf)"
+    else:
+        title = "time-step extrapolation E(dt) -> E(0)"
     lines = [f"== {title} =="]
-    xs = summary["inv_walkers" if nw else "time_steps"]
+    xs = summary["inv_nop_sq" if fs
+                 else "inv_walkers" if nw else "time_steps"]
     for xv, e, err, group in zip(xs, summary["energy_per_particle"],
                                  summary["energy_per_particle_err"],
                                  summary["groups"]):
-        label = (f"N_w = {1.0 / xv:<8.6g}" if nw
-                 else f"dt = {xv:<10.6g}")
+        if fs:
+            label = f"N = {1.0 / np.sqrt(xv):<8.6g}"
+        elif nw:
+            label = f"N_w = {1.0 / xv:<8.6g}"
+        else:
+            label = f"dt = {xv:<10.6g}"
         lines.append(f"  {label} E/N = {_fmt(e, err)}   "
                      f"[{group or '/'}]")
     chi2 = (f", chi2/dof = {summary['chi2_dof']:.3g}"
             if "chi2_dof" in summary else "")
-    limit = "E/N(N_w->inf)" if nw else "E/N(dt->0)"
+    limit = ("E/N(N->inf)" if fs
+             else "E/N(N_w->inf)" if nw else "E/N(dt->0)")
     lines.append(
         f"degree-{summary['order']} fit: "
         f"{limit} = {_fmt(summary['e0'], summary['e0_err'])} "
@@ -1125,7 +1207,8 @@ def sweep_fit_hdf5(location: str, kind: str = "dt",
     restricted to groups starting with ``group_prefix``, e.g. one
     sweep's row prefix) and run the ``kind`` extrapolation
     (``"dt"`` -> :func:`summarize_dt_fit`, ``"nw"`` ->
-    :func:`summarize_nw_fit`) on them."""
+    :func:`summarize_nw_fit`, ``"fs"`` -> :func:`summarize_fs_fit`)
+    on them."""
     from .io import DmcHDF5FileHandler
 
     entries = [(g, st) for g, st in find_result_groups(location)
@@ -1141,7 +1224,8 @@ def sweep_fit_hdf5(location: str, kind: str = "dt",
             f"--{kind}-fit needs at least two stored DMC results in "
             f"'{location}' (matching prefix {group_prefix!r}; "
             f"found: {stored})")
-    fit = summarize_dt_fit if kind == "dt" else summarize_nw_fit
+    fit = {"dt": summarize_dt_fit, "nw": summarize_nw_fit,
+           "fs": summarize_fs_fit}[kind]
     return fit(loaded, order=order)
 
 

@@ -248,3 +248,44 @@ def test_vmc_cli_rejects_dt_fit(sweep_file):
                              ["analyze", path, "--dt-fit"])
     assert out.exit_code != 0
     assert "--dt-fit applies to DMC results" in out.output
+
+
+def test_fit_order_zero_fails_cleanly(sweep_file):
+    """--dt-fit-order 0 has no slope/extrapolation content; it must
+    fail with the one-line ClickException every other bad input gets,
+    not a raw IndexError traceback (advisor finding, round 4)."""
+    path, _ = sweep_file
+    out = CliRunner().invoke(
+        mrbp_cli.dmc_cli,
+        ["analyze", path, "--dt-fit", "--dt-fit-order", "0"])
+    assert out.exit_code != 0
+    assert "order >= 1" in out.output
+    assert "Traceback" not in out.output
+
+
+def test_cli_fit_prefix_with_extrapolate(sweep_file, tmp_path):
+    """With a fit flag active, -g is a group PREFIX — combining it
+    with --extrapolate-with must resolve the first stored group
+    matching the prefix instead of treating the prefix as a literal
+    group name (advisor finding, round 4: this combination used to
+    raise an unwrapped ValueError traceback)."""
+    from phd_qmclib_tpu.qmc_exec import vmc as vmc_exec
+    from phd_qmclib_tpu.qmc_exec.io import VmcHDF5FileHandler
+
+    path, _ = sweep_file
+    vproc = vmc_exec.Proc(
+        model_spec=mrbp.Spec(**MODEL_CONFIG), move_spread=0.4,
+        num_walkers=32, num_blocks=2, num_steps_block=8,
+        burn_in_blocks=1, rng_seed=9, dtype="float64")
+    vres = vproc.exec(vmc_exec.ProcInput.from_model_sys_conf_spec(
+        vmc_exec.ModelSysConfSpec(dist_type="RANDOM"), vproc))
+    vpath = str(tmp_path / "v.h5")
+    VmcHDF5FileHandler(vpath, group="var").dump(vres)
+    with expect_opt_block_warning():
+        out = CliRunner().invoke(
+            mrbp_cli.dmc_cli,
+            ["analyze", path, "--dt-fit", "-g", "dt",
+             "--extrapolate-with", vpath])
+    assert out.exit_code == 0, out.output
+    assert "extrapolated estimators" in out.output
+    assert "chi2/dof" in out.output  # the fit summary printed too
