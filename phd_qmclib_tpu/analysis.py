@@ -624,7 +624,11 @@ def spectral_function_from_itc(tau: np.ndarray, f: np.ndarray,
     :return: ``(omega, s_omega, info)`` — the grid, the spectral
         density on it (``trapezoid(s_omega, omega) ~ m0``), and a dict
         with ``lambda``, ``chi2``, ``m0``, ``m1``, ``omega_mean``,
-        ``omega_peak``.
+        ``omega_peak`` plus the self-calibrated resolution
+        systematics ``omega_mean_sys``/``omega_peak_sys``/``m1_sys``
+        (the moment shift a sharp single pole at the recovered mean
+        frequency suffers through the same inversion operator — the
+        finite-``tau_max`` smoothing bias the jackknife cannot see).
     """
     from scipy.optimize import nnls
 
@@ -661,12 +665,13 @@ def spectral_function_from_itc(tau: np.ndarray, f: np.ndarray,
     kw = kernel / sigma[:, None]
     scale = np.linalg.norm(kw) / max(np.linalg.norm(d2), 1e-30)
 
-    def _solve(lam):
+    def _solve(lam, target=None):
+        b = f if target is None else target
         a_aug = np.vstack([kw, np.sqrt(lam) * scale * d2])
-        b_aug = np.concatenate([f / sigma, np.zeros(d2.shape[0])])
+        b_aug = np.concatenate([b / sigma, np.zeros(d2.shape[0])])
         sol = nnls(a_aug, b_aug)[0]
-        chi2 = float((((kernel @ sol) - f) / sigma) ** 2 @
-                     np.ones_like(f))
+        chi2 = float((((kernel @ sol) - b) / sigma) ** 2 @
+                     np.ones_like(b))
         return sol, chi2
 
     if reg is not None:
@@ -697,4 +702,29 @@ def spectral_function_from_itc(tau: np.ndarray, f: np.ndarray,
     info = {"lambda": lam, "chi2": chi2, "m0": m0, "m1": m1,
             "omega_mean": m1 / m0 if m0 > 0 else np.nan,
             "omega_peak": float(omega[np.argmax(sol)])}
+    # Resolution systematic, self-calibrated: push the EXACT Laplace
+    # image of a sharp single pole at the recovered mean frequency
+    # through the SAME inversion operator (grid, sigma weights,
+    # regularization); the recovered-minus-true moment shift measures
+    # the smoothing bias at this (tau_max, noise) — the dominant
+    # systematic of the method, which the TG exact-F control isolated
+    # at ~10% of omega_mean for omega_1 tau_max ~ 0.6 (BASELINE.md)
+    # while jackknife errors see none of it.  The true spectrum is at
+    # least as sharp as the data can resolve, so the sharp-pole
+    # control bounds the broadening effect; it goes to zero as
+    # tau_max deepens (gated in tests/test_analysis_spectral.py).
+    info["omega_mean_sys"] = np.nan
+    info["omega_peak_sys"] = np.nan
+    info["m1_sys"] = np.nan
+    w_ref = info["omega_mean"]
+    if np.isfinite(w_ref) and w_ref > 0 and m0 > 0:
+        f_ctrl = m0 * np.exp(-w_ref * tau)
+        sol_c, _ = _solve(lam, target=f_ctrl)
+        m0_c = float(np.trapezoid(sol_c, omega))
+        m1_c = float(np.trapezoid(omega * sol_c, omega))
+        if m0_c > 0:
+            info["omega_mean_sys"] = m1_c / m0_c - w_ref
+            info["omega_peak_sys"] = \
+                float(omega[np.argmax(sol_c)]) - w_ref
+            info["m1_sys"] = m1_c - m0_c * w_ref
     return omega, sol, info

@@ -964,7 +964,12 @@ class ITCBlocks:
             num_omega)`` grids and spectra (NaN rows for the ``k = 0``
             mode and any mode whose F is unusable), and per-mode
             ``m0``, ``m1``, ``omega_mean``, ``omega_mean_err``,
-            ``omega_peak``, ``omega_peak_err`` arrays.
+            ``omega_peak``, ``omega_peak_err`` arrays plus the
+            self-calibrated finite-resolution systematics
+            ``omega_mean_sys``/``omega_peak_sys``/``m1_sys`` (see
+            :func:`~phd_qmclib_tpu.analysis.spectral_function_from_itc`
+            — the statistical jackknife cannot see this bias; quote
+            the moments as value +/- stat +/- sys).
         """
         from ...analysis import spectral_function_from_itc
 
@@ -975,7 +980,8 @@ class ITCBlocks:
         n_b = self.lag_sums.shape[0]
         out = {key: np.full(n_m, np.nan) for key in
                ("m0", "m1", "omega_mean", "omega_mean_err",
-                "omega_peak", "omega_peak_err")}
+                "omega_mean_sys", "omega_peak", "omega_peak_err",
+                "omega_peak_sys", "m1_sys")}
         out["omega"] = np.full((n_m, num_omega), np.nan)
         out["s_omega"] = np.full((n_m, num_omega), np.nan)
         for j in range(1, n_m):
@@ -988,7 +994,9 @@ class ITCBlocks:
                 continue
             out["omega"][j] = om
             out["s_omega"][j] = s_om
-            for key in ("m0", "m1", "omega_mean", "omega_peak"):
+            for key in ("m0", "m1", "omega_mean", "omega_peak",
+                        "omega_mean_sys", "omega_peak_sys",
+                        "m1_sys"):
                 out[key][j] = info[key]
             if n_b < 2:
                 continue

@@ -405,14 +405,20 @@ def _itc_lines(itc_blocks, ssf_blocks, nop: int, full: bool,
             parts, closure = [], []
             for j in show:
                 if np.isfinite(spec["omega_mean"][j]):
-                    parts.append(f"k{j} = " + _fmt(
+                    entry = f"k{j} = " + _fmt(
                         spec["omega_mean"][j],
-                        spec["omega_mean_err"][j]))
+                        spec["omega_mean_err"][j])
+                    sys_j = spec["omega_mean_sys"][j]
+                    if np.isfinite(sys_j):
+                        entry += f" (+/- {sys_j:.2g} sys)"
+                    parts.append(entry)
                     closure.append(
                         f"k{j} = {spec['m1'][j] / momenta[j] ** 2:.3f}")
             if parts:
                 lines.append("            S(k,omega) inversion, mean "
-                             "excitation m1/m0: " + ", ".join(parts))
+                             "excitation m1/m0 [sys = finite-tau_max "
+                             "resolution, shrinks with deeper lags]: "
+                             + ", ".join(parts))
                 lines.append("            f-sum closure m1/k^2 (-> 1): "
                              + ", ".join(closure))
         except (ValueError, np.linalg.LinAlgError):  # pragma: no cover
@@ -710,8 +716,16 @@ def summarize(result, sampling_type: str) -> dict:
                     spec["omega_mean"].tolist()
                 out["itc_spectral_omega_mean_err"] = \
                     spec["omega_mean_err"].tolist()
+                # Self-calibrated finite-resolution systematic (the
+                # jackknife above is statistical only); quote the
+                # moments as value +/- err +/- sys.
+                out["itc_spectral_omega_mean_sys"] = \
+                    spec["omega_mean_sys"].tolist()
+                out["itc_spectral_omega_peak_sys"] = \
+                    spec["omega_peak_sys"].tolist()
                 out["itc_spectral_m0"] = spec["m0"].tolist()
                 out["itc_spectral_m1"] = spec["m1"].tolist()
+                out["itc_spectral_m1_sys"] = spec["m1_sys"].tolist()
             except (ValueError, np.linalg.LinAlgError):  # pragma: no cover
                 pass
             # Static response chi(k) = -2 m_{-1} and its derived

@@ -728,3 +728,64 @@ class TestSpectralFunctionFromITC:
             frac = np.trapezoid(np.where(inside, s, 0.0), om) \
                 / info["m0"]
             assert frac > 0.95
+
+
+class TestSpectralResolutionSystematic:
+    """Self-calibrated finite-resolution systematic: a sharp single
+    pole at the recovered mean frequency pushed through the same
+    inversion operator measures the smoothing bias the jackknife
+    cannot see (the TG exact-F control isolated it at ~10% of
+    omega_mean for omega_1 tau_max ~ 0.6, BASELINE.md)."""
+
+    def _invert(self, omega0, tau_max, n_lags=17, sig=1e-3):
+        from phd_qmclib_tpu.analysis import spectral_function_from_itc
+
+        tau = np.linspace(0.0, tau_max, n_lags)
+        f = np.exp(-omega0 * tau)
+        return spectral_function_from_itc(
+            tau, f, np.full_like(f, sig), num_omega=96)
+
+    def test_single_pole_sys_tracks_the_true_bias(self):
+        # Shallow lags: omega0 * tau_max = 0.6, the documented regime
+        # where smoothing inflates omega_mean by ~10%.
+        omega0 = 3.0
+        _, _, info = self._invert(omega0, tau_max=0.2)
+        bias = info["omega_mean"] - omega0
+        assert bias > 0.02 * omega0          # the overshoot is real
+        sys = info["omega_mean_sys"]
+        assert np.isfinite(sys) and sys > 0
+        # The self-calibration must capture the actual bias to within
+        # a factor ~2 (the control sits at the recovered frequency,
+        # not the unknown true one — a second-order mismatch).
+        assert 0.4 * bias < sys < 2.5 * bias
+        # And subtracting it must move the estimate TOWARD the truth.
+        assert abs(info["omega_mean"] - sys - omega0) < abs(bias)
+
+    def test_sys_shrinks_with_deeper_lags(self):
+        omega0 = 3.0
+        _, _, shallow = self._invert(omega0, tau_max=0.2)
+        _, _, deep = self._invert(omega0, tau_max=1.2, n_lags=49)
+        assert np.isfinite(shallow["omega_mean_sys"])
+        assert np.isfinite(deep["omega_mean_sys"])
+        assert abs(deep["omega_mean_sys"]) \
+            < 0.5 * abs(shallow["omega_mean_sys"])
+        # m1 carries the matching shift estimate.
+        assert np.isfinite(shallow["m1_sys"])
+
+    def test_blocks_surface_and_report_json_keys(self):
+        from phd_qmclib_tpu.qmc_exec.data.dmc import ITCBlocks
+
+        num_lags, modes, n_blocks, tau_step = 10, 3, 4, 0.05
+        nop, sc = 8, 8.0
+        omega = np.array([0.0, 2.0, 5.0])
+        tau = np.arange(num_lags + 1) * tau_step
+        f = np.exp(-omega[None, :] * tau[:, None])
+        counts = np.full((n_blocks, num_lags + 1), 64.0)
+        sums = np.broadcast_to(f * 64.0 * nop,
+                               (n_blocks, num_lags + 1, modes)).copy()
+        blocks = ITCBlocks(sums, counts, tau_step, nop, sc)
+        spec = blocks.spectral_function(num_omega=64)
+        for key in ("omega_mean_sys", "omega_peak_sys", "m1_sys"):
+            assert key in spec
+            assert np.isfinite(spec[key][1:]).all()
+        assert np.isnan(spec["omega_mean_sys"][0])  # k = 0 excluded
