@@ -58,13 +58,18 @@ def _write_sweep_checkpoints(procs, last_state, block_idx: int,
     restored rows compose back into a continuation sweep."""
     import jax
 
+    # One host fetch for the whole fused state (device-side row
+    # slicing would gather across the sharded sweep axis, which the
+    # sharding-in-types rules reject — and every row gets written
+    # anyway).
+    host_state = jax.tree.map(np.asarray, last_state)
+    host_aux = None if aux_carry is None else {
+        name: np.asarray(arr) for name, arr in aux_carry.items()}
     for r, p in enumerate(procs):
-        row_state = jax.tree.map(lambda x, r=r: np.asarray(x[r]),
-                                 last_state)
+        row_state = jax.tree.map(lambda x, r=r: x[r], host_state)
         row_aux = None
-        if aux_carry is not None:
-            row_aux = {name: np.asarray(arr[r])
-                       for name, arr in aux_carry.items()}
+        if host_aux is not None:
+            row_aux = {name: arr[r] for name, arr in host_aux.items()}
         p._write_checkpoint(
             row_state, blocks_completed=block_idx + 1,
             it_offset=p.block_offset, it_burn=burn_in_blocks,
@@ -76,19 +81,29 @@ def _write_sweep_checkpoints(procs, last_state, block_idx: int,
 
 @dataclass(frozen=True)
 class SweepProc:
-    """Run R DMC procedures as one fused single-device sweep.
+    """Run R DMC procedures as one fused sweep.
 
     All procs must share the sampling *shape*: block counts, walker
     buffers, estimator specs, ``keep_iter_data`` — anything that sets
     static structure.  Row-varying knobs are the continuous model
-    parameters, ``time_step`` and ``rng_seed``.  Multi-device sweeps
-    (a 2-D sweep x walkers mesh) stay at the sampler level
-    (:class:`~phd_qmclib_tpu.parallel.sweep.ParamSweep`); this driver
-    targets the single-chip case where per-row walker counts underfill
-    the chip.
+    parameters, ``time_step`` and ``rng_seed``.
+
+    With ``mesh=None`` (the default) the rows vmap-fuse on ONE device —
+    the production form when per-row walker counts underfill the chip.
+    Passing a 2-D ``("sweep", "walkers")`` mesh instead maps rows onto
+    mesh rows and shards each row's walkers within it (the workload's
+    DCN-scalable layout, SURVEY §5.8): the FULL driver surface —
+    estimators, pure windows, cadence, per-row checkpoints — then runs
+    through one fused sharded dispatch per block, and each row is
+    bit-identical to its standalone run on a same-size 1-D walker mesh
+    (same seed, same per-shard key folds; gated in the multichip
+    dryrun).  Rows' own ``num_mesh_devices`` stays rejected — the mesh
+    belongs to the sweep.  Shard rebalancing does not run under a
+    fused sweep (per-row populations are small by construction).
     """
 
     procs: t.Tuple[Proc, ...]
+    mesh: t.Optional[t.Any] = None
 
     def __post_init__(self):
         if not self.procs:
@@ -121,7 +136,8 @@ class SweepProc:
 
     @property
     def sweep(self) -> ParamSweep:
-        return ParamSweep(tuple(p.sampling for p in self.procs))
+        return ParamSweep(tuple(p.sampling for p in self.procs),
+                          self.mesh)
 
     def exec(self, proc_inputs: t.Sequence[ProcInput]) \
             -> t.List[ProcResult]:
@@ -141,11 +157,26 @@ class SweepProc:
         exec_logger.info(
             f"Starting fused DMC sweep ({len(procs)} rows)...")
         sweep = self.sweep
-        # Row states share the single-device layout, so the fused
-        # initial state is a plain stack of the standalone states.
-        state = jax.tree.map(lambda *xs: jnp.stack(xs),
-                             *[pi.state for pi in proc_inputs])
         resumes = [pi.resume for pi in proc_inputs]
+        if self.mesh is not None and all(r is None for r in resumes):
+            # Meshed sweep, fresh inputs: single-device input states
+            # carry a one-shard walker layout (valid prefix of the
+            # whole buffer, scalar shard count), but the sharded rows
+            # need per-shard valid prefixes — rebuild through the
+            # sweep's own layout from each row's valid walkers, which
+            # is bit-identical to a standalone sharded build from the
+            # same configurations.
+            conf_sets = [np.asarray(pi.state.pos)[
+                ~np.asarray(pi.state.masks)] for pi in proc_inputs]
+            state = sweep.build_states(
+                conf_sets, dtype=np.asarray(
+                    proc_inputs[0].state.pos).dtype)
+        else:
+            # Row states share the layout (single-device, or restored
+            # from a meshed sweep's own checkpoints), so the fused
+            # initial state is a plain stack of the standalone states.
+            state = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                 *[pi.state for pi in proc_inputs])
         start_block = 0
         aux_init = None
         if any(r is not None for r in resumes):
@@ -243,10 +274,14 @@ class SweepProc:
         exec_logger.info("Fused DMC sweep completed.")
 
         results = []
+        # Host-side row split (device gathers across the sharded sweep
+        # axis are rejected by the sharding-in-types rules; results
+        # leave the device here anyway).
+        host_last = jax.tree.map(np.asarray, block_data.last_state) \
+            if block_data is not None else None
         for r, (proc, acc) in enumerate(zip(procs, accumulators)):
-            row_state = jax.tree.map(lambda x, r=r: x[r],
-                                     block_data.last_state) \
-                if block_data is not None else proc_inputs[r].state
+            row_state = jax.tree.map(lambda x, r=r: x[r], host_last) \
+                if host_last is not None else proc_inputs[r].state
             results.append(proc.build_result(row_state, acc.package()))
         return results
 

@@ -137,3 +137,62 @@ def test_vmc_sweep_checkpoint_resume_bit_identical(tmp_path,
         np.testing.assert_array_equal(
             cont[r].data.blocks.energy.totals,
             full[r].data.blocks.energy.totals)
+
+
+@pytest.mark.slow
+def test_meshed_sweep_matches_standalone_and_resumes(tmp_path,
+                                                     monkeypatch):
+    """SweepProc(mesh=...) on the 2-D (sweep, walkers) CPU mesh: each
+    fused row is bit-identical to its standalone run on a same-size
+    1-D walker mesh, and a kill-after-checkpoint restore finishes
+    bit-exactly (the full driver surface incl. the pure forward-walked
+    ITC; the multichip dryrun runs the same gates driver-visibly)."""
+    import jax
+
+    devices = jax.devices()[:4]
+    mesh = jax.make_mesh((2, 2), ("sweep", "walkers"),
+                         devices=devices)
+    ests = dict(
+        density_spec=dmc_exec.DensityEstSpec(num_bins=6,
+                                             as_pure_est=True),
+        itc_spec=dmc_exec.ITCEstSpec(num_modes=3, num_lags=2,
+                                     as_pure_est=True))
+    ckpts = [str(tmp_path / f"m{r}.h5") for r in range(len(GNS))]
+    procs = tuple(_dmc_proc(gn, ckpt, **ests)
+                  for gn, ckpt in zip(GNS, ckpts))
+    inputs = [_dmc_input(p) for p in procs]
+    full = SweepProc(tuple(_dmc_proc(gn, **ests) for gn in GNS),
+                     mesh=mesh).exec(
+        [dmc_exec.ProcInput(i.state) for i in inputs])
+
+    # Row-vs-standalone bit-identity on a 2-device walker mesh.
+    for r, gn in enumerate(GNS):
+        alone_proc = _dmc_proc(gn, num_mesh_devices=2, **ests)
+        alone = alone_proc.exec(_dmc_input(alone_proc))
+        np.testing.assert_array_equal(
+            full[r].data.blocks.energy.totals,
+            alone.data.blocks.energy.totals,
+            err_msg=f"meshed fused row {r} diverged")
+        np.testing.assert_array_equal(
+            full[r].data.blocks.itc.lag_sums,
+            alone.data.blocks.itc.lag_sums,
+            err_msg=f"meshed fused row {r} pure ITC diverged")
+
+    # Kill right after the block-2 checkpoints, restore, finish.
+    with monkeypatch.context() as mp:
+        _kill_sweep_after(mp, at_block_idx=1)
+        with pytest.raises(_Killed):
+            SweepProc(procs, mesh=mesh).exec(
+                [dmc_exec.ProcInput(i.state) for i in inputs])
+    restored = [dmc_exec.Proc.restore_checkpoint(c) for c in ckpts]
+    cont = SweepProc(tuple(p.evolve({"checkpoint_file": None})
+                           for p, _ in restored),
+                     mesh=mesh).exec([pi for _, pi in restored])
+    for r in range(len(GNS)):
+        np.testing.assert_array_equal(
+            np.asarray(cont[r].state.pos),
+            np.asarray(full[r].state.pos),
+            err_msg=f"meshed row {r} resumed trajectory diverged")
+        np.testing.assert_array_equal(
+            cont[r].data.blocks.energy.totals,
+            full[r].data.blocks.energy.totals)
