@@ -48,6 +48,17 @@ REFERENCE_CPU_VMC_CHAIN_STEPS_PER_SEC = 32 * 3180.0
 #: published; stay well under the conventional ``timeout 600``.
 TOTAL_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 480.0))
 
+#: Stored equilibrated E/N for the bench configuration (v0=20, gn=1,
+#: N=128, 16k walkers, dt=1e-3) — the dt-band table in BASELINE.md
+#: ("N=128, 16,384 walkers", dt=1e-3 row).  The bench's own E/N must
+#: land within ``BENCH_ENERGY_TOL`` of it (covers the residual
+#: equilibration transient of a short cold-start run) AND inside the
+#: physical bracket (ideal band bottom, VMC variational energy) — a
+#: physics check carried in the parsed artifact itself.
+BENCH_ENERGY_REF = 8.41614
+BENCH_ENERGY_TOL = 0.02
+BENCH_ENERGY_BRACKET = (8.0107, 8.5089)
+
 
 def _enable_compile_cache():
     import jax
@@ -106,10 +117,17 @@ def run_bench(nop: int, target: int, max_w: int, nts: int,
 
     blocks = sampling.blocks(state, num_time_steps_block=nts,
                              burn_in_blocks=0)
-    # Warm-up/burn-in blocks (includes compilation).
+    # Warm-up/burn-in blocks (includes compilation).  The duration is
+    # reported: a warm persistent-cache run loads in seconds, a cold
+    # remote compile takes minutes — the artifact carries the
+    # difference so a degraded reading is distinguishable from a
+    # regression.
+    t_warm = time.perf_counter()
     for _ in range(burn_blocks):
         block = next(blocks)
     jax.block_until_ready(block.last_state.pos)
+    float(np.asarray(block.iter_props.num_walkers[-1]))  # sync fetch
+    warmup_s = time.perf_counter() - t_warm
 
     def emit_partial(rate, extras):
         if partial_stream is None:
@@ -120,6 +138,8 @@ def run_bench(nop: int, target: int, max_w: int, nts: int,
               flush=True)
 
     t0 = time.perf_counter()
+    t_prev = t0
+    block_rates = []
     total_wsteps = 0.0
     e_over_w = []
     rate = 0.0
@@ -137,10 +157,27 @@ def run_bench(nop: int, target: int, max_w: int, nts: int,
         # ``block_until_ready`` is a no-op on the axon backend; the
         # ``np.asarray`` fetches above already synchronized, so the
         # running rate is an honest per-block measurement.
-        elapsed = time.perf_counter() - t0
-        rate = total_wsteps / elapsed
+        t_now = time.perf_counter()
+        block_rates.append(float(nw.sum()) / (t_now - t_prev))
+        t_prev = t_now
+        rate = total_wsteps / (t_now - t0)
+        extras = {"block_rates": [round(r) for r in block_rates],
+                  "warmup_s": round(warmup_s, 1),
+                  "warm": bool(warmup_s < 60.0)}
         if check_energy:
-            extras = {"energy_per_boson": float(np.mean(e_over_w)) / nop}
+            e = float(np.mean(e_over_w)) / nop
+            extras["energy_per_boson"] = e
+            if nop == 128:
+                # The stored dt-band value applies to the headline
+                # N=128 configuration only.
+                lo, hi = BENCH_ENERGY_BRACKET
+                extras.update(
+                    energy_ref_dt_band=BENCH_ENERGY_REF,
+                    energy_dev=e - BENCH_ENERGY_REF,
+                    energy_check_ok=bool(
+                        lo < e < hi
+                        and abs(e - BENCH_ENERGY_REF)
+                        < BENCH_ENERGY_TOL))
         emit_partial(rate, extras)
     jax.block_until_ready(block.last_state.pos)
     elapsed = time.perf_counter() - t0
@@ -276,6 +313,7 @@ def child_main(args) -> int:
         rate, extras = run_bench(nop=args.nop, target=args.target,
                                  max_w=args.max_walkers, nts=args.nts,
                                  timed_blocks=args.blocks,
+                                 burn_blocks=args.burn,
                                  check_energy=True,
                                  estimators=args.estimators,
                                  est_every=args.est_every,
@@ -284,11 +322,14 @@ def child_main(args) -> int:
     return 0
 
 
-def _run_attempt(child_args, timeout_s: float):
+def _run_attempt(child_args, timeout_s: float, cmd=None):
     """Run one child attempt; returns (final_json_or_None,
-    last_partial_or_None)."""
-    cmd = [sys.executable, os.path.abspath(__file__), "--child"] \
-        + child_args
+    last_partial_or_None).  ``cmd`` overrides the default bench-child
+    command (used to run a standalone benchmark script that prints its
+    own one-line JSON)."""
+    if cmd is None:
+        cmd = [sys.executable, os.path.abspath(__file__), "--child"]
+    cmd = cmd + child_args
     env = dict(os.environ)
     proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
                             stderr=subprocess.DEVNULL, text=True,
@@ -372,11 +413,30 @@ def parent_main(args) -> int:
                     "--max-walkers", str(args.max_walkers)]
 
     def finish(dmc_line: str) -> int:
-        """Append the VMC stage (BASELINE configs #1-#2) and print the
-        DMC metric LAST so it stays the parsed headline.  The VMC
-        stage is best-effort: serialized after the DMC stage (never
-        two device processes at once) and skipped when the budget or
-        the backend will not allow it."""
+        """Run the secondary perf stages and fold EVERY rate into ONE
+        final JSON object printed last (the driver records only the
+        tail line, so anything outside it is invisible to the
+        harness — round-4 verdict item).  Stages are best-effort:
+        serialized after the DMC stage (never two device processes at
+        once), each gated on the remaining budget, absent fields mean
+        the budget ran out, never a crash."""
+        combined = json.loads(dmc_line)
+
+        # Estimators-on at the production cadence (config #5 scale).
+        if remaining() > 100.0 and not args.quick:
+            efinal, epartial = _run_attempt(
+                ["--estimators", "--est-every", "8",
+                 "--nop", str(args.nop), "--target", str(args.target),
+                 "--max-walkers", str(args.max_walkers),
+                 "--nts", str(args.nts), "--blocks", "1",
+                 "--burn", "1"],
+                timeout_s=max(60.0, min(remaining() - 60.0, 150.0)))
+            est = efinal if efinal is not None else epartial
+            if est is not None:
+                print(json.dumps(est))
+                combined["estimators_on_k8_value"] = est["value"]
+
+        # VMC stage (BASELINE configs #1-#2).
         if remaining() > 60.0:
             vmc_args = ["--vmc-stage"] + (
                 ["--quick"] if args.quick else [])
@@ -384,11 +444,33 @@ def parent_main(args) -> int:
                 vmc_args, timeout_s=max(45.0,
                                         min(remaining() - 20.0,
                                             180.0)))
-            if vfinal is not None:
-                print(json.dumps(vfinal))
-            elif vpartial is not None:
-                print(vmc_result_line(vpartial.pop("value"), vpartial))
-        print(dmc_line)
+            vmc = vfinal if vfinal is not None else vpartial
+            if vmc is not None:
+                line = json.dumps(vfinal) if vfinal is not None \
+                    else vmc_result_line(vpartial.pop("value"),
+                                         vpartial)
+                print(line)
+                vrec = json.loads(line)
+                combined["vmc_chain_steps_per_sec"] = vrec["value"]
+                combined["vmc_vs_baseline"] = vrec.get("vs_baseline")
+                if "accept_rate" in vrec:
+                    combined["vmc_accept_rate"] = vrec["accept_rate"]
+
+        # Full production estimator surface (the shipped
+        # examples/dmc_production.yml through the real Proc.exec
+        # driver path, incl. the pure deep-lag ITC).
+        prod = os.path.join(HERE, "benchmarks", "production_surface.py")
+        if remaining() > 150.0 and not args.quick \
+                and os.path.exists(prod):
+            pfinal, _ = _run_attempt(
+                ["--blocks", "8"],
+                timeout_s=max(90.0, min(remaining() - 30.0, 240.0)),
+                cmd=[sys.executable, prod])
+            if pfinal is not None and "value" in pfinal:
+                print(json.dumps(pfinal))
+                combined["production_surface_value"] = pfinal["value"]
+
+        print(json.dumps(combined))
         return 0
 
     # Attempt 1: the full requested configuration.  It gets the whole
@@ -452,6 +534,11 @@ def main():
     # 128 steps/block and ~1% at 512.
     parser.add_argument("--nts", type=int, default=512)
     parser.add_argument("--blocks", type=int, default=2)
+    # Burn to tau ~ 3 before timing: the gas equilibrates in tau 3-4
+    # (BASELINE.md), and the timed blocks' E/N feeds the dt-band
+    # physics check in the artifact — an under-burned run would trip
+    # it spuriously.  Costs ~14 s of steady-state work.
+    parser.add_argument("--burn", type=int, default=6)
     parser.add_argument("--estimators", action="store_true",
                         help="measure with the production estimator load "
                              "(pure 128-bin density + 64-mode S(k))")

@@ -132,6 +132,16 @@ class Spec:
     num_defects: t.Optional[int] = None
     #: Magnitude for all the defects.
     defect_magnitude: t.Optional[float] = None
+    #: Variational TRIAL-ORBITAL lattice depth: the one-body Bloch
+    #: orbital solves the KP band problem at THIS depth while the
+    #: Hamiltonian keeps ``lattice_depth`` — a second variational
+    #: parameter beyond the reference, whose optimizer caps at the
+    #: single ``rm`` knob (``mrbp_qmc/model.py:902-942``).  The
+    #: kernels already read every orbital quantity from ``OBFParams``
+    #: and the potential from ``ModelParams``, so the split is exact
+    #: (variational principle intact for any positive value).
+    #: ``None`` (default) ties the orbital to the physical depth.
+    obf_lattice_depth: t.Optional[float] = None
 
     def __post_init__(self):
         object.__setattr__(self, "lattice_depth", float(self.lattice_depth))
@@ -146,6 +156,16 @@ class Spec:
 
         if not abs(self.tbf_contact_cutoff) <= abs(self.supercell_size / 2):
             raise ValueError("tbf_contact_cutoff (rm) lies outside its allowed range")
+
+        if self.obf_lattice_depth is not None:
+            v0b = float(self.obf_lattice_depth)
+            object.__setattr__(self, "obf_lattice_depth", v0b)
+            if self.is_free:
+                raise ValueError(
+                    "obf_lattice_depth needs a finite lattice (the "
+                    "free-gas trial orbital is flat)")
+            if v0b <= 0:
+                raise ValueError("obf_lattice_depth must be positive")
 
         # Defect handling: reference ``mrbp_qmc/model.py:174-196``.
         lattice_depth = self.lattice_depth
@@ -264,8 +284,12 @@ class Spec:
     @cached_property
     def obf_params(self) -> OBFParams:
         """One-body orbital parameters: solves the ideal KP band problem
-        (``mrbp_qmc/model.py:297-315``)."""
-        v0 = self.lattice_depth
+        (``mrbp_qmc/model.py:297-315``) — at the variational
+        ``obf_lattice_depth`` when one is set (the Hamiltonian's
+        potential stays at ``lattice_depth``; see the field doc)."""
+        v0 = (self.obf_lattice_depth
+              if self.obf_lattice_depth is not None
+              else self.lattice_depth)
         r = self.lattice_ratio
         if self.is_free:
             e0 = 0.0
@@ -273,7 +297,7 @@ class Spec:
         else:
             e0 = float(ideal.eigen_energy(v0, r))
             k1, kp1 = math.sqrt(e0), math.sqrt(v0 - e0)
-        return OBFParams(self.lattice_depth,
+        return OBFParams(v0,
                          self.lattice_ratio,
                          self.well_width,
                          self.barrier_width,
@@ -456,20 +480,99 @@ def tbf_params_device(rm, interaction_strength, boson_number,
                      param_am=am)
 
 
-def cfc_params_device(rm, spec: "Spec") -> CFCParams:
-    """Traceable ``CFCParams`` with the variational cutoff ``rm`` live.
+def _kp_band_residual(ez, v0, rr_frac, inv_1pr):
+    """KP band-bottom dispersion relation ``f(E; k = 0) = 0`` in jnp
+    ops (the general ``0 < E < v0`` branch of
+    :func:`phd_qmclib_tpu.ideal.energy_relation`), traceable and
+    differentiable in both ``ez`` and ``v0``."""
+    root_e = jnp.sqrt(ez)
+    root_d = jnp.sqrt(v0 - ez)
+    return ((v0 - 2.0 * ez) / (2.0 * root_e * root_d)
+            * jnp.sinh(rr_frac * root_d) * jnp.sin(root_e * inv_1pr)
+            + jnp.cosh(rr_frac * root_d) * jnp.cos(root_e * inv_1pr)
+            - 1.0)
 
-    One-body parameters do not depend on ``rm`` and come from the host
-    spec; the two-body parameters are re-solved on device so gradients
-    flow (used by :class:`phd_qmclib_tpu.wf_opt.GradCSWFOptimizer`).
+
+def obf_params_device(obf_lattice_depth, spec: "Spec") -> OBFParams:
+    """Traceable, differentiable ``v0_orbital -> OBFParams``.
+
+    The KP band bottom ``e0(v0)`` solves by fixed-count bisection on
+    ``(0, min(v0, (1+r)^2 pi^2))`` exactly like the host ``brentq``
+    path (:func:`phd_qmclib_tpu.ideal.eigen_energy`);
+    ``lax.custom_root`` supplies the implicit-function-theorem
+    gradient, so the variance functional differentiates through the
+    variational TRIAL-ORBITAL depth (second optimizer knob — the
+    reference caps at ``rm``, ``mrbp_qmc/model.py:902-942``).
+    Requires a non-free lattice.
+    """
+    from jax import lax
+
+    dtype = jnp.result_type(obf_lattice_depth, jnp.float32)
+    v0 = jnp.asarray(obf_lattice_depth, dtype)
+    r = spec.lattice_ratio
+    rr_frac = jnp.asarray(r / (1.0 + r), dtype)
+    inv_1pr = jnp.asarray(1.0 / (1.0 + r), dtype)
+
+    def residual(ez):
+        return _kp_band_residual(ez, v0, rr_frac, inv_1pr)
+
+    eps = jnp.asarray(1e-12 if dtype == jnp.float64 else 1e-6, dtype)
+    upper = jnp.minimum(v0, (1.0 + r) ** 2 * jnp.pi ** 2)
+
+    def solve(f, x0):
+        lo = eps * upper
+        hi = (1.0 - eps) * upper
+        f_lo = f(lo)
+        num_iters = 100 if dtype == jnp.float64 else 40
+
+        def body(_, carry):
+            lo, hi, f_lo = carry
+            mid = 0.5 * (lo + hi)
+            f_mid = f(mid)
+            same = jnp.sign(f_mid) == jnp.sign(f_lo)
+            return (jnp.where(same, mid, lo),
+                    jnp.where(same, hi, mid),
+                    jnp.where(same, f_mid, f_lo))
+
+        lo, hi, _ = lax.fori_loop(0, num_iters, body, (lo, hi, f_lo))
+        return 0.5 * (lo + hi)
+
+    def tangent_solve(g, y):
+        return y / g(jnp.asarray(1.0, dtype))
+
+    e0 = lax.custom_root(residual, 0.5 * upper, solve, tangent_solve)
+    return OBFParams(v0,
+                     jnp.asarray(r, dtype),
+                     jnp.asarray(spec.well_width, dtype),
+                     jnp.asarray(spec.barrier_width, dtype),
+                     param_e0=e0,
+                     param_k1=jnp.sqrt(e0),
+                     param_kp1=jnp.sqrt(v0 - e0))
+
+
+def cfc_params_device(rm, spec: "Spec",
+                      obf_lattice_depth=None) -> CFCParams:
+    """Traceable ``CFCParams`` with the variational cutoff ``rm`` (and
+    optionally the trial-orbital depth) live.
+
+    One-body parameters come from the host spec unless a traced
+    ``obf_lattice_depth`` is given (then :func:`obf_params_device`
+    re-solves the band problem on device); the two-body parameters are
+    always re-solved on device so gradients flow (used by
+    :class:`phd_qmclib_tpu.wf_opt.GradCSWFOptimizer`).
     """
     dtype = jnp.result_type(rm, jnp.float32)
     model_params = jax.tree_util.tree_map(
         lambda x: jnp.asarray(x, dtype), spec.params)
     model_params = model_params._replace(
         tbf_contact_cutoff=jnp.asarray(rm, dtype))
-    obf = jax.tree_util.tree_map(
-        lambda x: jnp.asarray(x, dtype), spec.obf_params)
+    if obf_lattice_depth is None:
+        obf = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x, dtype), spec.obf_params)
+    else:
+        obf = obf_params_device(obf_lattice_depth, spec)
+        obf = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x, dtype), obf)
     tbf = tbf_params_device(rm, spec.interaction_strength,
                             spec.boson_number, spec.supercell_size)
     return CFCParams(model_params, obf, tbf)

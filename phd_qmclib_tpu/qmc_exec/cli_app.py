@@ -168,6 +168,9 @@ class WFOptAppSpec:
     ref_energy: t.Optional[float] = None
     verbose: bool = False
     proc_id: t.Optional[int] = None
+    #: Jointly optimize the trial-orbital lattice depth alongside
+    #: ``rm`` (2-parameter optimization; the reference caps at one).
+    opt_obf_lattice_depth: bool = False
     sampling_type: t.ClassVar[str] = "wf_opt"
 
     @classmethod
@@ -194,7 +197,9 @@ class WFOptAppSpec:
                    method=str(self_config.pop("method", "de")),
                    ref_energy=self_config.pop("ref_energy", None),
                    verbose=bool(self_config.pop("verbose", False)),
-                   proc_id=self_config.pop("proc_id", None))
+                   proc_id=self_config.pop("proc_id", None),
+                   opt_obf_lattice_depth=bool(self_config.pop(
+                       "opt_obf_lattice_depth", False)))
 
     def exec(self):
         """Run (or load) the VMC stage and optimize; returns the
@@ -218,13 +223,17 @@ class WFOptAppSpec:
 
         opt = WFOptProc(num_sys_confs=self.num_sys_confs,
                         ref_energy=self.ref_energy,
-                        verbose=self.verbose, method=self.method)
+                        verbose=self.verbose, method=self.method,
+                        opt_obf_lattice_depth=self.opt_obf_lattice_depth)
         opt_spec = opt.exec(model_spec, np.asarray(state.pos),
                             np.asarray(state.wf_abs_log))
+        orbital = (f", orbital v0 = {opt_spec.obf_lattice_depth:.6G} "
+                   f"(physical {opt_spec.lattice_depth:.6G})"
+                   if opt_spec.obf_lattice_depth is not None else "")
         exec_logger.info(
             f"wf_opt: optimal rm = {opt_spec.tbf_contact_cutoff:.6G} "
-            f"(was {model_spec.tbf_contact_cutoff:.6G}); subsequent "
-            f"procedures run at the optimized value")
+            f"(was {model_spec.tbf_contact_cutoff:.6G}){orbital}; "
+            f"subsequent procedures run at the optimized value")
         return opt_spec
 
 
@@ -298,19 +307,26 @@ class CLIApp:
         if self.fused_sweep and len(app_spec_set) > 1:
             return self._exec_fused()
         results = []
-        rm_star = None
+        opt_params_star = None
         for proc_num, app_spec in enumerate(app_spec_set, 1):
             exec_logger.info(f"Starting procedure ID{proc_num}...")
             if isinstance(app_spec, WFOptAppSpec):
                 opt_spec = app_spec.exec()
-                rm_star = opt_spec.tbf_contact_cutoff
+                # Every optimized variational knob flows into the
+                # subsequent stanzas (rm, and the trial-orbital depth
+                # when the joint optimization ran).
+                opt_params_star = {
+                    "tbf_contact_cutoff": opt_spec.tbf_contact_cutoff}
+                if opt_spec.obf_lattice_depth is not None:
+                    opt_params_star["obf_lattice_depth"] = \
+                        opt_spec.obf_lattice_depth
                 results.append(opt_spec)
             else:
-                if rm_star is not None:
+                if opt_params_star is not None:
                     from dataclasses import replace
 
                     new_spec = app_spec.proc.model_spec.evolve(
-                        tbf_contact_cutoff=rm_star)
+                        **opt_params_star)
                     app_spec = replace(
                         app_spec,
                         proc=replace(app_spec.proc,

@@ -357,6 +357,9 @@ class Proc(proc_base.Proc):
             "rebalance_every": self.rebalance_every,
             "est_every": self.est_every,
         }
+        if self.model_spec.obf_lattice_depth is not None:
+            config["model_spec"]["obf_lattice_depth"] = \
+                self.model_spec.obf_lattice_depth
         def _est_config(spec, size_key, size_val):
             est = {size_key: size_val, "as_pure_est": spec.as_pure_est}
             if spec.pfw_num_time_steps is not None:

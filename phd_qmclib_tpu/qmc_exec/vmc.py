@@ -270,6 +270,9 @@ class Proc(proc_base.Proc):
             "est_every": self.est_every,
             "gaussian": self.gaussian or None,  # omit the default
         }
+        if self.model_spec.obf_lattice_depth is not None:
+            config["model_spec"]["obf_lattice_depth"] = \
+                self.model_spec.obf_lattice_depth
         if self.ssf_spec is not None:
             config["ssf_spec"] = {"num_modes": self.ssf_spec.num_modes}
         if self.obd_spec is not None:

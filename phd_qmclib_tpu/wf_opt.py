@@ -56,6 +56,12 @@ class CSWFOptimizer:
     ref_energy: t.Optional[float] = None
     #: Display log messages.
     verbose: bool = False
+    #: Jointly optimize the TRIAL-ORBITAL lattice depth
+    #: (``Spec.obf_lattice_depth``) alongside ``rm`` — a second
+    #: variational knob the reference does not have (its optimizer
+    #: caps at one parameter, ``mrbp_qmc/model.py:902-942``).  Needs a
+    #: non-free lattice.
+    opt_obf_lattice_depth: bool = False
 
     def __post_init__(self):
         sys_conf_set = np.asarray(self.sys_conf_set)
@@ -84,10 +90,14 @@ class CSWFOptimizer:
     def _pos_set(self):
         return jnp.asarray(self.sys_conf_set)
 
-    def update_spec(self, tbf_contact_cutoff: float) -> mrbp.Spec:
-        """The model spec with an updated variational parameter."""
-        return self.spec.evolve(
-            tbf_contact_cutoff=float(tbf_contact_cutoff))
+    def update_spec(self, tbf_contact_cutoff: float,
+                    obf_lattice_depth: t.Optional[float] = None) \
+            -> mrbp.Spec:
+        """The model spec with updated variational parameter(s)."""
+        changes = {"tbf_contact_cutoff": float(tbf_contact_cutoff)}
+        if obf_lattice_depth is not None:
+            changes["obf_lattice_depth"] = float(obf_lattice_depth)
+        return self.spec.evolve(**changes)
 
     def wf_abs_log_and_energy_set(self, cfc_params: mrbp.CFCParams):
         """Evaluate wavefunction and energy for all configurations."""
@@ -98,12 +108,13 @@ class CSWFOptimizer:
         return np.asarray(lp, dtype=np.float64), \
             np.asarray(e, dtype=np.float64)
 
-    def principal_function(self, tbf_contact_cutoff: float) -> float:
+    def principal_function(self, params) -> float:
         """The weighted variance as a function of the variational
-        parameter (``qmc_base/jastrow/model.py:1186-1206``)."""
-        if np.ndim(tbf_contact_cutoff):
-            tbf_contact_cutoff = float(np.asarray(tbf_contact_cutoff)[0])
-        upd_spec = self.update_spec(tbf_contact_cutoff)
+        parameter vector (``qmc_base/jastrow/model.py:1186-1206``) —
+        ``[rm]`` or ``[rm, obf_lattice_depth]``."""
+        params = np.atleast_1d(np.asarray(params, dtype=np.float64))
+        v0b = float(params[1]) if params.size > 1 else None
+        upd_spec = self.update_spec(float(params[0]), v0b)
         wf_abs_log_set, energies_set = \
             self.wf_abs_log_and_energy_set(upd_spec.cfc_params)
         weights_log_set = 2 * (wf_abs_log_set - self.ini_wf_abs_log_set)
@@ -112,22 +123,36 @@ class CSWFOptimizer:
     @property
     def principal_function_bounds(self):
         """Variational-parameter bounds
-        (``mrbp_qmc/model.py:902-911``)."""
+        (``mrbp_qmc/model.py:902-911``); with the joint-orbital mode a
+        second row bounds the trial depth to ``(v0/8, 4 v0)`` around
+        the physical one."""
         sc_size = self.spec.supercell_size
-        return [(5e-2, (0.5 - 5e-3) * sc_size)]
+        bounds = [(5e-2, (0.5 - 5e-3) * sc_size)]
+        if self.opt_obf_lattice_depth:
+            if self.spec.is_free:
+                raise ValueError(
+                    "opt_obf_lattice_depth needs a finite lattice "
+                    "(the free-gas trial orbital is flat)")
+            v0 = self.spec.lattice_depth
+            bounds.append((v0 / 8.0, 4.0 * v0))
+        return bounds
 
     def exec(self) -> mrbp.Spec:
         """Run the variance minimization; returns the spec evolved with
-        the optimal ``tbf_contact_cutoff``."""
+        the optimal variational parameter(s)."""
         opt_params = differential_evolution(
             self.principal_function,
             bounds=self.principal_function_bounds,
             disp=self.verbose, seed=1)
-        opt_rm, = opt_params.x
+        opt_rm = float(opt_params.x[0])
+        opt_v0b = float(opt_params.x[1]) \
+            if self.opt_obf_lattice_depth else None
         if self.verbose:
-            exec_logger.info(f"optimal rm = {opt_rm:.6G} "
+            extra = (f", orbital v0 = {opt_v0b:.6G}"
+                     if opt_v0b is not None else "")
+            exec_logger.info(f"optimal rm = {opt_rm:.6G}{extra} "
                              f"(variance {opt_params.fun:.6G})")
-        return self.update_spec(opt_rm)
+        return self.update_spec(opt_rm, opt_v0b)
 
 
 @dataclass(frozen=True)
@@ -154,13 +179,22 @@ class GradCSWFOptimizer(CSWFOptimizer):
 
     @cached_property
     def _variance_fn(self):
-        """Jitted ``rm -> weighted variance`` (traceable end to end)."""
+        """Jitted ``params -> weighted variance`` (traceable end to
+        end; ``params`` is ``[rm]`` or ``[rm, orbital v0]`` — the
+        orbital depth differentiates through the ``lax.custom_root``
+        band solve, :func:`mrbp.obf_params_device`)."""
         funcs = mrbp.core_funcs(self.spec)
         pos = self._pos_set
         ini_lp = jnp.asarray(self.ini_wf_abs_log_set, dtype=pos.dtype)
+        joint = self.opt_obf_lattice_depth
 
-        def variance(rm):
-            cfc = mrbp.cfc_params_device(rm, self.spec)
+        def variance(params):
+            # Accept a bare rm scalar (1-D legacy callers) or the
+            # parameter vector.
+            params = jnp.atleast_1d(params)
+            cfc = mrbp.cfc_params_device(
+                params[0], self.spec,
+                obf_lattice_depth=params[1] if joint else None)
             cfc = jax.tree.map(lambda x: jnp.asarray(x, pos.dtype), cfc)
             lp, energy = funcs.log_psi_and_energy(pos, cfc)
             wlog = 2.0 * (lp - ini_lp)
@@ -185,30 +219,45 @@ class GradCSWFOptimizer(CSWFOptimizer):
             # The device solve needs gn > 0; the free gas has no
             # two-body parameter to optimize anyway.
             return super().exec()
-        (lo, hi), = self.principal_function_bounds
+        bounds = self.principal_function_bounds
         dtype = self._pos_set.dtype
-        grid = jnp.linspace(lo, hi, self.num_grid, dtype=dtype)
+        if len(bounds) == 1:
+            (lo, hi), = bounds
+            grid = jnp.linspace(lo, hi, self.num_grid,
+                                dtype=dtype)[:, None]
+        else:
+            # Joint (rm, orbital v0): a coarse 2-D grid in ONE vmapped
+            # dispatch replaces DE's population for the global view.
+            per_axis = max(8, int(round(np.sqrt(self.num_grid))) * 2)
+            axes = [jnp.linspace(lo, hi, per_axis, dtype=dtype)
+                    for lo, hi in bounds]
+            grid = jnp.stack([g.ravel() for g in
+                              jnp.meshgrid(*axes, indexing="ij")],
+                             axis=-1)
         values = np.asarray(self._grid_fn(grid), dtype=np.float64)
         best = int(np.nanargmin(values))
-        x0 = float(grid[best])
+        x0 = np.asarray(grid[best], dtype=np.float64)
         if self.verbose:
-            exec_logger.info(f"grid stage: rm0 = {x0:.6G} "
+            exec_logger.info(f"grid stage: x0 = {x0} "
                              f"(variance {values[best]:.6G})")
 
         vg = self._value_and_grad_fn
 
         def fun_and_jac(x):
-            v, g = vg(jnp.asarray(x[0], dtype))
-            return float(v), np.asarray([float(g)])
+            v, g = vg(jnp.asarray(x, dtype))
+            return float(v), np.asarray(g, dtype=np.float64)
 
-        res = minimize(fun_and_jac, np.asarray([x0]), jac=True,
-                       method="L-BFGS-B", bounds=[(lo, hi)])
+        res = minimize(fun_and_jac, x0, jac=True,
+                       method="L-BFGS-B", bounds=bounds)
         opt_rm = float(res.x[0])
+        opt_v0b = float(res.x[1]) if len(bounds) > 1 else None
         if self.verbose:
-            exec_logger.info(f"optimal rm = {opt_rm:.6G} "
+            extra = (f", orbital v0 = {opt_v0b:.6G}"
+                     if opt_v0b is not None else "")
+            exec_logger.info(f"optimal rm = {opt_rm:.6G}{extra} "
                              f"(variance {res.fun:.6G}, "
                              f"{res.nfev} grad evals)")
-        return self.update_spec(opt_rm)
+        return self.update_spec(opt_rm, opt_v0b)
 
 
 @dataclass(frozen=True)
@@ -226,6 +275,10 @@ class WFOptProc:
     #: ``"de"`` = differential evolution (reference behavior),
     #: ``"grad"`` = grid scan + implicit-differentiation L-BFGS polish.
     method: str = "de"
+    #: Jointly optimize the trial-orbital lattice depth alongside
+    #: ``rm`` (see :class:`CSWFOptimizer`); the reference caps at one
+    #: parameter.
+    opt_obf_lattice_depth: bool = False
 
     def exec(self, model_spec: mrbp.Spec, sys_conf_set: np.ndarray,
              ini_wf_abs_log_set: np.ndarray) -> mrbp.Spec:
@@ -237,5 +290,6 @@ class WFOptProc:
         cls = GradCSWFOptimizer if self.method == "grad" else CSWFOptimizer
         optimizer = cls(model_spec, sys_conf_set,
                         ini_wf_abs_log_set,
-                        self.ref_energy, self.verbose)
+                        self.ref_energy, self.verbose,
+                        opt_obf_lattice_depth=self.opt_obf_lattice_depth)
         return optimizer.exec()

@@ -143,3 +143,27 @@ def test_pipeline_through_the_cli(tmp_path, monkeypatch):
         spec_grp = fp["dmc-at-rm-star/dmc/proc_spec"]
         rm = float(spec_grp["model_spec"].attrs["tbf_contact_cutoff"])
     assert rm != pytest.approx(1.0)  # the DMC ran at rm*, not 1.0
+
+
+def test_pipeline_joint_orbital_depth(tmp_path):
+    """2-D optimization through the CLI stanza: with
+    ``opt_obf_lattice_depth: true`` the trial-orbital depth optimizes
+    jointly with rm and BOTH knobs flow into the downstream DMC stanza
+    (the reference's optimizer caps at one parameter)."""
+    model = dict(MODEL, lattice_depth=10.0)
+    config = pipeline_config(tmp_path)
+    config["app_spec"][0]["proc"]["model_spec"] = model
+    config["app_spec"][0]["opt_obf_lattice_depth"] = True
+    config["app_spec"][1]["proc"]["model_spec"] = model
+    app = cli_app.CLIApp.from_config(config, "dmc")
+    results = app.exec()
+    opt_spec, dmc_result = results
+    assert opt_spec.obf_lattice_depth is not None
+    assert opt_spec.obf_lattice_depth > 0
+    # Both optimized knobs propagated into the DMC stage.
+    dmc_spec = dmc_result.proc.model_spec
+    assert dmc_spec.tbf_contact_cutoff \
+        == pytest.approx(opt_spec.tbf_contact_cutoff)
+    assert dmc_spec.obf_lattice_depth \
+        == pytest.approx(opt_spec.obf_lattice_depth)
+    assert np.isfinite(dmc_result.data.blocks.energy.mean)
