@@ -63,3 +63,26 @@ import gc  # noqa: E402
 
 gc.collect()
 gc.freeze()
+
+# ---------------------------------------------------------------------------
+# Fast-tier timing canary (round-5 verdict item 6): the tier's pledge
+# is <= FAST_TIER_BUDGET_S warm on this host under light load.  The
+# session start time and the pre-session load average are recorded
+# here; ``tests/zz_timing_canary_test.py`` (collected last) fails the
+# tier when a FULL fast-tier run exceeds the budget on an idle host —
+# so a regression trips a test instead of silently eroding the
+# contract.  Guards: partial runs (-k/-m subsets, single files), busy
+# hosts and cold compile caches skip the check.
+# ---------------------------------------------------------------------------
+import time as _time  # noqa: E402
+
+FAST_TIER_BUDGET_S = 270.0
+FAST_TIER_MIN_TESTS = 400
+
+
+def pytest_sessionstart(session):
+    session.config._tier_t0 = _time.monotonic()
+    try:
+        session.config._tier_load0 = os.getloadavg()[0]
+    except OSError:  # pragma: no cover
+        session.config._tier_load0 = float("inf")

@@ -67,6 +67,9 @@ def test_legacy_alias_package():
     assert bloch_phonon.core_funcs is mrbp.core_funcs
 
 
+@pytest.mark.slow  # re-tiered r5: chunk-vs-vmap bit-exact
+# oracle; the chunked path itself runs fast-tier via the OBDM
+# proc/estimator tests
 def test_obdm_grid_offset_chunking_matches_vmap(monkeypatch):
     """The offset-chunked OBDM grid (bounded temporaries at production
     shapes) is exactly the all-offsets vmap."""

@@ -32,6 +32,9 @@ def test_matches_host_brentq(gn, rm):
             (name, gn, rm, h, float(d))
 
 
+@pytest.mark.slow  # re-tiered r5: FD oracle duplicate — the
+# fast tier gates the same custom_root gradient through
+# tests/test_wf_opt_joint.py (FD check through BOTH solves)
 def test_gradient_matches_finite_differences():
     spec = _spec()
 

@@ -95,6 +95,8 @@ def pos():
     return jnp.asarray(rng.uniform(0.1, SC_SIZE - 0.1, size=(NOP,)))
 
 
+@pytest.mark.slow  # re-tiered r5: the mrbp autodiff identity
+# (test_mrbp.TestAutodiffIdentities) is the fast-tier gate
 def test_drift_is_grad(funcs, cfc, pos):
     grad = jax.grad(lambda p: funcs.log_psi(p, cfc))(pos)
     np.testing.assert_allclose(np.asarray(funcs.drift(pos, cfc)),

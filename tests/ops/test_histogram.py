@@ -36,11 +36,19 @@ def test_bin_edges_and_clipping_match():
     np.testing.assert_array_equal(a, out)
 
 
-@pytest.mark.parametrize("w,n,b,rs", [(96, 128, 128, 32),
-                                      (64, 16, 12, 32),   # pad: 12 -> 4x3? ceil(12/12)
-                                      (10, 8, 5, 2),      # pad: q=3, qr=6 > 5
-                                      (32, 16, 100, 32),  # pad: q=4, qr=128 > 100
-                                      (16, 8, 1, 32)])
+_SLOW = pytest.mark.slow  # re-tiered r5: the production shape and one
+# padding edge stay fast; the remaining padding permutations run in
+# the full tier
+
+
+@pytest.mark.parametrize("w,n,b,rs", [
+    (96, 128, 128, 32),
+    pytest.param(64, 16, 12, 32,    # pad: 12 -> 4x3? ceil(12/12)
+                 marks=_SLOW),
+    (10, 8, 5, 2),                  # pad: q=3, qr=6 > 5
+    pytest.param(32, 16, 100, 32,   # pad: q=4, qr=128 > 100
+                 marks=_SLOW),
+    pytest.param(16, 8, 1, 32, marks=_SLOW)])
 def test_mxu_matches_onehot_exactly(w, n, b, rs):
     rng = np.random.default_rng(w * 7 + n)
     sc = float(b)
@@ -64,6 +72,8 @@ def test_mxu_bin_edges_match():
         np.asarray(hg.walker_histogram_mxu(pos, bs, b)))
 
 
+@pytest.mark.slow  # re-tiered r5: the batched path runs fast-tier
+# implicitly through every fused-sweep estimator test
 def test_mxu_batched_leading_axes():
     # The sampler maps over leading axes in sweeps: (S, W, N) must work.
     rng = np.random.default_rng(11)

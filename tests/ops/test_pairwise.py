@@ -23,6 +23,9 @@ def setup():
     return spec, funcs, cfc, pos
 
 
+@pytest.mark.slow  # re-tiered r5: the randomized-config
+# consistency sweep below is the fast-tier representative of the
+# Pallas double-maintenance contract
 def test_kernel_matches_xla(setup):
     spec, funcs, cfc, pos = setup
     pv = jnp.asarray(pairwise.pack_params(spec.cfc_params))

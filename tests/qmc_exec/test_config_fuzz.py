@@ -275,8 +275,12 @@ def fuzz_one(seed: int, tmp_path):
 #: Fast-tier corpus: seeds chosen to cover mesh on/off, pure
 #: multi-block windows, cadence multipliers and CM windows (verified
 #: by inspecting the drawn configs; regressions in the draw function
-#: surface as coverage assertions below).
-FAST_SEEDS = [4, 10, 22, 31]
+#: surface as coverage assertions below).  Trimmed to two seeds in
+#: round 5 for the tier budget: seed 10 carries the hardest
+#: interaction (mesh + rebalance + multi-block pure windows +
+#: keep_iter_data + pure ITC), seed 4 the single-device + CM-window
+#: side; the dropped seeds (22, 31) joined the slow corpus below.
+FAST_SEEDS = [4, 10]
 
 
 @pytest.mark.parametrize("seed", FAST_SEEDS)
@@ -311,7 +315,7 @@ def test_fast_corpus_covers_the_knobs():
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("seed", range(100, 116))
+@pytest.mark.parametrize("seed", [22, 31, *range(100, 116)])
 def test_config_fuzz_wide(seed, tmp_path):
     fuzz_one(seed, tmp_path)
 

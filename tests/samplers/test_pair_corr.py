@@ -55,6 +55,8 @@ def test_kernel_matches_oracle():
     np.testing.assert_array_equal(hist, oracle)
 
 
+@pytest.mark.slow  # re-tiered r5: tiled-vs-flat oracle duplicate
+# (test_kernel_matches_oracle stays fast)
 def test_kernel_tiled_path_matches(monkeypatch):
     """Force the walker tiling and check bit-equality with the
     untiled evaluation."""

@@ -42,6 +42,9 @@ def batch_of_pos(spec, num, seed=0):
 
 class TestGridKernel:
 
+    @pytest.mark.slow  # re-tiered r5: grid-kernel oracle
+    # duplicate (zero-offset unity + rejection-carry + proc
+    # integration stay fast)
     def test_matches_single_offset_kernel(self):
         spec = make_spec()
         funcs = mrbp.core_funcs(spec)

@@ -254,6 +254,8 @@ class TestDensityFromSSF:
         assert n.max() > 1.2 * n.min()
 
 
+@pytest.mark.slow  # re-tiered r5: exact-orbital oracle duplicate
+# (the ssf->density route is fast-gated on synthetic data)
 def test_vmc_density_from_ssf_matches_exact_orbital():
     """VMC has no binned density estimator (reference parity); the
     Fourier synthesis from its S(k) parts IS its density profile.  For
