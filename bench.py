@@ -286,8 +286,86 @@ def result_line(metric: str, rate: float, extras: dict) -> str:
     return json.dumps(result)
 
 
+def all_stages_child(args) -> int:
+    """One child process measuring EVERY perf stage sequentially on a
+    single backend initialization (each separate child paid ~60-70 s
+    of axon startup, which starved the later stages' windows — the
+    round-5 bench run lost its VMC stage to exactly that).  Emits a
+    ``STAGE <json>`` line as each stage completes, so a killed child
+    still leaves every finished stage for the parent to fold into the
+    final record; stage failures are contained and skip to the next
+    stage."""
+    def emit(stage: str, record: dict):
+        print(f"STAGE {json.dumps(dict(record, stage=stage))}",
+              flush=True)
+
+    # 1) DMC headline (streams PARTIALs as today).
+    if args.quick:
+        rate, extras = run_bench(nop=32, target=2048, max_w=2560,
+                                 nts=32, timed_blocks=2,
+                                 check_energy=True,
+                                 partial_stream=sys.stdout)
+    else:
+        rate, extras = run_bench(nop=args.nop, target=args.target,
+                                 max_w=args.max_walkers, nts=args.nts,
+                                 timed_blocks=args.blocks,
+                                 burn_blocks=args.burn,
+                                 check_energy=True,
+                                 partial_stream=sys.stdout)
+    emit("dmc", json.loads(result_line(build_metric_name(args), rate,
+                                       extras)))
+
+    # 2) VMC stage (BASELINE configs #1-#2).
+    try:
+        if args.quick:
+            rate, extras = run_vmc_bench(nop=32, num_chains=2048,
+                                         nts=64, timed_blocks=2)
+        else:
+            rate, extras = run_vmc_bench(nop=64, num_chains=16384,
+                                         nts=512, timed_blocks=4)
+        emit("vmc", json.loads(vmc_result_line(rate, extras)))
+    except Exception as exc:  # pragma: no cover - stage isolation
+        print(f"bench: vmc stage failed: {exc!r}", file=sys.stderr)
+
+    if args.quick:
+        return 0
+
+    # 3) Estimators-on at the production cadence (config #5 scale).
+    try:
+        rate, extras = run_bench(nop=args.nop, target=args.target,
+                                 max_w=args.max_walkers, nts=args.nts,
+                                 timed_blocks=1, burn_blocks=1,
+                                 estimators=True, est_every=8)
+        emit("est_k8", {"metric":
+                        "dmc_walker_steps_per_sec_per_chip_"
+                        "estimators_on_cadence8",
+                        "value": rate, **extras})
+    except Exception as exc:  # pragma: no cover
+        print(f"bench: estimators-on stage failed: {exc!r}",
+              file=sys.stderr)
+
+    # 4) Full production estimator surface (the shipped
+    # examples/dmc_production.yml through the real Proc.exec driver
+    # path, incl. the pure deep-lag ITC).
+    try:
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "production_surface",
+            os.path.join(HERE, "benchmarks", "production_surface.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        emit("production", mod.measure(blocks=8, enable_cache=False))
+    except Exception as exc:  # pragma: no cover
+        print(f"bench: production-surface stage failed: {exc!r}",
+              file=sys.stderr)
+    return 0
+
+
 def child_main(args) -> int:
     """The actual measurement process (``--child``)."""
+    if args.all_stages:
+        return all_stages_child(args)
     if args.vmc_stage:
         if args.quick:
             rate, extras = run_vmc_bench(nop=32, num_chains=2048,
@@ -337,6 +415,21 @@ def _run_attempt(child_args, timeout_s: float, cmd=None):
     deadline = time.monotonic() + timeout_s
     final = None
     partial = None
+    stages = []
+
+    def absorb(line: str):
+        nonlocal final, partial
+        line = line.strip()
+        try:
+            if line.startswith("PARTIAL "):
+                partial = json.loads(line[len("PARTIAL "):])
+            elif line.startswith("STAGE "):
+                stages.append(json.loads(line[len("STAGE "):]))
+            elif line.startswith("{"):
+                final = json.loads(line)
+        except json.JSONDecodeError:
+            pass
+
     import selectors
     sel = selectors.DefaultSelector()
     sel.register(proc.stdout, selectors.EVENT_READ)
@@ -358,31 +451,11 @@ def _run_attempt(child_args, timeout_s: float, cmd=None):
             buf += chunk
             while "\n" in buf:
                 line, buf = buf.split("\n", 1)
-                line = line.strip()
-                if line.startswith("PARTIAL "):
-                    try:
-                        partial = json.loads(line[len("PARTIAL "):])
-                    except json.JSONDecodeError:
-                        pass
-                elif line.startswith("{"):
-                    try:
-                        final = json.loads(line)
-                    except json.JSONDecodeError:
-                        pass
+                absorb(line)
         # Drain if the child already exited.
         if proc.poll() is not None:
             for line in (buf + proc.stdout.read()).splitlines():
-                line = line.strip()
-                if line.startswith("PARTIAL "):
-                    try:
-                        partial = json.loads(line[len("PARTIAL "):])
-                    except json.JSONDecodeError:
-                        pass
-                elif line.startswith("{"):
-                    try:
-                        final = json.loads(line)
-                    except json.JSONDecodeError:
-                        pass
+                absorb(line)
     finally:
         sel.close()
         if proc.poll() is None:
@@ -391,7 +464,7 @@ def _run_attempt(child_args, timeout_s: float, cmd=None):
                 proc.wait(timeout=10)
             except subprocess.TimeoutExpired:
                 pass
-    return final, partial
+    return final, partial, stages
 
 
 def parent_main(args) -> int:
@@ -412,110 +485,71 @@ def parent_main(args) -> int:
                     "--target", str(args.target),
                     "--max-walkers", str(args.max_walkers)]
 
-    def finish(dmc_line: str) -> int:
-        """Run the secondary perf stages and fold EVERY rate into ONE
-        final JSON object printed last (the driver records only the
-        tail line, so anything outside it is invisible to the
-        harness — round-4 verdict item).  Stages are best-effort:
-        serialized after the DMC stage (never two device processes at
-        once), each gated on the remaining budget, absent fields mean
-        the budget ran out, never a crash."""
-        combined = json.loads(dmc_line)
-
-        # Estimators-on at the production cadence (config #5 scale).
-        if remaining() > 100.0 and not args.quick:
-            efinal, epartial = _run_attempt(
-                ["--estimators", "--est-every", "8",
-                 "--nop", str(args.nop), "--target", str(args.target),
-                 "--max-walkers", str(args.max_walkers),
-                 "--nts", str(args.nts), "--blocks", "1",
-                 "--burn", "1"],
-                timeout_s=max(60.0, min(remaining() - 60.0, 150.0)))
-            est = efinal if efinal is not None else epartial
-            if est is not None:
-                print(json.dumps(est))
-                combined["estimators_on_k8_value"] = est["value"]
-
-        # VMC stage (BASELINE configs #1-#2).
-        if remaining() > 60.0:
-            vmc_args = ["--vmc-stage"] + (
-                ["--quick"] if args.quick else [])
-            vfinal, vpartial = _run_attempt(
-                vmc_args, timeout_s=max(45.0,
-                                        min(remaining() - 20.0,
-                                            180.0)))
-            vmc = vfinal if vfinal is not None else vpartial
-            if vmc is not None:
-                line = json.dumps(vfinal) if vfinal is not None \
-                    else vmc_result_line(vpartial.pop("value"),
-                                         vpartial)
-                print(line)
-                vrec = json.loads(line)
-                combined["vmc_chain_steps_per_sec"] = vrec["value"]
-                combined["vmc_vs_baseline"] = vrec.get("vs_baseline")
-                if "accept_rate" in vrec:
-                    combined["vmc_accept_rate"] = vrec["accept_rate"]
-
-        # Full production estimator surface (the shipped
-        # examples/dmc_production.yml through the real Proc.exec
-        # driver path, incl. the pure deep-lag ITC).
-        prod = os.path.join(HERE, "benchmarks", "production_surface.py")
-        if remaining() > 150.0 and not args.quick \
-                and os.path.exists(prod):
-            pfinal, _ = _run_attempt(
-                ["--blocks", "8"],
-                timeout_s=max(90.0, min(remaining() - 30.0, 240.0)),
-                cmd=[sys.executable, prod])
-            if pfinal is not None and "value" in pfinal:
-                print(json.dumps(pfinal))
-                combined["production_surface_value"] = pfinal["value"]
-
-        print(json.dumps(combined))
-        return 0
-
-    # Attempt 1: the full requested configuration.  It gets the whole
-    # budget minus a 30 s epsilon: under a degraded relay the warmup
-    # cost is dominated by remote compiles / cached-executable LOADS
-    # (observed 10-45 s per load, minutes per cold compile), which a
-    # smaller second attempt pays ALL OVER AGAIN (different nts =
-    # different executable) — the per-block PARTIAL salvage is the
-    # real safety net, and letting the cold compile FINISH here is
-    # what populates the persistent cache for every later run.  The
-    # warm path completes in ~90 s, leaving the VMC stage its window;
-    # attempt 2 is only for fast-crash scenarios, which return the
-    # unused budget anyway.
-    full_args = passthrough + ["--nts", str(args.nts),
-                               "--blocks", str(args.blocks)]
-    final, partial = _run_attempt(
-        full_args, timeout_s=max(60.0, remaining() - 30.0))
-    if final is not None:
-        return finish(json.dumps(final))
-    if partial is not None:
-        # The attempt died mid-measurement but produced at least one
+    # Attempt 1: ONE all-stages child measuring DMC + VMC + est-on +
+    # production-surface sequentially on a single backend
+    # initialization (separate children paid ~60-70 s of axon startup
+    # EACH, which starved the later stages' windows).  It gets the
+    # whole budget minus a 30 s epsilon: under a degraded relay the
+    # warmup cost is dominated by remote compiles / cached-executable
+    # LOADS, and the per-block PARTIAL + per-stage STAGE salvage means
+    # a kill still leaves every finished measurement.  Everything
+    # folds into ONE final JSON object printed last (the driver
+    # records only the tail line — round-4 verdict item).
+    stage_args = passthrough + ["--all-stages",
+                                "--nts", str(args.nts),
+                                "--blocks", str(args.blocks),
+                                "--burn", str(args.burn)]
+    _, partial, stages = _run_attempt(
+        stage_args, timeout_s=max(60.0, remaining() - 30.0))
+    by_name = {}
+    for s in stages:
+        by_name[s.pop("stage")] = s
+    dmc = by_name.get("dmc")
+    if dmc is None and partial is not None:
+        # The child died mid-DMC but produced at least one
         # honestly-timed block at the full configuration.
-        return finish(result_line(metric, partial.pop("value"),
+        dmc = json.loads(result_line(metric, partial.pop("value"),
+                                     partial))
+
+    if dmc is None:
+        # Attempt 2: same physical configuration (same N, same
+        # ensemble - same steady-state rate), minimal timed work.
+        # Only reached when attempt 1 died without even one timed
+        # block.
+        if remaining() > 45.0 and not args.quick:
+            short_args = passthrough + ["--nts", "16", "--blocks", "1"]
+            final, partial, _ = _run_attempt(
+                short_args, timeout_s=max(30.0, remaining() - 15.0))
+            if final is not None:
+                print(json.dumps(final))
+                return 0
+            if partial is not None:
+                print(result_line(metric, partial.pop("value"),
                                   partial))
+                return 0
+        print("bench: no measurement could be completed within "
+              f"{TOTAL_BUDGET_S:.0f}s (backend unavailable?)",
+              file=sys.stderr)
+        return 1
 
-    # Attempt 2: same physical configuration (same N, same ensemble -
-    # same steady-state rate), minimal timed work.  Only reached when
-    # attempt 1 died without even one timed block.
-    if remaining() > 45.0 and not args.quick:
-        short_args = passthrough + ["--nts", "16", "--blocks", "1"]
-        final, partial = _run_attempt(
-            short_args, timeout_s=max(30.0, remaining() - 15.0))
-        if final is not None:
-            print(json.dumps(final))
-            return 0
-        if partial is not None:
-            print(result_line(metric, partial.pop("value"), partial))
-            return 0
-        # (no VMC stage on the fallback path: a backend that cannot
-        # complete attempt 1 will not produce a second measurement)
-
-    print("bench: no measurement could be completed within "
-          f"{TOTAL_BUDGET_S:.0f}s (backend unavailable?)",
-          file=sys.stderr)
-    return 1
+    combined = dict(dmc)
+    vmc = by_name.get("vmc")
+    if vmc is not None:
+        print(json.dumps(vmc))
+        combined["vmc_chain_steps_per_sec"] = vmc["value"]
+        combined["vmc_vs_baseline"] = vmc.get("vs_baseline")
+        if "accept_rate" in vmc:
+            combined["vmc_accept_rate"] = vmc["accept_rate"]
+    est = by_name.get("est_k8")
+    if est is not None:
+        print(json.dumps(est))
+        combined["estimators_on_k8_value"] = est["value"]
+    prod = by_name.get("production")
+    if prod is not None and prod.get("value") is not None:
+        print(json.dumps(prod))
+        combined["production_surface_value"] = prod["value"]
+    print(json.dumps(combined))
+    return 0
 
 
 def main():
@@ -549,6 +583,8 @@ def main():
                         help="measure the VMC (Metropolis) stage "
                              "instead of DMC (N=64, 16k chains, S(k) "
                              "on; BASELINE configs #1-#2)")
+    parser.add_argument("--all-stages", dest="all_stages",
+                        action="store_true", help=argparse.SUPPRESS)
     parser.add_argument("--child", action="store_true",
                         help=argparse.SUPPRESS)
     parser.add_argument("--no-subprocess", action="store_true",

@@ -44,31 +44,24 @@ class _RateCapture(logging.Handler):
             self.rates.append(float(m.group(1).replace(",", "")))
 
 
-def main():
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--blocks", type=int, default=12,
-                        help="timed blocks (512 steps each)")
-    parser.add_argument("--drop", action="append", default=[],
-                        choices=DROPPABLE, help="estimator specs to "
-                        "remove from the production surface (repeat)")
-    parser.add_argument("--bare", action="store_true",
-                        help="drop EVERY estimator spec")
-    parser.add_argument("--dry", action="store_true",
-                        help="tiny CPU smoke run (logic check only)")
-    args = parser.parse_args()
-
-    if args.dry:
+def measure(blocks: int = 12, drop=(), bare: bool = False,
+            dry: bool = False, enable_cache: bool = True) -> dict:
+    """Measure the production-surface throughput; returns the payload
+    dict (also importable by ``bench.py``'s all-stages child, which
+    shares one backend init across every perf stage)."""
+    if dry:
         import jax
         jax.config.update("jax_platforms", "cpu")
 
-    try:
-        from phd_qmclib_tpu.utils.compile_cache import \
-            enable_persistent_cache
-        enable_persistent_cache(
-            str(pathlib.Path(__file__).parents[1] / ".jax_cache"),
-            min_compile_time_secs=0.5)
-    except Exception:
-        pass
+    if enable_cache:
+        try:
+            from phd_qmclib_tpu.utils.compile_cache import \
+                enable_persistent_cache
+            enable_persistent_cache(
+                str(pathlib.Path(__file__).parents[1] / ".jax_cache"),
+                min_compile_time_secs=0.5)
+        except Exception:
+            pass
 
     from phd_qmclib_tpu.qmc_exec import dmc as dmc_exec
     from phd_qmclib_tpu.qmc_exec.config import Loader
@@ -79,10 +72,10 @@ def main():
         EXAMPLES / "dmc_production.yml")["app_spec"][0]["proc"])
     cfg.pop("checkpoint_file", None)
     cfg.pop("checkpoint_every", None)
-    drops = list(DROPPABLE) if args.bare else args.drop
+    drops = list(DROPPABLE) if bare else list(drop)
     for key in drops:
         cfg.pop(key, None)
-    if args.dry:
+    if dry:
         cfg.update(max_num_walkers=48, target_num_walkers=32,
                    num_time_steps_block=32, dtype="float64", est_every=4,
                    model_spec=dict(cfg["model_spec"], boson_number=5,
@@ -99,14 +92,14 @@ def main():
                                 **small) if key != "cm_diffusion_spec" \
                     and key != "itc_spec" else small
 
-    variant = "bare" if args.bare else (
+    variant = "bare" if bare else (
         "full-minus-" + "+".join(d.replace("_spec", "") for d in drops)
         if drops else "full")
 
     # CM-diffusion windows must tile the run exactly.
     cm_window = (cfg.get("cm_diffusion_spec") or {}).get(
         "window_blocks", 1)
-    timed_blocks = -(-args.blocks // cm_window) * cm_window
+    timed_blocks = -(-blocks // cm_window) * cm_window
 
     # Fresh walker ensemble once; both passes start from it.
     warm_proc = dmc_exec.Proc.from_config(
@@ -127,12 +120,28 @@ def main():
     wall_s = time.perf_counter() - t0
     exec_logger.removeHandler(capture)
 
-    print(json.dumps({
+    return {
         "metric": "dmc_production_surface", "variant": variant,
         "value": capture.rates[-1] if capture.rates else None,
         "unit": "walker-steps/s", "blocks": timed_blocks,
         "block_rates_cumulative": capture.rates,
-        "warm_s": round(warm_s, 1), "wall_s": round(wall_s, 1)}))
+        "warm_s": round(warm_s, 1), "wall_s": round(wall_s, 1)}
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--blocks", type=int, default=12,
+                        help="timed blocks (512 steps each)")
+    parser.add_argument("--drop", action="append", default=[],
+                        choices=DROPPABLE, help="estimator specs to "
+                        "remove from the production surface (repeat)")
+    parser.add_argument("--bare", action="store_true",
+                        help="drop EVERY estimator spec")
+    parser.add_argument("--dry", action="store_true",
+                        help="tiny CPU smoke run (logic check only)")
+    args = parser.parse_args()
+    print(json.dumps(measure(blocks=args.blocks, drop=args.drop,
+                             bare=args.bare, dry=args.dry)))
 
 
 if __name__ == "__main__":

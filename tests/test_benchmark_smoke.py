@@ -100,3 +100,45 @@ def test_eos_sound_speed_four_way_smoke():
     # Amplitude bookkeeping: the hybrid used the pure companion.
     s_pure = np.asarray(closure["s_pure"], dtype=float)
     assert s_pure.shape == (6,) and (s_pure[1:] > 0).all()
+
+
+@pytest.mark.slow
+def test_itc_spectrum_tg_pure_deep_smoke():
+    """The round-5 TG closure knobs: --tg-mult stretches the lag unit
+    and --pure swaps in the forward-walked estimator — both must run
+    the whole analysis pipeline end to end."""
+    rows = _run_main("itc_spectrum",
+                     ["--tg", "--walkers", "128", "--blocks", "8",
+                      "--tg-mult", "2", "--pure"])
+    (payload,) = rows
+    assert payload["mode"] == "tg"
+    m = np.asarray(payload["static_m_minus1_measured"], dtype=float)
+    assert np.isnan(m[0]) and np.isfinite(m[1:]).any()
+
+
+@pytest.mark.slow
+def test_production_surface_dry_smoke():
+    rows = _run_main("production_surface", ["--dry", "--blocks", "2"])
+    (payload,) = rows
+    assert payload["metric"] == "dmc_production_surface"
+    assert payload["variant"] == "full"
+    assert payload["value"] and payload["value"] > 0
+
+
+@pytest.mark.slow
+def test_estimator_budget_quick_smoke():
+    rows = _run_main("estimator_budget", ["--quick"])
+    (payload,) = rows
+    assert payload["metric"] == "estimator_budget_k1"
+    assert set(payload["rows"]) >= {"bare", "density+ssf_pure"}
+    assert "cross_term_ms" in payload["budget"]
+
+
+@pytest.mark.slow
+def test_fs_sweep_dry_smoke(tmp_path):
+    rows = _run_main("fs_sweep",
+                     ["--dry", "--out", str(tmp_path / "fs.h5")])
+    (payload,) = rows
+    assert payload["metric"] == "fs_fit"
+    assert payload["num_points"] == 3
+    assert np.isfinite(payload["e0"])
