@@ -37,8 +37,14 @@ import time
 
 
 def measure(nop, target, max_w, nts, timed_blocks, est_every,
-            density=None, ssf=None, seed=1):
-    """One variant's steady-state rate; returns (ws/s, ms/step)."""
+            density=None, ssf=None, seed=1, rounds=1):
+    """One variant's steady-state rate; returns (ws/s, ms/step).
+
+    ``rounds`` re-times the same stream ``rounds`` times and keeps the
+    FASTEST round: the axon relay's cached-executable loads and
+    transfer hiccups only ever ADD time, so the minimum is the honest
+    steady-state reading (same discipline as the round-3 step-budget
+    ablation)."""
     import jax
     import numpy as np
 
@@ -65,25 +71,32 @@ def measure(nop, target, max_w, nts, timed_blocks, est_every,
     state = sampling.build_state(confs, dtype=np.float32)
     blocks = sampling.blocks(state, num_time_steps_block=nts,
                              burn_in_blocks=0)
-    block = next(blocks)          # compile + warm
-    float(np.asarray(block.iter_props.num_walkers[-1]))
-    t0 = time.perf_counter()
-    total = 0.0
-    steps = 0
-    for _ in range(timed_blocks):
+    for _ in range(2):            # compile/load + warm
         block = next(blocks)
-        # Fetch estimator sums too — keeps every output observably
-        # live (a scalar each; negligible transfer).
-        nw = np.asarray(block.iter_props.num_walkers,
-                        dtype=np.float64)
-        if block.iter_density is not None:
-            float(np.asarray(block.iter_density[-1]).sum())
-        if block.iter_ssf is not None:
-            float(np.asarray(block.iter_ssf[-1]).sum())
-        total += float(nw.sum())
-        steps += nts
-    elapsed = time.perf_counter() - t0
-    return total / elapsed, 1e3 * elapsed / steps
+    float(np.asarray(block.iter_props.num_walkers[-1]))
+
+    best_rate, best_ms = 0.0, float("inf")
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        total = 0.0
+        steps = 0
+        for _ in range(timed_blocks):
+            block = next(blocks)
+            # Fetch estimator sums too — keeps every output observably
+            # live (a scalar each; negligible transfer).
+            nw = np.asarray(block.iter_props.num_walkers,
+                            dtype=np.float64)
+            if block.iter_density is not None:
+                float(np.asarray(block.iter_density[-1]).sum())
+            if block.iter_ssf is not None:
+                float(np.asarray(block.iter_ssf[-1]).sum())
+            total += float(nw.sum())
+            steps += nts
+        elapsed = time.perf_counter() - t0
+        rate, ms = total / elapsed, 1e3 * elapsed / steps
+        if rate > best_rate:
+            best_rate, best_ms = rate, ms
+    return best_rate, best_ms
 
 
 def main():
@@ -108,7 +121,7 @@ def main():
                       timed_blocks=2)
     else:
         shapes = dict(nop=128, target=16384, max_w=17408, nts=512,
-                      timed_blocks=args.blocks)
+                      timed_blocks=args.blocks, rounds=3)
 
     variants = [
         ("bare", dict(est_every=1)),
