@@ -207,13 +207,21 @@ def pure_ssf(v0, gn, nop, walkers, nts, blocks, dt, num_modes,
 
 def lattice_run(v0, gn, nop, walkers, nts, blocks, dt, est_every,
                 num_modes, num_lags, itc_mult, pfw_blocks, cm_blocks,
-                rm, burn, seed=7):
+                rm, burn, seed=7, pure_itc=False):
     """ONE deep-lattice run measuring the three ingredients of the
     lattice phonon-speed closure together: the imaginary-time
-    correlation F(k, tau) (mixed, deep lags), the PURE forward-walked
-    S(k) (``pfw_blocks``-block windows), and the CM-diffusion phase
-    stiffness (``cm_blocks``-block windows).  ``blocks`` must be a
-    common multiple of both window lengths so every window closes.
+    correlation F(k, tau) (mixed by default, deep lags), the PURE
+    forward-walked S(k) (``pfw_blocks``-block windows), and the
+    CM-diffusion phase stiffness (``cm_blocks``-block windows).
+    ``blocks`` must be a common multiple of both window lengths so
+    every window closes.
+
+    ``pure_itc=True`` swaps in the forward-walked ITC (accumulating
+    across the same ``pfw_blocks``-block windows as the pure S(k), one
+    statistics sample per window): at v0 > 0 the trial function is NOT
+    exact, so pure-vs-hybrid is a REAL A/B — the natively-pure
+    amplitude must agree with the mixed amplitude re-anchored to the
+    pure S(k) (two independent bias-elimination routes).
 
     Physics: in a lattice, Galilean invariance is broken and the
     Luttinger relation ``c^2 = v_J v_N`` splits the sound speed into
@@ -245,7 +253,11 @@ def lattice_run(v0, gn, nop, walkers, nts, blocks, dt, est_every,
                                     pfw_num_time_steps=pfw_blocks * nts),
         itc_est_spec=dmc.ITCEstSpec(num_modes=num_modes,
                                     num_lags=num_lags,
-                                    est_every_mult=itc_mult),
+                                    est_every_mult=itc_mult,
+                                    as_pure_est=pure_itc,
+                                    pfw_num_time_steps=(
+                                        pfw_blocks * nts if pure_itc
+                                        else None)),
         cm_diffusion_est=True, cm_window_blocks=cm_blocks)
     rng = np.random.default_rng(1)
     confs = np.stack([
@@ -261,10 +273,20 @@ def lattice_run(v0, gn, nop, walkers, nts, blocks, dt, est_every,
     cmds, nws = [], []
     for i in range(blocks):
         b = next(it)
-        sums_b.append(np.asarray(b.iter_itc, dtype=np.float64)
-                      .sum(axis=0))
-        counts_b.append(np.asarray(b.iter_itc_nw,
-                                   dtype=np.float64).sum(axis=0))
+        if pure_itc:
+            # One window sample per closed pfw window (the
+            # end-of-window value; interior blocks hold partial,
+            # under-projected accumulations).
+            if not (i + 1) % pfw_blocks:
+                sums_b.append(
+                    np.asarray(b.iter_itc, dtype=np.float64)[-1])
+                counts_b.append(
+                    np.asarray(b.iter_itc_nw, dtype=np.float64)[-1])
+        else:
+            sums_b.append(np.asarray(b.iter_itc, dtype=np.float64)
+                          .sum(axis=0))
+            counts_b.append(np.asarray(b.iter_itc_nw,
+                                       dtype=np.float64).sum(axis=0))
         nw_steps = np.asarray(b.iter_props.num_walkers,
                               dtype=np.float64)
         cmds.append(np.asarray(b.iter_cmd, dtype=np.float64))
@@ -354,14 +376,18 @@ def main():
                           itc_mult=args.lat_mult,
                           pfw_blocks=args.lat_pfw_blocks,
                           cm_blocks=args.lat_cm_blocks, rm=0.3,
-                          burn=args.lat_burn)
+                          burn=args.lat_burn, pure_itc=args.pure)
         itcb = itc_blocks(out)
         kz = out["k"]
         s_pure, s_pure_err = out["s_pure"], out["s_pure_err"]
         stiff, stiff_err = out["stiffness"], out["stiffness_err"]
         fit, fit_err = itcb.excitation_fit()
         spec = itcb.spectral_function(num_omega=96)
-        sr = itcb.static_response(ssf=s_pure, ssf_err=s_pure_err)
+        # Mixed ITC: re-anchor the amplitude to the same run's pure
+        # S(k) (hybrid).  Pure ITC: the amplitude is already pure —
+        # no rescale, making pure-vs-hybrid a genuine two-route A/B.
+        sr = itcb.static_response() if args.pure else \
+            itcb.static_response(ssf=s_pure, ssf_err=s_pure_err)
         with np.errstate(invalid="ignore", divide="ignore"):
             c_tail = fit / kz
             c_tail_err = fit_err / kz
@@ -427,6 +453,7 @@ def main():
         k_thermo = v_f * np.sqrt(stiff * sr["m_minus1"][1])
         print(json.dumps({
             "mode": "lattice", "v0": args.v0, "gn": args.gn,
+            "itc_pure": bool(args.pure),
             "density": n, "tau_max": float(itcb.tau_grid[-1]),
             "stiffness_m_over_mstar": stiff,
             "stiffness_err": stiff_err,
