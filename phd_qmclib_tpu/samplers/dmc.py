@@ -842,6 +842,74 @@ class Sampling:
         with jax.set_mesh(self.mesh):
             return self._rebalance_fn(state)
 
+    def adapt_state_shards(self, state: State) -> State:
+        """Re-layout a State saved under a DIFFERENT shard count.
+
+        A state checkpointed by a sharded run (or a meshed fused
+        sweep) stores per-shard walker prefixes and a
+        ``(num_shards,)`` count vector; resuming it under a sampling
+        with a different shard count (e.g. a meshed-sweep row resumed
+        standalone, or a single-device checkpoint resumed onto a
+        mesh) would otherwise broadcast-mismatch in the comb.  The
+        valid walkers compact in slot order and redistribute into
+        THIS sampling's per-shard prefixes, carrying every per-walker
+        buffer (positions, drift, energies, weights, the CM
+        accumulator and the ITC ring buffer) — values preserved, not
+        recomputed, so the physics continues from the saved ensemble
+        exactly (the RNG stream is per-shard, so trajectories after
+        the re-layout are statistically, not bit-, identical to the
+        uninterrupted run's).  No-op when the layouts already match.
+        """
+        src_counts = np.asarray(state.num_walkers,
+                                dtype=np.int64).ravel()
+        if src_counts.size == self.num_shards:
+            return state
+        max_w = state.max_num_walkers
+        if max_w != self.max_num_walkers or \
+                max_w % src_counts.size or max_w % self.num_shards:
+            raise ValueError(
+                f"cannot re-layout a {src_counts.size}-shard state of "
+                f"{max_w} slots onto {self.num_shards} shards of "
+                f"{self.max_num_walkers}")
+        src_size = max_w // src_counts.size
+        valid_idx = np.concatenate(
+            [np.arange(s * src_size, s * src_size + c)
+             for s, c in enumerate(src_counts)]).astype(np.int64)
+        num = valid_idx.size
+        num_shards = self.num_shards
+        shard_size = max_w // num_shards
+        per_shard = -(-num // num_shards)  # ceil, like build_state
+        dest_idx = []
+        counts = np.zeros(num_shards, dtype=np.int32)
+        taken = 0
+        for s in range(num_shards):
+            chunk = min(per_shard, num - taken, shard_size)
+            dest_idx.append(np.arange(s * shard_size,
+                                      s * shard_size + chunk))
+            counts[s] = chunk
+            taken += chunk
+        dest_idx = np.concatenate(dest_idx).astype(np.int64)
+        valid_idx = valid_idx[:dest_idx.size]
+
+        def relayout(buf):
+            if buf is None:
+                return None
+            arr = np.asarray(buf)
+            out = np.zeros_like(arr)
+            out[dest_idx] = arr[valid_idx]
+            return jnp.asarray(out)
+
+        masks = np.ones(max_w, dtype=bool)
+        masks[dest_idx] = False
+        return state._replace(
+            pos=relayout(state.pos), drift=relayout(state.drift),
+            energies=relayout(state.energies),
+            weights=relayout(state.weights),
+            masks=jnp.asarray(masks),
+            num_walkers=jnp.asarray(counts, dtype=jnp.int32),
+            cmd_accum=relayout(state.cmd_accum),
+            itc_buf=relayout(state.itc_buf))
+
     # -- the compiled step/block kernels ------------------------------------
 
     def make_step_fn(self, axis_name: t.Optional[str] = None,
@@ -1632,6 +1700,12 @@ class Sampling:
         base_key = jax.random.PRNGKey(self.rng_seed)
         state = ini_state
         dtype = ini_state.pos.dtype
+        if np.asarray(state.num_walkers).size != self.num_shards:
+            # A state saved under a different shard layout (meshed
+            # fused-sweep row resumed standalone, single-device
+            # checkpoint resumed onto a mesh): redistribute the valid
+            # walkers into this sampling's per-shard prefixes.
+            state = self.adapt_state_shards(state)
         if self.cm_diffusion_est and state.cmd_accum is None:
             # A state built/loaded without the CM accumulator (e.g. a
             # checkpoint of a plain run restored into a cm_diffusion

@@ -142,10 +142,16 @@ def test_block_fn_compiles_once():
                       for _ in range(48)])
     state = sampling.build_state(confs)
     blocks = sampling.blocks(state, num_time_steps_block=4)
-    for _ in range(4):
-        next(blocks)
+    next(blocks)
     block_fn = sampling._block_fn_measure
-    assert block_fn._cache_size() == 1
+    # Delta-based: the shared-trace cache may already hold entries for
+    # OTHER block lengths from equal-hashing samplings earlier in the
+    # session (num_time_steps_block is a static argname) — the guard
+    # is that further iteration adds NO new trace.
+    size_after_first = block_fn._cache_size()
+    for _ in range(3):
+        next(blocks)
+    assert block_fn._cache_size() == size_after_first
 
 
 def test_checkpoint_restore_with_cm_diffusion(tmp_path, monkeypatch):
