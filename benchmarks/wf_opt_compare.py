@@ -22,6 +22,12 @@ def main():
     parser.add_argument("--chains", type=int, default=4096)
     parser.add_argument("--rm0", type=float, default=0.2)
     parser.add_argument("--equil-steps", type=int, default=512)
+    parser.add_argument("--joint", action="store_true",
+                        help="also run the JOINT 2-parameter "
+                        "optimization (rm + trial-orbital depth, "
+                        "round 5 — the reference caps at one knob) "
+                        "and A/B the optimized trials by honest VMC "
+                        "re-runs at each spec")
     args = parser.parse_args()
 
     from phd_qmclib_tpu import wf_opt
@@ -36,11 +42,21 @@ def main():
     sampling = vmc.Sampling(spec, move_spread=0.12, rng_seed=11,
                             num_walkers=args.chains)
     rng = np.random.default_rng(5)
-    confs0 = np.stack([spec.init_get_sys_conf(rng=rng)
-                       for _ in range(args.chains)])
+    # Crystal-like start (one boson per well, random lattice offsets):
+    # local Metropolis moves relax the long-wavelength density far too
+    # slowly from a uniform-random start at this box size — an
+    # under-equilibrated ensemble feeds the optimizer a wrong measure
+    # AND breaks the variational bound on the readback energies (the
+    # mean local energy is only a bound at equilibrium; a chip run
+    # from the random start read E/N BELOW the DMC ground state).
+    confs0 = np.stack([
+        spec.init_get_sys_conf(dist_type=mrbp.DIST_REGULAR,
+                               offset=rng.uniform(0, nop))
+        for _ in range(args.chains)])
     state = sampling.build_state(confs0)
     it = sampling.blocks(args.equil_steps, state)
-    block = next(it)  # equilibrate
+    for _ in range(2):
+        block = next(it)  # equilibrate (2 blocks)
     print(f"# VMC equilibration: accept {block.accept_rate:.3f}, "
           f"E/N = {float(np.mean(np.asarray(block.iter_props.energy[-64:])))/nop:.5f}")
     pos_set = np.asarray(block.last_state.pos)
@@ -83,6 +99,55 @@ def main():
     print(f"# speedup {t_de / t_gr:.1f}x, "
           f"d(rm) = {abs(rm_de - rm_gr):.2e}, "
           f"d(var)/var = {abs(var_de - var_gr) / var_de:.2e}")
+
+    if not args.joint:
+        return
+
+    # Joint 2-parameter optimization (rm + trial-orbital depth): the
+    # variational payoff of the second knob, judged the honest way —
+    # fresh VMC runs at each optimized spec (the orbital depth is a
+    # params-pytree leaf, so every candidate reuses ONE compiled
+    # sampler executable).
+    opt2 = wf_opt.GradCSWFOptimizer(spec, pos_set, lp_set,
+                                    opt_obf_lattice_depth=True)
+    t0 = time.perf_counter()
+    spec_joint = opt2.exec()
+    t_joint = time.perf_counter() - t0
+    rm_j = float(spec_joint.tbf_contact_cutoff)
+    v0b_j = float(spec_joint.obf_lattice_depth)
+    var_j = opt2.principal_function([rm_j, v0b_j])
+    print(json.dumps({"method": "grad_joint", "rm_opt": rm_j,
+                      "obf_lattice_depth_opt": v0b_j,
+                      "physical_v0": float(spec.lattice_depth),
+                      "variance": var_j, "wall_s": t_joint}))
+
+    def vmc_energy(sp, seed=13):
+        s2 = vmc.Sampling(sp, move_spread=0.12, rng_seed=seed,
+                          num_walkers=args.chains)
+        st = s2.build_state(confs0)
+        it2 = s2.blocks(args.equil_steps, st)
+        for _ in range(2):
+            next(it2)                # equilibrate at THIS trial
+        b = next(it2)                # measure
+        e = np.asarray(b.iter_props.energy, dtype=np.float64) / nop
+        chain_means = e.mean(axis=0)
+        return float(chain_means.mean()), \
+            float(chain_means.std() / np.sqrt(chain_means.size)), \
+            float(np.asarray(b.accept_rate))
+
+    rows = {}
+    for name, sp in (("initial", spec),
+                     ("rm_only", spec.evolve(tbf_contact_cutoff=rm_gr)),
+                     ("joint", spec_joint)):
+        e, err, acc = vmc_energy(sp)
+        rows[name] = {"e_per_n": e, "err": err, "accept": acc}
+        print(json.dumps({"vmc_at": name, "e_per_n": e, "err": err,
+                          "accept": acc}))
+    gain = rows["rm_only"]["e_per_n"] - rows["joint"]["e_per_n"]
+    sig = gain / np.hypot(rows["rm_only"]["err"], rows["joint"]["err"])
+    print(json.dumps({"metric": "joint_vs_rm_only_energy_gain",
+                      "delta_e_per_n": gain, "sigma": float(sig),
+                      "variance_ratio": var_j / var_gr}))
 
 
 if __name__ == "__main__":

@@ -226,11 +226,17 @@ class GradCSWFOptimizer(CSWFOptimizer):
             grid = jnp.linspace(lo, hi, self.num_grid,
                                 dtype=dtype)[:, None]
         else:
-            # Joint (rm, orbital v0): a coarse 2-D grid in ONE vmapped
+            # Joint (rm, orbital v0): a 2-D grid in ONE vmapped
             # dispatch replaces DE's population for the global view.
-            per_axis = max(8, int(round(np.sqrt(self.num_grid))) * 2)
-            axes = [jnp.linspace(lo, hi, per_axis, dtype=dtype)
-                    for lo, hi in bounds]
+            # The rm axis keeps the FULL 1-D resolution — its bounds
+            # span half the box, and a coarse rm grid can drop the
+            # polish into a worse basin than the 1-D path finds
+            # (observed on chip at N=128); the orbital-depth axis is
+            # smooth and unimodal around the physical depth, so 16
+            # points suffice.
+            axes = [jnp.linspace(*bounds[0], self.num_grid,
+                                 dtype=dtype),
+                    jnp.linspace(*bounds[1], 16, dtype=dtype)]
             grid = jnp.stack([g.ravel() for g in
                               jnp.meshgrid(*axes, indexing="ij")],
                              axis=-1)

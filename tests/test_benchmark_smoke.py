@@ -142,3 +142,16 @@ def test_fs_sweep_dry_smoke(tmp_path):
     assert payload["metric"] == "fs_fit"
     assert payload["num_points"] == 3
     assert np.isfinite(payload["e0"])
+
+
+@pytest.mark.slow
+def test_wf_opt_compare_joint_smoke():
+    rows = _run_main("wf_opt_compare",
+                     ["--nop", "8", "--chains", "64",
+                      "--equil-steps", "32", "--joint"])
+    names = {r.get("method") or r.get("vmc_at") or r.get("metric")
+             for r in rows}
+    assert "grad_joint" in names
+    assert "joint_vs_rm_only_energy_gain" in names
+    joint = next(r for r in rows if r.get("method") == "grad_joint")
+    assert joint["obf_lattice_depth_opt"] > 0
