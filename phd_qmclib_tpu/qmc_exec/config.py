@@ -82,6 +82,17 @@ class Loader:
             if handler["type"] in self.io_file_handler_types:
                 location = handler["location"]
                 handler["location"] = str(config_path / location)
+        # The mid-run checkpoint file (a phd-qmclib-tpu extension)
+        # resolves the same way as the IO handlers — a relative
+        # ``checkpoint_file`` previously landed in the process CWD
+        # while the output went next to the config, splitting one
+        # run's files across two directories.
+        proc = app_spec_config.get("proc")
+        if isinstance(proc, t.MutableMapping) \
+                and proc.get("checkpoint_file"):
+            ckpt = pathlib.Path(proc["checkpoint_file"])
+            if not ckpt.is_absolute():
+                proc["checkpoint_file"] = str(config_path / ckpt)
 
 
 @dataclass(frozen=True)

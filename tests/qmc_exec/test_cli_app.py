@@ -201,3 +201,49 @@ class TestTemplate:
                                template_name="t", config_filename="c"))
         data = yaml.safe_load(text)
         assert data["app_spec"][0]["proc_output"]["location"] == "./c.h5"
+
+
+def test_loader_resolves_checkpoint_file_config_relative(tmp_path):
+    """Relative IO locations resolve against the config file's
+    directory (reference behavior, ``qmc_exec/config.py:78-108``);
+    the mid-run ``checkpoint_file`` — an extension — must resolve the
+    SAME way, or one run's files split across two directories (found
+    by the round-5 production chip run: output landed next to the
+    config, the 305 MB checkpoint in the process CWD)."""
+    import yaml
+
+    from phd_qmclib_tpu.qmc_exec.config import Loader
+
+    cfg = {
+        "app_spec": [{
+            "proc": {
+                "model_spec": {
+                    "lattice_depth": 0.0, "lattice_ratio": 1.0,
+                    "interaction_strength": 1.0, "boson_number": 5,
+                    "supercell_size": 5.0, "tbf_contact_cutoff": 0.3,
+                },
+                "time_step": 1e-3, "max_num_walkers": 48,
+                "target_num_walkers": 32, "num_blocks": 2,
+                "num_time_steps_block": 8,
+                "checkpoint_file": "run.ckpt.h5",
+            },
+            "proc_input": {"type": "MODEL_SYS_CONF",
+                           "dist_type": "RANDOM"},
+            "proc_output": {"type": "HDF5_FILE",
+                            "location": "run.h5", "group": "g"},
+        }],
+    }
+    sub = tmp_path / "configs"
+    sub.mkdir()
+    path = sub / "app.yml"
+    path.write_text(yaml.safe_dump(cfg))
+    loaded = Loader().load(path)
+    spec = loaded["app_spec"][0]
+    assert spec["proc_output"]["location"] == str(sub / "run.h5")
+    assert spec["proc"]["checkpoint_file"] == str(sub / "run.ckpt.h5")
+    # Absolute paths pass through untouched.
+    cfg["app_spec"][0]["proc"]["checkpoint_file"] = "/abs/c.h5"
+    path.write_text(yaml.safe_dump(cfg))
+    loaded = Loader().load(path)
+    assert loaded["app_spec"][0]["proc"]["checkpoint_file"] \
+        == "/abs/c.h5"
