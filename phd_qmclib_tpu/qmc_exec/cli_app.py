@@ -246,12 +246,19 @@ class CLIApp:
     procedures advance as ONE fused device dispatch per block
     (:class:`~phd_qmclib_tpu.qmc_exec.sweep.SweepProc`) instead of
     serially — each still dumps to its own output file, bit-identical
-    to its sequential result.  No reference analog (its multi-proc
-    configs always run serially)."""
+    to its sequential result.  ``fused_sweep_mesh: [R, W]`` (DMC only)
+    additionally shards the fused sweep over a 2-D (sweep, walkers)
+    device mesh — R rows with walkers sharded over W devices each,
+    the DCN-scalable production layout; every row stays bit-identical
+    to its standalone run on a same-size 1-D walker mesh.  No
+    reference analog (its multi-proc configs always run serially)."""
     meta: AppMeta
     app_spec: t.Sequence[AppSpec]
     fused_sweep: bool = False
     sampling_type: str = "dmc"
+    #: Optional (rows, walker-devices) shape for a 2-D meshed fused
+    #: sweep; ``None`` = single-device vmap fusion.
+    fused_sweep_mesh: t.Optional[t.Tuple[int, int]] = None
 
     @classmethod
     def from_config(cls, config: t.Mapping, sampling_type: str):
@@ -261,6 +268,25 @@ class CLIApp:
         if fused_sweep and sampling_type not in ("dmc", "vmc"):
             raise ValueError("fused_sweep supports DMC and VMC "
                              "procedures only")
+        mesh_shape = self_config.pop("fused_sweep_mesh", None)
+        if mesh_shape is not None:
+            if not fused_sweep:
+                raise ValueError(
+                    "fused_sweep_mesh needs fused_sweep: true")
+            if sampling_type != "dmc":
+                raise ValueError(
+                    "fused_sweep_mesh supports DMC procedures only")
+            try:
+                rows, walker_devs = (int(mesh_shape[0]),
+                                     int(mesh_shape[1]))
+            except (TypeError, KeyError, IndexError, ValueError):
+                raise ValueError(
+                    "fused_sweep_mesh must be a [rows, "
+                    "walker_devices] pair") from None
+            if rows < 1 or walker_devs < 1:
+                raise ValueError(
+                    "fused_sweep_mesh entries must be positive")
+            mesh_shape = (rows, walker_devs)
         app_spec_data = self_config.pop("app_spec")
         app_spec_set = []
         for proc_num, app_spec_config in enumerate(app_spec_data):
@@ -280,19 +306,44 @@ class CLIApp:
                 AppSpec.from_config(app_spec_config, sampling_type))
         return cls(meta=app_meta, app_spec=app_spec_set,
                    fused_sweep=fused_sweep,
-                   sampling_type=sampling_type)
+                   sampling_type=sampling_type,
+                   fused_sweep_mesh=mesh_shape)
 
     def _exec_fused(self):
         from .sweep import SweepProc, VmcSweepProc
 
         sweep_cls = VmcSweepProc if self.sampling_type == "vmc" \
             else SweepProc
+        mesh = None
+        if self.fused_sweep_mesh is not None:
+            import jax
+
+            rows, walker_devs = self.fused_sweep_mesh
+            if rows != len(self.app_spec):
+                raise ValueError(
+                    f"fused_sweep_mesh rows ({rows}) must equal the "
+                    f"number of procedures ({len(self.app_spec)})")
+            need = rows * walker_devs
+            devices = jax.devices()
+            if len(devices) < need:
+                raise ValueError(
+                    f"fused_sweep_mesh {rows}x{walker_devs} needs "
+                    f"{need} devices; {len(devices)} visible")
+            mesh = jax.make_mesh((rows, walker_devs),
+                                 ("sweep", "walkers"),
+                                 devices=devices[:need])
         exec_logger.info(
             f"Executing {len(self.app_spec)} "
             f"{self.sampling_type.upper()} procedures as one fused "
-            f"sweep...")
+            f"sweep..." + (f" (2-D {self.fused_sweep_mesh[0]}x"
+                           f"{self.fused_sweep_mesh[1]} mesh)"
+                           if mesh is not None else ""))
         pairs = [spec.build_input() for spec in self.app_spec]
-        sweep_proc = sweep_cls(tuple(proc for proc, _ in pairs))
+        if mesh is None:
+            sweep_proc = sweep_cls(tuple(proc for proc, _ in pairs))
+        else:
+            sweep_proc = sweep_cls(tuple(proc for proc, _ in pairs),
+                                   mesh=mesh)
         results = sweep_proc.exec([pi for _, pi in pairs])
         for spec, result in zip(self.app_spec, results):
             spec.proc_output.dump(result)

@@ -142,3 +142,53 @@ def test_vmc_fused_sweep_config_matches_sequential(tmp_path):
             np.testing.assert_allclose(
                 np.asarray(ff["vmc/vmc/state/sys_conf"]),
                 np.asarray(sf["vmc/vmc/state/sys_conf"]), rtol=1e-12)
+
+
+@pytest.mark.slow
+def test_fused_sweep_mesh_config(tmp_path):
+    """``fused_sweep_mesh: [R, W]``: the YAML-reachable 2-D meshed
+    fused sweep.  Each row's output must match its standalone run on a
+    same-size 1-D walker mesh bit-exactly (the sampler-level
+    guarantee, here through the whole config/CLI/IO stack)."""
+    from phd_qmclib_tpu.qmc_exec import dmc as dmc_exec
+
+    mesh_cfg, mesh_dir = _config(tmp_path, True, "meshed")
+    spec = yaml.safe_load(mesh_cfg.read_text())
+    spec["fused_sweep_mesh"] = [2, 2]
+    mesh_cfg.write_text(yaml.safe_dump(spec))
+
+    app = cli_app.CLIApp.from_config(Loader().load(mesh_cfg), "dmc")
+    assert app.fused_sweep_mesh == (2, 2)
+    app.exec()
+
+    # Standalone reference per row: same config on a 2-device walker
+    # mesh (same seed -> same confs -> bit-identical trajectories).
+    for i, row_cfg in enumerate(spec["app_spec"]):
+        proc = dmc_exec.Proc.from_config(
+            dict(row_cfg["proc"], num_mesh_devices=2))
+        res = proc.exec(dmc_exec.ProcInput.from_model_sys_conf_spec(
+            dmc_exec.ModelSysConfSpec(dist_type="RANDOM"), proc))
+        with h5py.File(mesh_dir / f"row{i}.h5", "r") as ff:
+            np.testing.assert_array_equal(
+                np.asarray(ff["dmc/dmc/data/blocks/energy/totals"]),
+                res.data.blocks.energy.totals,
+                err_msg=f"meshed CLI row {i} diverged from standalone")
+
+
+def test_fused_sweep_mesh_validation(tmp_path):
+    cfg, _ = _config(tmp_path, False, "badmesh")
+    spec = yaml.safe_load(cfg.read_text())
+    spec["fused_sweep_mesh"] = [2, 2]
+    cfg.write_text(yaml.safe_dump(spec))
+    with pytest.raises(ValueError, match="fused_sweep: true"):
+        cli_app.CLIApp.from_config(Loader().load(cfg), "dmc")
+    spec["fused_sweep"] = True
+    spec["fused_sweep_mesh"] = [3]
+    cfg.write_text(yaml.safe_dump(spec))
+    with pytest.raises(ValueError, match="rows, walker_devices"):
+        cli_app.CLIApp.from_config(Loader().load(cfg), "dmc")
+    spec["fused_sweep_mesh"] = [3, 2]   # rows != procedures
+    cfg.write_text(yaml.safe_dump(spec))
+    app = cli_app.CLIApp.from_config(Loader().load(cfg), "dmc")
+    with pytest.raises(ValueError, match="must equal the number"):
+        app.exec()
