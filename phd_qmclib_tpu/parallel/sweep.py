@@ -274,8 +274,13 @@ class ParamSweep:
                     for name, shape in aux_shapes.items()}
 
         if aux_init is not None:
-            aux = {name: jnp.asarray(aux_init[name], dtype=dtype)
-                   for name in aux_shapes}
+            # Names absent from the carry start fresh (light
+            # checkpoints drop the ITC aux pair).
+            aux = {name: (jnp.asarray(aux_init[name], dtype=dtype)
+                          if name in aux_init
+                          else jnp.zeros((self.num_rows,) + shape,
+                                         dtype=dtype))
+                   for name, shape in aux_shapes.items()}
         else:
             aux = _fresh_aux()
         fold = jax.vmap(jax.random.fold_in, in_axes=(0, None))

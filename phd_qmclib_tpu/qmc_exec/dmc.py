@@ -135,6 +135,17 @@ class Proc(proc_base.Proc):
     #: this hook, ``qmc_exec/proc.py:127-129``).
     checkpoint_file: t.Optional[str] = None
     checkpoint_every: int = 16
+    #: Light checkpoints: skip the imaginary-time-correlation ring
+    #: buffer and its pure-estimator accumulators — at the shipped
+    #: production config these dominate the checkpoint (285 MB of
+    #: buffer vs ~20 MB of everything else; the round-5 chip run
+    #: measured checkpoint writes costing ~half the driver
+    #: throughput).  A resume then restarts the ITC lag fill (the lag
+    #: counts discount refills BY CONSTRUCTION, and the pure sums and
+    #: counts zero together so the ratio-of-means stays unbiased —
+    #: only pre-checkpoint in-buffer statistics are lost).  Everything
+    #: else resumes bit-exactly.
+    checkpoint_light: bool = False
     #: Estimator measurement cadence: evaluate density/S(k)/OBDM only
     #: every K-th time step (see ``Sampling.est_every`` — the dynamics
     #: and pure-estimator ancestry transport advance every step; the
@@ -560,6 +571,16 @@ class Proc(proc_base.Proc):
                                             group="checkpoint",
                                             dump_replace=True)
         config = self.as_config()
+        if self.checkpoint_light and state.itc_buf is not None:
+            # Drop the ITC ring buffer + its forward-walking aux: the
+            # resume restarts the lag fill (discounted by the counts,
+            # bias-free) instead of hauling hundreds of MB per
+            # checkpoint.  The paired sums/counts aux must drop
+            # TOGETHER so the window sample's ratio stays unbiased.
+            state = state._replace(itc_buf=None, itc_filled=None)
+            if aux is not None:
+                aux = {name: arr for name, arr in aux.items()
+                       if name not in ("aux_itc", "aux_itc_cnt")}
         tmp_path = f"{self.checkpoint_file}.tmp"
         with h5py.File(tmp_path, "w") as fp:
             handler.save_state(state, fp.require_group(

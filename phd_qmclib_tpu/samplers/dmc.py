@@ -1752,8 +1752,13 @@ class Sampling:
 
         if pfw_window > 1:
             if aux_init is not None:
-                aux = {name: jnp.asarray(aux_init[name], dtype=dtype)
-                       for name in aux_shapes}
+                # Names absent from the carry start fresh (a LIGHT
+                # checkpoint drops the ITC aux pair; the zeroed
+                # sums/counts stay an unbiased ratio by construction).
+                aux = {name: (jnp.asarray(aux_init[name], dtype=dtype)
+                              if name in aux_init
+                              else jnp.zeros(shape, dtype=dtype))
+                       for name, shape in aux_shapes.items()}
             else:
                 aux = _fresh_aux()
         else:
