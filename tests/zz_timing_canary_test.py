@@ -29,6 +29,17 @@ def test_fast_tier_stays_under_budget(request):
     if load0 > 1.5:
         pytest.skip(f"busy host (load {load0:.1f} at session start) — "
                     f"the budget is a warm, idle-host contract")
+    # A host that was idle at start can get contended mid-run (this
+    # box shares one core with chip-queue orchestration); the 1-minute
+    # load average READ NOW covers the run's tail, and the 5-minute
+    # average covers most of the run itself.  The suite alone keeps
+    # one core ~100% busy, so "idle" here reads ~1; competing work
+    # pushes it toward 2.
+    load1, load5 = os.getloadavg()[:2]
+    if max(load1, load5) > 1.6:
+        pytest.skip(f"host contended during the run (load "
+                    f"{load1:.1f}/{load5:.1f}) — the budget is an "
+                    f"idle-host contract")
     warm = os.path.isdir(os.path.join(
         os.path.dirname(__file__), os.pardir, ".jax_cache_cpu"))
     if not warm:  # pragma: no cover
