@@ -263,6 +263,7 @@ def test_fit_order_zero_fails_cleanly(sweep_file):
     assert "Traceback" not in out.output
 
 
+@pytest.mark.slow  # tier budget: runs an extra VMC procedure
 def test_cli_fit_prefix_with_extrapolate(sweep_file, tmp_path):
     """With a fit flag active, -g is a group PREFIX — combining it
     with --extrapolate-with must resolve the first stored group

@@ -74,6 +74,8 @@ def test_summary_matches_independent_fit(size_file):
     assert np.isfinite(summary["exact_ll"]["sigma_dev"])
 
 
+@pytest.mark.slow  # tier budget: runs two extra DMC rows; the
+# spec-key logic is unit-shaped by test_coupling-free paths
 def test_density_mismatch_rejected(size_file, tmp_path):
     path, _ = size_file
     # Same N range but a different density in one row.
@@ -98,6 +100,7 @@ def test_dt_mismatch_is_a_caveat(size_file, tmp_path):
     assert any("time_step" in c for c in summary.get("caveats", ()))
 
 
+@pytest.mark.slow  # tier budget: two extra DMC rows
 def test_coupling_mismatch_rejected(tmp_path):
     bad = str(tmp_path / "badg.h5")
     DmcHDF5FileHandler(location=bad, group="a").dump(_run_dmc(4))

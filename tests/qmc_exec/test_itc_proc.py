@@ -161,6 +161,9 @@ class TestPureItcProc:
             results[0].data.blocks.energy.totals,
             results[1].data.blocks.energy.totals)
 
+    @pytest.mark.slow  # tier budget: the multichip dryrun gates
+    # the same kill-mid-window pure-ITC resume driver-visibly;
+    # the mixed kill/restore stays fast
     def test_kill_restore_resumes_pure_itc_bit_exact(
             self, tmp_path, monkeypatch):
         """Multi-block forward-walking window (pfw = 2 blocks) cut by
@@ -585,6 +588,8 @@ class TestLightCheckpoints:
         full_counts = full.data.blocks.itc.lag_counts
         assert itc.lag_counts[3, -1] < full_counts[3, -1]
 
+    @pytest.mark.slow  # tier budget: the mixed light-checkpoint
+    # gate stays fast and covers the buffer-drop mechanics
     def test_light_checkpoint_with_pure_itc_window(
             self, tmp_path, monkeypatch):
         """Pure ITC + multi-block window + light checkpoint: the aux

@@ -354,6 +354,8 @@ class TestItcPure:
             np.asarray(b.iter_itc)[:, 0, :],
             np.asarray(b.iter_ssf)[:, :, 0])
 
+    @pytest.mark.slow  # tier budget: the mult cond path is also
+    # exercised by the config fuzz corpus (pure draws)
     def test_pure_mult_cadence_sum_rule(self):
         spec = make_spec()
         sampling = make_sampling(

@@ -81,6 +81,8 @@ class TestGridKernel:
             np.testing.assert_allclose(grid[:, j], ratios / NOP,
                                        rtol=1e-8)
 
+    @pytest.mark.slow  # tier budget: unity identity duplicate
+    # (the proc-integration OBDM tests stay fast)
     def test_zero_offset_is_unity(self):
         spec = make_spec()
         funcs = mrbp.core_funcs(spec)

@@ -19,6 +19,8 @@ def test_record_roundtrip():
     assert back == tbf
 
 
+@pytest.mark.slow  # tier budget: the WFOptProc path + the CLI
+# pipeline tests (fast) cover the same workflow end to end
 def test_state_data_blocks_and_optimize():
     # Deliberately suboptimal variational parameter.
     spec = mrbp.Spec(lattice_depth=10.0, lattice_ratio=1.0,
