@@ -1070,6 +1070,13 @@ class PropsDataSeries:
     #: ``(num_blocks, nts_measured, num_bins)`` pair-correlation
     #: histogram sums.
     g2: t.Optional[np.ndarray] = None
+    #: ``(num_blocks, nts_itc_measured, num_lags + 1, num_modes)``
+    #: imaginary-time-correlation lag sums (mixed estimator only —
+    #: the pure estimator's per-step values are partial window
+    #: accumulations, not samples) with their contributing-walker
+    #: counts.
+    itc: t.Optional[np.ndarray] = None
+    itc_nw: t.Optional[np.ndarray] = None
 
     @property
     def energy(self):
@@ -1106,6 +1113,10 @@ class PropsDataSeries:
             group.create_dataset("cm_diffusion", data=np.asarray(self.cmd))
         if self.g2 is not None:
             group.create_dataset("pair_corr", data=np.asarray(self.g2))
+        if self.itc is not None:
+            group.create_dataset("itc", data=np.asarray(self.itc))
+            group.create_dataset("itc_nw",
+                                 data=np.asarray(self.itc_nw))
 
     @classmethod
     def from_hdf5_data(cls, group: h5py.Group):
@@ -1117,13 +1128,18 @@ class PropsDataSeries:
         obd_ds = group.get("one_body_dm")
         cmd_ds = group.get("cm_diffusion")
         g2_ds = group.get("pair_corr")
+        itc_ds = group.get("itc")
+        itc_nw_ds = group.get("itc_nw")
         return cls(iter_props,
                    ssf=ssf_ds[()] if ssf_ds is not None else None,
                    density=density_ds[()]
                    if density_ds is not None else None,
                    obd=obd_ds[()] if obd_ds is not None else None,
                    cmd=cmd_ds[()] if cmd_ds is not None else None,
-                   g2=g2_ds[()] if g2_ds is not None else None)
+                   g2=g2_ds[()] if g2_ds is not None else None,
+                   itc=itc_ds[()] if itc_ds is not None else None,
+                   itc_nw=itc_nw_ds[()]
+                   if itc_nw_ds is not None else None)
 
 
 @dataclass(frozen=True)

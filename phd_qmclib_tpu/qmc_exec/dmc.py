@@ -948,6 +948,8 @@ class _BlockAccumulator:
                 proc.pair_corr_spec.as_pure_est, "g2")
         self.itc_sums_data = None
         self.itc_counts_data = None
+        self.itc_series_data = None
+        self.itc_nw_series_data = None
         if proc.should_eval_itc:
             if proc.itc_spec.as_pure_est:
                 # Forward-walked ITC: one (lag-sums, lag-counts)
@@ -966,6 +968,19 @@ class _BlockAccumulator:
                      proc.itc_spec.num_modes))
                 self.itc_counts_data = np.zeros(
                     (num_blocks, proc.itc_spec.num_lags + 1))
+                if keep:
+                    # Full per-measured-step series (keep_iter_data),
+                    # like every other mixed estimator.
+                    nts_itc = nts_block // (proc.est_every
+                                            * proc.itc_spec
+                                            .est_every_mult)
+                    self.itc_series_data = np.zeros(
+                        (num_blocks, nts_itc,
+                         proc.itc_spec.num_lags + 1,
+                         proc.itc_spec.num_modes))
+                    self.itc_nw_series_data = np.zeros(
+                        (num_blocks, nts_itc,
+                         proc.itc_spec.num_lags + 1))
         self.cmd_w2_data = None
         self.cmd_raw_data = None
         if proc.should_eval_cm_diffusion:
@@ -1004,6 +1019,7 @@ class _BlockAccumulator:
                         "obd_blocks_data", "g2_blocks_data",
                         "cmd_w2_data", "cmd_raw_data",
                         "itc_sums_data", "itc_counts_data",
+                        "itc_series_data", "itc_nw_series_data",
                         "pure_est_reduce_factor", "est_weight_totals",
                         "obd_weight_totals", "g2_weight_totals")
 
@@ -1083,6 +1099,9 @@ class _BlockAccumulator:
         if iter_itc is not None and not proc.itc_spec.as_pure_est:
             self.itc_sums_data[block_idx] = iter_itc.sum(axis=0)
             self.itc_counts_data[block_idx] = iter_itc_nw.sum(axis=0)
+            if self.itc_series_data is not None:
+                self.itc_series_data[block_idx] = iter_itc
+                self.itc_nw_series_data[block_idx] = iter_itc_nw
         if iter_cmd is not None:
             # Normalize per measured step: <W_cm^2> = sum W^2 / nw.
             nw_meas = np.asarray(num_walkers, dtype=np.float64)[
@@ -1293,6 +1312,7 @@ class _BlockAccumulator:
         data_series = dmc_data.PropsDataSeries(
             props_data, self.ssf_blocks_data, self.density_blocks_data,
             self.obd_blocks_data, self.cmd_raw_data,
-            self.g2_blocks_data) \
+            self.g2_blocks_data, itc=self.itc_series_data,
+            itc_nw=self.itc_nw_series_data) \
             if proc.keep_iter_data else None
         return dmc_data.SamplingData(data_blocks, data_series)

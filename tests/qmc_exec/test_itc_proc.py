@@ -628,3 +628,25 @@ class TestLightCheckpoints:
             itc.lag_sums[:, :, 0][finite],
             NOP ** 2 * itc.lag_counts[finite], rtol=1e-9)
         assert np.all(np.isfinite(itc.mean[itc.lag_counts.sum(0) > 0]))
+
+
+def test_keep_iter_data_series_roundtrip(tmp_path):
+    """``keep_iter_data``: the ITC joins the per-step series like
+    every other mixed estimator — stored, HDF5 round-tripped, and
+    consistent with the per-block totals."""
+    proc = make_proc(keep_iter_data=True, est_every=2)
+    result = proc.exec(make_input(proc))
+    series = result.data.series
+    assert series.itc is not None
+    assert series.itc.shape == (proc.num_blocks, 4, 4, 4)
+    assert series.itc_nw.shape == (proc.num_blocks, 4, 4)
+    np.testing.assert_allclose(series.itc.sum(axis=1),
+                               result.data.blocks.itc.lag_sums,
+                               rtol=1e-12)
+    handler = DmcHDF5FileHandler(location=str(tmp_path / "ks.h5"),
+                                 group="g")
+    handler.dump(result)
+    loaded = handler.load()
+    np.testing.assert_array_equal(loaded.data.series.itc, series.itc)
+    np.testing.assert_array_equal(loaded.data.series.itc_nw,
+                                  series.itc_nw)
