@@ -378,15 +378,24 @@ def _itc_lines(itc_blocks, ssf_blocks, nop: int, full: bool,
                      + ", ".join(parts))
     if ssf_blocks is not None:
         # Feynman upper bound from the same run's S(k) — omega_eff
-        # must undercut (or match) it within errors.
+        # must undercut (or match) it within errors.  The bound
+        # inherits S(k)'s statistical error (relative error carried
+        # over, k^2 exact): at noisy long-wavelength modes an
+        # apparent omega_eff-above-Feynman is usually this error bar,
+        # not a bound violation — print it.
         try:
             momenta = itc_blocks.momenta
             s_mean = ssf_blocks.mean / nop
+            s_err = np.asarray(ssf_blocks.mean_error,
+                               dtype=np.float64) / nop
             feyn = np.full(len(momenta), np.nan)
+            feyn_err = np.full(len(momenta), np.nan)
             nz = s_mean[:len(momenta)] > 0
             feyn[nz] = momenta[nz] ** 2 / s_mean[:len(momenta)][nz]
-            parts = [f"k{j} = {feyn[j]:.4g}" for j in show
-                     if np.isfinite(feyn[j])]
+            feyn_err[nz] = feyn[nz] * (s_err[:len(momenta)][nz]
+                                       / s_mean[:len(momenta)][nz])
+            parts = [f"k{j} = " + _fmt(feyn[j], feyn_err[j], prec=4)
+                     for j in show if np.isfinite(feyn[j])]
             if parts:
                 lines.append("            Feynman bound k^2/S(k) for "
                              "comparison: " + ", ".join(parts))
